@@ -1,0 +1,184 @@
+"""Distributed joins for Ray Data — broadcast, reduce-side hash, semi/anti.
+
+The reference's joins are Cypher MATCH clauses executed inside Neo4j
+(reference cartography/graph/querybuilder.py:710-745, 864-902); here they
+become explicit data-movement strategies (SURVEY §2.5):
+
+- ``broadcast_join``     — small side shipped once via ``ray.put`` and
+  merged per batch inside ``map_batches``; NO shuffle of the big side.
+  The right strategy for dimension tables / matchlink target tables.
+- ``hash_join``          — both sides large: a reduce-side join realized
+  as bucket-by-key-hash → one groupby shuffle over the tagged union →
+  per-bucket pandas merge. We deliberately do NOT use the experimental
+  ``Dataset.join`` (its empty partitions emit schema-less blocks that
+  poison downstream operators in Ray 2.49); every block this operator
+  emits is an Arrow block with an explicit, constant schema, including
+  empty ones.
+- ``broadcast_semi_anti``— semi/anti joins as a broadcast key-set filter
+  (the cleanup anti-join building block).
+
+Skew note: a reduce-side join buckets by ``hash(key) % num_buckets``; a
+hot key lands in one bucket. For joins where the right side is unique per
+key (lookup joins — our common case), raise ``num_buckets`` and rely on
+the per-batch combiners upstream; for genuinely hot many-to-many joins,
+pre-split the hot keys (salt) before calling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _bucket_of(series: pd.Series, num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_array(series.to_numpy(), categorize=False)
+    return (h % num_buckets).astype(np.int64)
+
+
+def broadcast_join(
+    ds,
+    small: pd.DataFrame,
+    left_on: list[str] | str,
+    right_on: list[str] | str | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Join a Dataset against a small pandas table, no shuffle.
+
+    ``small`` is put in the object store ONCE; every batch task reads the
+    same copy (zero re-shipping per batch).
+    """
+    import ray
+
+    left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+    right_on = left_on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    small_ref = ray.put(small)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(small_ref)
+        return batch.merge(
+            rhs, left_on=left_on, right_on=right_on, how=how, suffixes=("", suffix)
+        )
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def broadcast_semi_anti(ds, keys, on: str, anti: bool = False):
+    """Semi (keep matching) / anti (keep non-matching) join via a broadcast
+    key set — the cleanup-style anti-join primitive (SURVEY §2.8)."""
+    import ray
+
+    key_arr = pa.array(sorted(set(keys)), pa.string())
+    keys_ref = ray.put(key_arr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pc.fill_null(pc.is_in(pc.cast(batch.column(on), pa.string()), ks), False)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def _typed_nulls(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, type=typ)
+
+
+def hash_join(
+    left,
+    right,
+    left_on: list[str] | str,
+    right_on: list[str] | str | None = None,
+    how: str = "inner",
+    num_buckets: int = 64,
+    right_prefix: str = "",
+):
+    """Reduce-side hash join of two Datasets (both sides shuffled once).
+
+    Tag each side, align to one constant Arrow schema (typed null columns
+    for the other side's fields), bucket by key hash, one
+    ``groupby(bucket)`` shuffle, pandas merge inside each bucket, emit
+    Arrow with the constant output schema. Right columns colliding with
+    left non-key columns are renamed with ``right_prefix``.
+
+    ``how``: inner | left | outer.
+    """
+    left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+    right_on = left_on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    lschema: pa.Schema = left.schema().base_schema
+    rschema: pa.Schema = right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    # rename right keys to left key names; prefix right value collisions
+    r_out = []
+    for c in rcols:
+        if c in right_on:
+            r_out.append(left_on[right_on.index(c)])
+        elif c in lcols:
+            if not right_prefix:
+                raise ValueError(f"hash_join: column collision '{c}'; pass right_prefix")
+            r_out.append(right_prefix + c)
+        else:
+            r_out.append(c)
+    r_value = [c for c in r_out if c not in left_on]
+    all_cols = lcols + r_value
+    types: dict[str, pa.DataType] = {}
+    for name, c in zip(lcols, lcols):
+        types[name] = lschema.field(c).type
+    for name, c in zip(r_out, rcols):
+        types.setdefault(name, rschema.field(c).type)
+    out_schema = pa.schema([(c, types[c]) for c in all_cols])
+    work_schema = pa.schema(
+        [("__bucket", pa.int64()), ("__side", pa.int8())] + list(zip(all_cols, [types[c] for c in all_cols]))
+    )
+
+    def prep(side: int, in_names: list[str], out_names: list[str]):
+        key_out = left_on
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            batch = batch.rename_columns(
+                [out_names[in_names.index(c)] if c in in_names else c for c in batch.column_names]
+            )
+            key = pc.cast(batch.column(key_out[0]), pa.string())
+            for k in key_out[1:]:
+                key = pc.binary_join_element_wise(key, pc.cast(batch.column(k), pa.string()), "\x1f")
+            bucket = _bucket_of(pd.Series(key.to_numpy(zero_copy_only=False)), num_buckets)
+            cols = [pa.array(bucket, pa.int64()), pa.array(np.full(n, side, dtype=np.int8))]
+            for c in all_cols:
+                if c in batch.column_names:
+                    col = batch.column(c)
+                    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    cols.append(col.cast(types[c]))
+                else:
+                    cols.append(_typed_nulls(n, types[c]))
+            return pa.Table.from_arrays(cols, schema=work_schema)
+
+        return fn
+
+    lp = left.map_batches(prep(0, lcols, lcols), batch_format="pyarrow")
+    rp = right.map_batches(prep(1, rcols, r_out), batch_format="pyarrow")
+
+    l_value = [c for c in lcols if c not in left_on]
+    pd_how = {"inner": "inner", "left": "left", "outer": "outer"}[how]
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        pdf = group.to_pandas()
+        lhs = pdf[pdf["__side"] == 0][left_on + l_value]
+        rhs = pdf[pdf["__side"] == 1][left_on + r_value]
+        out = lhs.merge(rhs, on=left_on, how=pd_how)[all_cols]
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    # Empty input blocks (typed or schema-less) bypass the prep UDF and
+    # would reach the groupby without a __bucket column — strip them.
+    tagged = drop_empty_blocks(lp.union(rp))
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
