@@ -1,44 +1,42 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``      — flagship transcript→KG pipeline at sf0.001 (returns
+  the distinct (subj, pred, obj) triple Dataset).
+- ``queries()``    — one callable per implemented operator family
+  (SURVEY.md §2 + the training-data operator brief); each takes an
+  ``sf_dir`` and returns a Dataset / pyarrow Table.
+- ``oracle_sql()`` — DuckDB oracles for every deterministic query;
+  KG oracles read the SAME deterministic synthetic transcript parquet
+  the Ray queries use (generated on demand under /tmp/graft_kg).
+  Approximate operators (minhash/simhash/LSH-ANN) are rows-only by
+  design; their recall is asserted against exact baselines in tests/.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from cartography_ray.pipelines.queries import q_kg_triples
+
+    return q_kg_triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from cartography_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cartography_ray.pipelines.queries import oracle_sql_for
+
+    return oracle_sql_for(ORACLE_SF_DIR)

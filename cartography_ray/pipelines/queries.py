@@ -1,0 +1,838 @@
+"""Driver-facing query catalogue with DuckDB oracle SQL.
+
+Each entry in ``QUERIES`` is a callable ``fn(sf_dir) -> Dataset | Table``
+and (where SQL-expressible) a matching oracle in ``oracle_sql_for``.
+Naming rule: every computed column is named identically in the Ray code
+and the SQL (the driver hash-compares columns by name).
+
+Float discipline (so value hashes match bit-for-bit):
+- money/metric aggregates are summed as integers — per-row
+  ``CAST(round(x * 100) AS BIGINT)`` cents / micros in BOTH engines; the
+  per-row double product is computed identically (IEEE) on both sides,
+  so the rounded int is identical and integer sums are order-independent;
+- cosine similarities are rounded to 6dp before ranking on both sides;
+- everything else exposed to the driver is ints / strings.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cartography_ray.core.context import IngestContext
+from cartography_ray.sources.transcripts import ensure_transcripts, transcripts_path
+
+QUERY_TAG = 20260101
+
+# matches DuckDB's round(): half away from zero (arrow calls it
+# "half_towards_infinity")
+_ROUND = {"round_mode": "half_towards_infinity"}
+
+
+def _rd():
+    import ray.data
+
+    from cartography_ray.runtime import configure
+
+    configure()
+    return ray.data
+
+
+def _cents(col, factor: float = 100.0) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(factor)), 0, **_ROUND), pa.int64())
+
+
+# --------------------------------------------------------------------------
+# Relational operator family (TPC-H-ish; strong oracles over driver views)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregation with two-phase partial agg (TPC-H Q1 shape)."""
+    rd = _rd()
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "price_cents": _cents(t.column("l_extendedprice")),
+                "disc_cents": _cents(disc),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = partial_groupby_agg(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("qty", "sum"),
+            "sum_price_cents": ("price_cents", "sum"),
+            "sum_disc_cents": ("disc_cents", "sum"),
+            "count_order": (None, "count"),
+        },
+    )
+    return out
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Broadcast join chain lineitem→orders→customer→nation + agg."""
+    rd = _rd()
+    import pyarrow.parquet as pq
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import broadcast_join
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["o_orderkey", "n_name"]]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue_cents": _cents(disc)})
+
+    joined = broadcast_join(
+        ds.map_batches(prep, batch_format="pyarrow"), dim, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    return partial_groupby_agg(
+        joined.select_columns(["n_name", "revenue_cents"]),
+        "n_name",
+        {"revenue_cents": ("revenue_cents", "sum"), "n_items": (None, "count")},
+    )
+
+
+SQL_REVENUE_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global top-k without a full sort (per-block prune + tiny final)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "total_cents": _cents(t.column("o_totalprice"))}
+        )
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["total_cents", "o_orderkey"], ascending=[False, True]).head(10)
+
+    pruned = ds.map_batches(prep, batch_format="pyarrow").map_batches(local, batch_format="pandas")
+    final = pruned.to_pandas().sort_values(["total_cents", "o_orderkey"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(final.reset_index(drop=True), preserve_index=False)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY total_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized row filter + computed projection."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(pd.Timestamp("1995-01-01"))),
+            pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
+        )
+        t = t.filter(mask)
+        disc = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "revenue_cents": _cents(disc),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount >= 0.05
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (the cleanup primitive): customers with no order above 300k."""
+    rd = _rd()
+    import pyarrow.parquet as pq
+
+    from cartography_ray.ops.joins import broadcast_semi_anti
+
+    big = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    import pyarrow.compute as _pc
+
+    big = big.filter(_pc.greater(big.column("o_totalprice"), pa.scalar(300000.0)))
+    keys = big.column("o_custkey").to_pylist()
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    return broadcast_semi_anti(ds, [str(k) for k in set(keys)], on="c_custkey", anti=True)
+
+
+SQL_CUST_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (1h) over the event stream table."""
+    rd = _rd()
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "hour_bucket": hour,
+                "value_micros": _cents(t.column("value"), 1_000_000.0),
+            }
+        )
+
+    return partial_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "hour_bucket"],
+        {"n_events": (None, "count"), "sum_value_micros": ("value_micros", "sum")},
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_first(sf_dir: str):
+    """First-event-per-key dedup (MERGE-style min reduce)."""
+    rd = _rd()
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "event_id"])
+    return partial_groupby_agg(
+        ds, ["user_id", "event_type"], {"first_event_id": ("event_id", "min")}
+    )
+
+
+SQL_EVENTS_FIRST = """
+SELECT user_id, event_type, MIN(event_id) AS first_event_id
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data operator family (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q_docs_stats(sf_dir: str):
+    rd = _rd()
+    from cartography_ray.functions.text import TextStats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(TextStats, batch_format="pyarrow", concurrency=2)
+
+
+SQL_DOCS_STATS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       len(regexp_extract_all(text, '\b(the|and|of|to|a|is|in)\b')) AS n_stop,
+       length(text) AS n_chars2
+FROM documents
+"""
+
+
+def q_docs_langid(sf_dir: str):
+    rd = _rd()
+    from cartography_ray.functions.text import langid_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(langid_batch, batch_format="pyarrow")
+
+
+SQL_DOCS_LANGID = r"""
+WITH h AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de,
+         len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS en,
+         len(regexp_extract_all(lower(text), '\b(el|la|los|que|es)\b')) AS es,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|est|et)\b')) AS fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       en AS en_hits
+FROM h
+"""
+
+
+def q_docs_fingerprint(sf_dir: str):
+    rd = _rd()
+    from cartography_ray.functions.text import fingerprint_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+SQL_DOCS_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    rd = _rd()
+    from cartography_ray.functions.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+SQL_DOCS_EXACT_DEDUP = r"""
+SELECT MIN(doc_id) AS doc_id
+FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS fp FROM documents)
+GROUP BY fp
+"""
+
+
+JACCARD_SUBSET_MAX = 40
+JACCARD_THRESHOLD = 0.25
+
+
+def q_docs_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard vs a broadcast subset (oracle-checkable)."""
+    rd = _rd()
+    from cartography_ray.functions.dedup import jaccard_pairs_smallside
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = jaccard_pairs_smallside(
+        ds, subset_ids=list(range(JACCARD_SUBSET_MAX)), threshold=JACCARD_THRESHOLD
+    )
+    return out.select_columns(["id_a", "id_b"])
+
+
+SQL_DOCS_JACCARD = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(lower(text), CAST(r.range AS INTEGER), 5) AS g
+  FROM documents JOIN range(1, 100000) r ON r.range <= length(text) - 4
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  WHERE b.doc_id < {JACCARD_SUBSET_MAX}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / greatest(1, sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_docs_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidates, Jaccard-verified (rows-only check;
+    recall vs the exact baseline is asserted in tests)."""
+    rd = _rd()
+    from cartography_ray.functions.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=JACCARD_THRESHOLD).select_columns(["id_a", "id_b"])
+
+
+def q_docs_simhash_pairs(sf_dir: str):
+    rd = _rd()
+    from cartography_ray.functions.dedup import simhash_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=6).select_columns(["id_a", "id_b", "hamming"])
+
+
+KNN_QUERY_MAX = 8
+KNN_K = 5
+
+
+def _knn_queries(sf_dir: str) -> dict[int, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    out = {}
+    for vid, emb in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()):
+        if vid < KNN_QUERY_MAX:
+            out[vid] = np.asarray(emb, dtype=np.float64)
+    return out
+
+
+def q_emb_knn(sf_dir: str):
+    rd = _rd()
+    from cartography_ray.functions.ann import knn_brute
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_brute(ds, _knn_queries(sf_dir), k=KNN_K)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+SQL_EMB_KNN = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {KNN_QUERY_MAX}),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS sim6
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {KNN_K}
+"""
+
+
+def q_emb_knn_lsh(sf_dir: str):
+    """Approximate ANN (LSH-bucketed) — rows-only; recall asserted in tests."""
+    rd = _rd()
+    from cartography_ray.functions.ann import knn_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_lsh(ds, _knn_queries(sf_dir), k=KNN_K, planes=4).select_columns(
+        ["query_id", "neighbor_id", "rank"]
+    )
+
+
+# --------------------------------------------------------------------------
+# Spec-driven load (the MERGE/store path) over a relational table
+# --------------------------------------------------------------------------
+
+
+def q_load_customers(sf_dir: str):
+    """Customer rows through a NodeSpec projection (the load() analogue)."""
+    rd = _rd()
+    from cartography_ray.core.compile import project_nodes
+    from cartography_ray.spec import ExtraNodeLabel, NodeSpec, PropertyRef
+
+    spec = NodeSpec.make(
+        "Customer",
+        {
+            "id": PropertyRef("c_custkey"),
+            "name": PropertyRef("c_name"),
+            "mktsegment": PropertyRef("c_mktsegment"),
+            "acctbal_cents": PropertyRef("acctbal_cents"),
+        },
+        scoped_cleanup=False,
+        extra_node_labels=(ExtraNodeLabel("Debtor").when(negative_bal=True),),
+    )
+    ctx = IngestContext.make(update_tag=QUERY_TAG)
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.append_column("acctbal_cents", _cents(t.column("c_acctbal")))
+        return t.append_column("negative_bal", pc.less(t.column("c_acctbal"), pa.scalar(0.0)))
+
+    return ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        project_nodes(spec, ctx), batch_format="pyarrow"
+    ).select_columns(["id", "name", "mktsegment", "acctbal_cents", "lastupdated", "_labels"])
+
+
+SQL_LOAD_CUSTOMERS = f"""
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS name,
+       c_mktsegment AS mktsegment,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST({QUERY_TAG} AS BIGINT) AS lastupdated,
+       CASE WHEN c_acctbal < 0 THEN 'Customer;Debtor' ELSE 'Customer' END AS _labels
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# Knowledge-graph pipeline family (north rule) over synthetic transcripts
+# --------------------------------------------------------------------------
+
+
+def _kg_work_dir(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/graft_kg/qwork/{name}"
+
+
+def _kg_mentions_ds(sf_dir: str):
+    """Shared sorted+detected mention checkpoint for the KG queries."""
+    rd = _rd()
+    from cartography_ray.pipelines.kg import _checkpoint, _prepare_turns
+    from cartography_ray.stages.extract import MentionDetector
+
+    ensure_transcripts(sf_dir)
+    work = _kg_work_dir(sf_dir)
+    sorted_path = os.path.join(work, "sorted")
+    if not os.path.exists(os.path.join(sorted_path, "_SUCCESS")):
+        ds = rd.read_parquet(transcripts_path(sf_dir))
+        _checkpoint(
+            ds.sort(["conv_id", "turn_idx"]).map_batches(_prepare_turns, batch_format="pyarrow"),
+            sorted_path,
+        )
+    mention_path = os.path.join(work, "mentions")
+    if not os.path.exists(os.path.join(mention_path, "_SUCCESS")):
+        turns = rd.read_parquet(sorted_path)
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        _checkpoint(
+            turns.map_batches(
+                MentionDetector, batch_format="pyarrow", batch_size=4096,
+                concurrency=max(2, ncpu - 2),
+            ),
+            mention_path,
+        )
+    return rd.read_parquet(sorted_path), rd.read_parquet(mention_path)
+
+
+def _kg_labels(sf_dir: str, mentions):
+    from cartography_ray.stages.canonicalize import connected_components
+    from cartography_ray.stages.link import alias_edges_batch
+
+    alias_edges = mentions.map_batches(alias_edges_batch, batch_format="pyarrow")
+    return connected_components(alias_edges, num_partitions=8)
+
+
+def q_kg_turns(sf_dir: str):
+    """Per-turn lineage table (the text-equality invariant surface)."""
+    turns, _ = _kg_mentions_ds(sf_dir)
+    return turns.select_columns(["conv_id", "turn_idx", "role", "text"])
+
+
+def sql_kg_turns(path: str) -> str:
+    return f"SELECT conv_id, turn_idx, role, text FROM read_parquet('{path}')"
+
+
+def q_kg_mentions(sf_dir: str):
+    _, mentions = _kg_mentions_ds(sf_dir)
+    keep = mentions.filter(expr="kind != 'alias'")
+    return keep.select_columns(["conv_id", "turn_idx", "kind", "form"])
+
+
+def sql_kg_mentions(path: str) -> str:
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}'))
+SELECT conv_id, turn_idx, 'handle' AS kind,
+       unnest(regexp_extract_all(text, '(^|\\s)(@[a-z][a-z0-9_]*)', 2)) AS form FROM t
+UNION ALL
+SELECT conv_id, turn_idx, 'email',
+       unnest(regexp_extract_all(text, '(^|\\s)([a-z0-9_.]+@[a-z0-9.-]+\\.[a-z]{{2,}})', 2)) FROM t
+UNION ALL
+SELECT conv_id, turn_idx, 'name',
+       unnest(regexp_extract_all(text, '(^|\\s)([A-Z][a-z]+[0-9]+)', 2)) FROM t
+UNION ALL
+SELECT conv_id, turn_idx, 'ticket',
+       unnest(regexp_extract_all(text, '\\b([A-Z]{{2,5}}-[0-9]+)\\b', 1)) FROM t
+UNION ALL
+SELECT conv_id, turn_idx, 'url',
+       unnest(regexp_extract_all(text, '(https://[^\\s]+)', 1)) FROM t
+"""
+
+
+_KG_RESOLVED_SQL = """
+WITH RECURSIVE t AS (SELECT * FROM read_parquet('{path}')),
+m AS (
+  SELECT conv_id, turn_idx, 'handle' AS kind,
+         unnest(regexp_extract_all(text, '(^|\\s)(@[a-z][a-z0-9_]*)', 2)) AS form FROM t
+  UNION ALL
+  SELECT conv_id, turn_idx, 'email',
+         unnest(regexp_extract_all(text, '(^|\\s)([a-z0-9_.]+@[a-z0-9.-]+\\.[a-z]{{2,}})', 2)) FROM t
+  UNION ALL
+  SELECT conv_id, turn_idx, 'name',
+         unnest(regexp_extract_all(text, '(^|\\s)([A-Z][a-z]+[0-9]+)', 2)) FROM t
+  UNION ALL
+  SELECT conv_id, turn_idx, 'ticket',
+         unnest(regexp_extract_all(text, '\\b([A-Z]{{2,5}}-[0-9]+)\\b', 1)) FROM t
+  UNION ALL
+  SELECT conv_id, turn_idx, 'url',
+         unnest(regexp_extract_all(text, '(https://[^\\s]+)', 1)) FROM t
+),
+keyed AS (
+  SELECT conv_id, turn_idx, kind, form,
+         CASE kind
+           WHEN 'handle' THEN 'user:' || substring(form, 2)
+           WHEN 'email'  THEN 'user:' || split_part(form, '@', 1)
+           WHEN 'name'   THEN 'name:' || lower(form)
+           WHEN 'ticket' THEN 'ticket:' || form
+           ELSE 'url:' || form END AS entity_key,
+         CASE kind WHEN 'ticket' THEN 'REFERENCES_TICKET'
+                   WHEN 'url' THEN 'LINKS_TO'
+                   ELSE 'MENTIONS' END AS pred
+  FROM m
+),
+ae AS (
+  SELECT 'name:' || lower(regexp_extract(text, '(^|\\s)([A-Z][a-z]+[0-9]+) \\(aka (@[a-z][a-z0-9_]*)\\)', 2)) AS a,
+         'user:' || substring(regexp_extract(text, '(^|\\s)([A-Z][a-z]+[0-9]+) \\(aka (@[a-z][a-z0-9_]*)\\)', 3), 2) AS b
+  FROM t WHERE regexp_matches(text, '(^|\\s)([A-Z][a-z]+[0-9]+) \\(aka (@[a-z][a-z0-9_]*)\\)')
+  UNION ALL
+  SELECT 'user:' || substring(regexp_extract(text, '(^|\\s)(@[a-z][a-z0-9_]*) \\(aka (@[a-z][a-z0-9_]*)\\)', 2), 2),
+         'user:' || substring(regexp_extract(text, '(^|\\s)(@[a-z][a-z0-9_]*) \\(aka (@[a-z][a-z0-9_]*)\\)', 3), 2)
+  FROM t WHERE regexp_matches(text, '(^|\\s)(@[a-z][a-z0-9_]*) \\(aka (@[a-z][a-z0-9_]*)\\)')
+),
+es AS (SELECT a, b FROM ae UNION SELECT b AS a, a AS b FROM ae),
+nodes AS (SELECT DISTINCT a AS node FROM es),
+r(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.lab FROM es e JOIN r ON e.b = r.node
+),
+reach AS (SELECT node, MIN(lab) AS root FROM r GROUP BY node),
+resolved AS (
+  SELECT k.conv_id, k.turn_idx, k.kind, k.form, k.pred,
+         coalesce(rc.root, k.entity_key) AS entity_id
+  FROM keyed k LEFT JOIN reach rc ON k.entity_key = rc.node
+)
+"""
+
+
+def q_kg_entities(sf_dir: str):
+    """Canonical entities after linking + union-find, with mention counts."""
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.stages.canonicalize import resolve_keys
+    from cartography_ray.stages.link import LinkScorer
+
+    _, mentions = _kg_mentions_ds(sf_dir)
+    labels = _kg_labels(sf_dir, mentions)
+    linked = mentions.map_batches(LinkScorer(), batch_format="pyarrow")
+    resolved = resolve_keys(linked, labels, key_col="entity_key", out_col="entity_id")
+
+    def prep(t: pa.Table) -> pa.Table:
+        kind = pc.list_element(pc.split_pattern(t.column("entity_id"), ":"), 0)
+        return pa.table({"entity_id": t.column("entity_id"), "kind": kind})
+
+    return partial_groupby_agg(
+        resolved.map_batches(prep, batch_format="pyarrow"),
+        ["entity_id", "kind"],
+        {"n_mentions": (None, "count")},
+    )
+
+
+def sql_kg_entities(path: str) -> str:
+    return _KG_RESOLVED_SQL.format(path=path) + """
+SELECT entity_id, split_part(entity_id, ':', 1) AS kind, COUNT(*) AS n_mentions
+FROM resolved GROUP BY 1, 2
+"""
+
+
+def q_kg_alias_components(sf_dir: str):
+    _, mentions = _kg_mentions_ds(sf_dir)
+    labels = _kg_labels(sf_dir, mentions)
+    return labels.map_batches(
+        lambda t: pa.table({"member": t.column("node"), "root": t.column("label")}),
+        batch_format="pyarrow",
+    )
+
+
+def sql_kg_alias_components(path: str) -> str:
+    return _KG_RESOLVED_SQL.format(path=path) + """
+SELECT node AS member, root FROM reach
+"""
+
+
+def q_kg_triples(sf_dir: str):
+    """The flagship output: distinct (subj, pred, obj) triples."""
+    from cartography_ray.core.context import IngestContext
+    from cartography_ray.pipelines.kg import build_graph
+    from cartography_ray.runtime import drop_empty_blocks
+    from cartography_ray.sources.transcripts import read_transcripts
+
+    rd = _rd()
+    ctx = IngestContext.make(update_tag=QUERY_TAG)
+    g = build_graph(
+        read_transcripts(sf_dir),
+        ctx,
+        work_dir=_kg_work_dir(sf_dir),
+    )
+    edge_streams = list(g["edges"].values())
+    uni = edge_streams[0].select_columns(["src_id", "rel_label", "dst_id"])
+    for e in edge_streams[1:]:
+        uni = uni.union(e.select_columns(["src_id", "rel_label", "dst_id"]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"subj": t.column("src_id"), "pred": t.column("rel_label"), "obj": t.column("dst_id")}
+        )
+
+    def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    def head1(gr: pd.DataFrame) -> pd.DataFrame:
+        return gr.head(1)
+
+    renamed = uni.map_batches(rename, batch_format="pyarrow").map_batches(
+        local_dedup, batch_format="pandas"
+    )
+    return drop_empty_blocks(
+        drop_empty_blocks(renamed).groupby(["subj", "pred", "obj"]).map_groups(
+            head1, batch_format="pandas"
+        )
+    )
+
+
+def sql_kg_triples(path: str) -> str:
+    return _KG_RESOLVED_SQL.format(path=path) + """
+SELECT DISTINCT 'turn:' || conv_id || ':' || turn_idx AS subj, pred, entity_id AS obj FROM resolved
+UNION
+SELECT DISTINCT 'turn:' || conv_id || ':' || turn_idx, 'USES_TOOL', 'tool:' || tool
+FROM t WHERE role = 'tool' AND tool IS NOT NULL
+UNION
+SELECT 'turn:' || conv_id || ':' || (turn_idx - 1), 'NEXT_TURN', 'turn:' || conv_id || ':' || turn_idx
+FROM t WHERE turn_idx > 0
+UNION
+SELECT 'turn:' || conv_id || ':' || turn_idx, 'IN_CONV', 'conv:' || conv_id FROM t
+UNION
+SELECT node, 'ALIAS_OF', root FROM reach WHERE node <> root
+"""
+
+
+def q_kg_conversations(sf_dir: str):
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    turns, _ = _kg_mentions_ds(sf_dir)
+    out = partial_groupby_agg(
+        turns.select_columns(["conv_id"]), "conv_id", {"n_turns": (None, "count")}
+    )
+
+    def add_uid(t: pa.Table) -> pa.Table:
+        uid = pc.binary_join_element_wise(
+            pa.array(["conv"] * t.num_rows, pa.string()), pc.cast(t.column("conv_id"), pa.string()), ":"
+        )
+        return pa.table({"id": uid, "n_turns": pc.cast(t.column("n_turns"), pa.int64())})
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    return drop_empty_blocks(out).map_batches(add_uid, batch_format="pyarrow")
+
+
+def sql_kg_conversations(path: str) -> str:
+    return (
+        f"SELECT 'conv:' || conv_id AS id, COUNT(*) AS n_turns "
+        f"FROM read_parquet('{path}') GROUP BY 1"
+    )
+
+
+# --------------------------------------------------------------------------
+# Catalogue
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable] = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders": q_top_orders,
+    "filter_project": q_filter_project,
+    "customers_without_orders": q_customers_without_orders,
+    "events_hourly": q_events_hourly,
+    "events_first": q_events_first,
+    "docs_stats": q_docs_stats,
+    "docs_langid": q_docs_langid,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_jaccard_pairs": q_docs_jaccard_pairs,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
+    "emb_knn": q_emb_knn,
+    "emb_knn_lsh": q_emb_knn_lsh,
+    "load_customers": q_load_customers,
+    "kg_turns": q_kg_turns,
+    "kg_mentions": q_kg_mentions,
+    "kg_entities": q_kg_entities,
+    "kg_alias_components": q_kg_alias_components,
+    "kg_conversations": q_kg_conversations,
+    "kg_triples": q_kg_triples,
+}
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """Oracle SQL strings; KG oracles read the same cached transcript
+    parquet the Ray queries use (generated deterministically at import)."""
+    path = ensure_transcripts(sf_dir)
+    return {
+        "pricing_summary": SQL_PRICING,
+        "revenue_by_nation": SQL_REVENUE_NATION,
+        "top_orders": SQL_TOP_ORDERS,
+        "filter_project": SQL_FILTER_PROJECT,
+        "customers_without_orders": SQL_CUST_NO_ORDERS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "events_first": SQL_EVENTS_FIRST,
+        "docs_stats": SQL_DOCS_STATS,
+        "docs_langid": SQL_DOCS_LANGID,
+        "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+        "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+        "docs_jaccard_pairs": SQL_DOCS_JACCARD,
+        "emb_knn": SQL_EMB_KNN,
+        "load_customers": SQL_LOAD_CUSTOMERS,
+        "kg_turns": sql_kg_turns(path),
+        "kg_mentions": sql_kg_mentions(path),
+        "kg_entities": sql_kg_entities(path),
+        "kg_alias_components": sql_kg_alias_components(path),
+        "kg_conversations": sql_kg_conversations(path),
+        "kg_triples": sql_kg_triples(path),
+        # docs_minhash_pairs / docs_simhash_pairs / emb_knn_lsh are
+        # approximate-by-design → rows-only checks (recall asserted in tests)
+    }
