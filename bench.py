@@ -1,0 +1,176 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline transcript→KG pipeline over the synthetic
+transcript corpus scaled to ``$GRAFT_SF_DIR`` (default sf0.1 ≈ 200k
+turns) plus a set of representative operator queries, and prints ONE
+JSON line:
+
+    {"metric": "kg_pipeline_sec", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "num_cpus": N,
+     "turns": T, "turns_per_sec": R}
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 over the SAME input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the
+north rule's two-cluster-size criterion — see BASELINE.md).
+
+Each timed run uses a FRESH store/work dir (no checkpoint reuse), so
+both scaling levels do identical work. Transcript generation and an
+untimed warm read happen before the clock starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_headline(sf_dir: str) -> dict:
+    import ray
+
+    from cartography_ray.core.context import IngestContext
+    from cartography_ray.pipelines.kg import run_kg_pipeline
+    from cartography_ray.sources.transcripts import ensure_transcripts, read_transcripts
+    from cartography_ray.state.store import GraphStore
+
+    path = ensure_transcripts(sf_dir)
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    run_id = f"bench-{os.getpid()}"
+    work = f"/tmp/graft_kg/bench/{run_id}/work"
+    store_root = f"/tmp/graft_kg/bench/{run_id}/store"
+    for p in (work, store_root):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ds = read_transcripts(sf_dir)
+    n_turns = ds.count()
+
+    t0 = time.time()
+    store = GraphStore(store_root, num_buckets=64)
+    ctx = IngestContext.make(update_tag=20260101)
+    metrics = run_kg_pipeline(ds, store, ctx, work_dir=work)
+    sec = time.time() - t0
+    shutil.rmtree(f"/tmp/graft_kg/bench/{run_id}", ignore_errors=True)
+    return {
+        "sec": sec,
+        "turns": int(n_turns),
+        "turns_per_sec": round(n_turns / sec, 1),
+        "nodes": metrics["nodes"],
+        "edges": metrics["edges"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from cartography_ray.pipelines import queries as Q
+
+    names = [
+        "pricing_summary",
+        "revenue_by_nation",
+        "filter_project",
+        "events_hourly",
+        "docs_stats",
+        "docs_minhash_pairs",
+        "emb_knn",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = Q.QUERIES[name](sf_dir)
+        # force execution
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from cartography_ray.runtime import configure
+
+    configure()
+    headline = run_headline(SF_DIR)
+    qtimes = {} if os.environ.get("GRAFT_BENCH_MODE") == "headline" else run_queries(SF_DIR)
+    try:
+        sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_sec",
+                "value": round(headline["sec"], 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "num_cpus": NUM_CPUS,
+                "turns": headline["turns"],
+                "turns_per_sec": headline["turns_per_sec"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Two fresh processes at 8 and 32 CPUs over the same input."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_MODE="headline",
+            PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo = lo["turns_per_sec"]
+    thr_hi = hi["turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "turns_per_sec_8": thr_lo,
+                "turns_per_sec_32": thr_hi,
+                "turns": hi["turns"],
+                "sf": hi["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -119,12 +119,14 @@ def knn_lsh(
     queries: dict[int, np.ndarray],
     k: int = 5,
     planes: int = 6,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
 ):
-    """Approximate top-k: scan only corpus rows whose LSH bucket matches a
-    query bucket. Same output schema as knn_brute; recall < 1."""
+    """Approximate top-k: scan only corpus rows whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe). Same output
+    schema as knn_brute; recall < 1 by design — tune planes/probe."""
     import ray
 
     from cartography_ray.runtime import drop_empty_blocks
@@ -144,7 +146,10 @@ def knn_lsh(
         if mat.size:
             buckets = tagger.bucket(mat)
             for qi, qid in enumerate(qids_):
-                mask = buckets == qb_[qi]
+                xor = np.bitwise_xor(buckets.astype(np.int64), int(qb_[qi]))
+                # popcount via numpy byte view
+                pop = np.unpackbits(xor.astype(np.uint64).view(np.uint8).reshape(len(xor), 8), axis=1).sum(axis=1)
+                mask = pop <= probe_hamming
                 if not mask.any():
                     continue
                 sub_ids = ids[mask]

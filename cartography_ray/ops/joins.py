@@ -89,6 +89,25 @@ def _typed_nulls(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, type=typ)
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset, tolerating pandas-block datasets."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base
+    # PandasBlockSchema: names + numpy dtypes
+    fields = []
+    for name, dtype in zip(base.names, base.types):
+        try:
+            typ = pa.from_numpy_dtype(dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            typ = pa.string()
+        if typ == pa.null() or str(dtype) == "object":
+            typ = pa.string()
+        fields.append((name, typ))
+    return pa.schema(fields)
+
+
 def hash_join(
     left,
     right,
@@ -112,8 +131,8 @@ def hash_join(
     right_on = left_on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
-    lschema: pa.Schema = left.schema().base_schema
-    rschema: pa.Schema = right.schema().base_schema
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     # rename right keys to left key names; prefix right value collisions

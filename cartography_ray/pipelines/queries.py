@@ -404,7 +404,10 @@ def q_docs_minhash_pairs(sf_dir: str):
     from cartography_ray.functions.dedup import minhash_lsh_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=JACCARD_THRESHOLD).select_columns(["id_a", "id_b"])
+    # r=2 banding: candidate prob 1-(1-j²)^16 ≈ 0.64 at j=0.25, →1 above 0.5
+    return minhash_lsh_pairs(
+        ds, threshold=JACCARD_THRESHOLD, num_perm=32, bands=16
+    ).select_columns(["id_a", "id_b"])
 
 
 def q_docs_simhash_pairs(sf_dir: str):

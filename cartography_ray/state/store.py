@@ -128,7 +128,12 @@ class GraphStore:
                 out = out.filter(mask)
             return out
 
-        bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+        # 0-row map outputs surface as schema-less blocks (Ray 2.49), so
+        # sanitize after the done-bucket filter; short-circuit a fully
+        # resumed materialize (every bucket already written for this tag).
+        bucketed = drop_empty_blocks(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        if bucketed.count() == 0:
+            return pd.DataFrame({"bucket": [], "rows": [], "update_tag": []})
 
         def merge_write(group: pd.DataFrame) -> pd.DataFrame:
             if group.empty:

@@ -1,0 +1,164 @@
+"""Tests for the training-data operator family (dedup / ANN / text /
+multimodal) including recall of the approximate paths vs exact baselines."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(sf="/root/testdata/sf0.001"):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_exact_dedup_with_real_duplicates(ray_session):
+    import ray.data
+
+    from cartography_ray.functions.dedup import exact_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": ["hello  world", "Hello world", "other", "hello world", "OTHER"],
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    # normalization: case + whitespace collapse ⇒ {1,2,4} merge → keep 1;
+    # {3,5} merge → keep 3
+    assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_minhash_recall_vs_exact(ray_session):
+    """LSH candidates must recover ≥90% of true pairs at the threshold."""
+    from cartography_ray.functions.dedup import jaccard_pairs_smallside, minhash_lsh_pairs
+
+    ds = _docs_ds()
+    exact = jaccard_pairs_smallside(ds, subset_ids=list(range(500)), threshold=0.25).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    # r=1 banding (bands == num_perm): candidate probability at j=0.25 is
+    # 1-(1-j)^32 ≈ 1.0 — the right operating point for a low threshold
+    approx = minhash_lsh_pairs(_docs_ds(), threshold=0.25, num_perm=32, bands=32).to_pandas()
+    approx_pairs = set(zip(approx["id_a"], approx["id_b"]))
+    # verification step means precision is exact
+    assert approx_pairs <= exact_pairs
+    if exact_pairs:
+        recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.8, f"minhash recall too low: {recall}"
+
+
+def test_simhash_identical_docs(ray_session):
+    import ray.data
+
+    from cartography_ray.functions.dedup import simhash_pairs
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["the quick brown fox jumps over the lazy dog"] * 2 + ["completely different words here"],
+        }
+    )
+    out = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=3).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_knn_lsh_recall(ray_session):
+    """LSH ANN must agree with brute force on most neighbors."""
+    import ray.data
+
+    from cartography_ray.functions.ann import knn_brute, knn_lsh
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    queries = {
+        v: np.asarray(e, dtype=np.float64)
+        for v, e in zip(t.column("vec_id").to_pylist()[:5], t.column("embedding").to_pylist()[:5])
+    }
+    brute = knn_brute(ds, queries, k=5).to_pandas()
+    approx = knn_lsh(
+        ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        queries,
+        k=5,
+        planes=3,
+    ).to_pandas()
+    b = {(q, n) for q, n in zip(brute["query_id"], brute["neighbor_id"])}
+    a = {(q, n) for q, n in zip(approx["query_id"], approx["neighbor_id"])}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"lsh knn recall too low: {recall}"
+
+
+def test_multimodal_stub_pipeline(ray_session):
+    import ray.data
+
+    from cartography_ray.functions.multimodal import (
+        FrameSampler,
+        ImageDecoder,
+        decode_pipeline,
+        synth_media_table,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(32))
+    decoded = decode_pipeline(media, concurrency=2, batch_size=8, fake=True).to_pandas()
+    assert len(decoded) == 32
+    assert set(decoded.columns) == {"media_id", "pixel_mean", "pixel_std", "content_digest"}
+    # deterministic digests across two runs
+    decoded2 = decode_pipeline(
+        ray.data.from_arrow(synth_media_table(32)), concurrency=2, batch_size=8, fake=True
+    ).to_pandas()
+    assert decoded.sort_values("media_id")["content_digest"].tolist() == \
+        decoded2.sort_values("media_id")["content_digest"].tolist()
+
+    frames = ray.data.from_arrow(synth_media_table(8)).map_batches(
+        FrameSampler, fn_constructor_kwargs={"fake": True, "every_n": 2},
+        batch_format="pyarrow", concurrency=2, batch_size=4,
+    ).to_pandas()
+    assert len(frames) > 0
+
+    # non-fake decode raises the documented NotImplementedError
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(fake=False)(synth_media_table(1))
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.ops.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3], "x": list("abcd")})
+    right = pd.DataFrame({"k": [2, 3, 4], "y": list("xyz")})
+    out = (
+        hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), left_on="k", num_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    expected = left.merge(right, on="k").sort_values(["k", "x"]).reset_index(drop=True)
+    assert out.equals(expected)
+
+
+def test_topk_and_partial_agg(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.ops.agg import partial_groupby_agg, topk
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "b", "b"], "v": [1, 5, 2, 2, 9]})
+    ds = ray.data.from_pandas(df)
+    agg = partial_groupby_agg(ds, "g", {"s": ("v", "sum"), "n": (None, "count")}).to_pandas()
+    agg = agg.sort_values("g").reset_index(drop=True)
+    assert agg["s"].tolist() == [6, 13]
+    assert agg["n"].tolist() == [2, 3]
+
+    top = topk(ray.data.from_pandas(df), by="v", k=2).to_pandas()
+    assert top["v"].tolist() == [9, 5]

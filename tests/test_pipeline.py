@@ -1,0 +1,177 @@
+"""Integration tests: flagship pipeline semantics on a small corpus.
+
+Mirrors the reference's integration strategy (tests/AGENTS.md in the
+reference: run the real sync end-to-end on fake data, assert graph
+contents, idempotency across two update tags, and cleanup behavior) —
+with parquet tables instead of Neo4j.
+"""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from cartography_ray.core.context import IngestContext
+from cartography_ray.pipelines.kg import build_graph, run_kg_pipeline
+from cartography_ray.sources.transcripts import synth_transcripts_table
+from cartography_ray.state.store import GraphStore
+
+N_TURNS = 600
+
+
+@pytest.fixture()
+def tmp_root(tmp_path):
+    return str(tmp_path)
+
+
+def _transcripts(n=N_TURNS):
+    import ray.data
+
+    return ray.data.from_arrow(synth_transcripts_table(n))
+
+
+def test_full_sync_and_invariants(ray_session, tmp_root):
+    store = GraphStore(os.path.join(tmp_root, "store"), num_buckets=8)
+    ctx = IngestContext.make(update_tag=1000)
+    metrics = run_kg_pipeline(
+        _transcripts(), store, ctx, work_dir=os.path.join(tmp_root, "work")
+    )
+    assert metrics["nodes"]["Turn"] > 0
+    assert metrics["edges"]["MENTIONS"] > 0
+
+    # per-turn text equality invariant under (conv_id, turn_idx) ordering
+    turns_out = store.read_nodes("Turn").to_pandas()
+    src = synth_transcripts_table(N_TURNS).to_pandas()
+    a = turns_out.sort_values(["conv_id", "turn_idx"])["text"].tolist()
+    b = src.sort_values(["conv_id", "turn_idx"])["text"].tolist()
+    assert a == b
+
+    # lineage stamped everywhere
+    assert set(turns_out["lastupdated"]) == {1000}
+    assert set(turns_out["firstseen"]) == {1000}
+    assert set(turns_out["_module_name"]) == {"cartography_ray"}
+
+    # conditional extra labels: tool turns get ToolTurn
+    tool_rows = turns_out[turns_out["role"] == "tool"]
+    assert (tool_rows["_labels"] == "Turn;Utterance;ToolTurn").all()
+    non_tool = turns_out[turns_out["role"] != "tool"]
+    assert (non_tool["_labels"] == "Turn;Utterance").all()
+
+    # edges reference existing nodes (inner-join drop semantics)
+    entities = set(store.read_nodes("Entity").column("id").to_pylist())
+    mentions = store.read_edges("MENTIONS")
+    assert set(mentions.column("dst_id").to_pylist()) <= entities
+
+
+def test_idempotent_rerun_same_tag(ray_session, tmp_root):
+    store = GraphStore(os.path.join(tmp_root, "store"), num_buckets=8)
+    ctx = IngestContext.make(update_tag=1000)
+    run_kg_pipeline(_transcripts(300), store, ctx, work_dir=os.path.join(tmp_root, "w1"))
+    first = store.read_nodes("Turn").to_pandas().sort_values(["id"]).reset_index(drop=True)
+    # rerun with same tag, fresh work dir → byte-identical store
+    run_kg_pipeline(_transcripts(300), store, ctx, work_dir=os.path.join(tmp_root, "w2"))
+    second = store.read_nodes("Turn").to_pandas().sort_values(["id"]).reset_index(drop=True)
+    assert first.equals(second)
+
+
+def test_two_epoch_upsert_and_cleanup(ray_session, tmp_root):
+    """Epoch 2 re-syncs a subset of conversations: stale turns of re-synced
+    conversations are deleted (scoped), untouched conversations survive,
+    firstseen is write-once."""
+    import ray.data
+
+    store = GraphStore(os.path.join(tmp_root, "store"), num_buckets=8)
+    full = synth_transcripts_table(300)
+    ctx1 = IngestContext.make(update_tag=1000)
+    run_kg_pipeline(
+        ray.data.from_arrow(full), store, ctx1, work_dir=os.path.join(tmp_root, "e1")
+    )
+    turns1 = store.read_nodes("Turn").to_pandas()
+
+    convs = sorted(set(full.column("conv_id").to_pylist()))
+    resync = convs[: len(convs) // 2]
+    # epoch 2: same conversations but drop each conversation's LAST turn
+    pdf = full.to_pandas()
+    pdf = pdf[pdf["conv_id"].isin(resync)]
+    last = pdf.groupby("conv_id")["turn_idx"].transform("max")
+    subset = pdf[pdf["turn_idx"] < last]
+    ctx2 = IngestContext.make(update_tag=2000)
+    run_kg_pipeline(
+        ray.data.from_arrow(pa.Table.from_pandas(subset, preserve_index=False)),
+        store,
+        ctx2,
+        work_dir=os.path.join(tmp_root, "e2"),
+    )
+    turns2 = store.read_nodes("Turn").to_pandas()
+
+    # dropped last turns of re-synced conversations are gone (stale+scoped)
+    gone = set(
+        "turn:%s:%d" % (c, t)
+        for c, t in pdf[pdf["turn_idx"] == last][["conv_id", "turn_idx"]].itertuples(index=False)
+    )
+    assert gone and gone.isdisjoint(set(turns2["id"]))
+    # untouched conversations survive with epoch-1 tag
+    untouched = turns2[~turns2["conv_id"].isin(resync)]
+    assert len(untouched) == len(turns1[~turns1["conv_id"].isin(resync)])
+    assert set(untouched["lastupdated"]) == {1000}
+    # re-synced rows: lastupdated bumped, firstseen preserved (write-once)
+    resynced = turns2[turns2["conv_id"].isin(resync)]
+    assert set(resynced["lastupdated"]) == {2000}
+    assert set(resynced["firstseen"]) == {1000}
+
+
+def test_resume_skips_done_buckets(ray_session, tmp_root):
+    """Kill-rerun: buckets finished in a partial run are skipped on resume
+    and the final store equals a clean one-shot run."""
+    import ray.data
+
+    tbl = synth_transcripts_table(300)
+    ctx = IngestContext.make(update_tag=1000)
+
+    clean_store = GraphStore(os.path.join(tmp_root, "clean"), num_buckets=8)
+    run_kg_pipeline(ray.data.from_arrow(tbl), clean_store, ctx, work_dir=os.path.join(tmp_root, "wc"))
+
+    # simulate a partial run: materialize Turn nodes only, then "crash";
+    # delete some bucket manifests to simulate unfinished buckets
+    resumed_store = GraphStore(os.path.join(tmp_root, "resumed"), num_buckets=8)
+    g = build_graph(ray.data.from_arrow(tbl), ctx, work_dir=os.path.join(tmp_root, "wr"))
+    resumed_store.materialize_nodes("Turn", g["nodes"]["Turn"], ctx)
+    done_before = resumed_store.done_buckets("nodes", "Turn", 1000)
+    assert done_before
+    # drop two buckets' manifests+files → those must be rebuilt
+    for b in sorted(done_before)[:2]:
+        shutil.rmtree(os.path.join(resumed_store.root, "nodes", "Turn", f"bucket={b}"))
+
+    run_kg_pipeline(
+        ray.data.from_arrow(tbl), resumed_store, ctx, work_dir=os.path.join(tmp_root, "wr2")
+    )
+    a = clean_store.read_nodes("Turn").to_pandas().sort_values("id").reset_index(drop=True)
+    b = resumed_store.read_nodes("Turn").to_pandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+    # manifests present for every bucket with rows
+    assert len(resumed_store.manifests("nodes", "Turn")) == len(
+        resumed_store.done_buckets("nodes", "Turn", 1000)
+    )
+
+
+def test_canonicalization_transitive(ray_session):
+    """name→user→alt chains resolve to one root (2+ propagation rounds)."""
+    import ray.data
+
+    from cartography_ray.stages.canonicalize import connected_components
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": ["name:u1", "user:u1", "user:alt1", "name:zz"],
+                "b": ["user:u1", "user:alt1", "user:aaa1", "user:zz"],
+            }
+        )
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges, num_partitions=4).take_all()}
+    chain = {"name:u1", "user:u1", "user:alt1", "user:aaa1"}
+    roots = {labels[n] for n in chain}
+    assert roots == {"name:u1"}
+    assert labels["user:zz"] == "name:zz"
