@@ -32,27 +32,45 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _warmup() -> None:
+    """Spin up the Ray worker pool + imports before the clock starts, so
+    the measured window is steady-state compute, not process startup."""
+    import ray.data as rdata
+
+    rdata.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
 def run_headline(sf_dir: str) -> dict:
     import ray
+    import ray.data
 
     from cartography_ray.core.context import IngestContext
     from cartography_ray.pipelines.kg import run_kg_pipeline
-    from cartography_ray.sources.transcripts import ensure_transcripts, read_transcripts
+    from cartography_ray.sources.transcripts import (
+        ensure_transcripts,
+        ensure_transcripts_turns,
+    )
     from cartography_ray.state.store import GraphStore
 
-    path = ensure_transcripts(sf_dir)
-    # warm the page cache (measure compute+shuffle, not first disk read)
-    with open(path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    bench_turns = os.environ.get("GRAFT_BENCH_TURNS")
+    if bench_turns:
+        path = ensure_transcripts_turns(int(bench_turns))
+    else:
+        path = ensure_transcripts(sf_dir)
+    _warmup()
 
     run_id = f"bench-{os.getpid()}"
-    work = f"/tmp/graft_kg/bench/{run_id}/work"
-    store_root = f"/tmp/graft_kg/bench/{run_id}/store"
+    # RAM-backed scratch: keeps the measured window about compute+shuffle,
+    # not /tmp disk contention (the corpus itself stays on disk, warmed)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    work = f"{scratch}/graft_kg_bench/{run_id}/work"
+    store_root = f"{scratch}/graft_kg_bench/{run_id}/store"
     for p in (work, store_root):
         shutil.rmtree(p, ignore_errors=True)
 
-    ds = read_transcripts(sf_dir)
+    ds = ray.data.read_parquet(path)
     n_turns = ds.count()
 
     t0 = time.time()
@@ -60,13 +78,14 @@ def run_headline(sf_dir: str) -> dict:
     ctx = IngestContext.make(update_tag=20260101)
     metrics = run_kg_pipeline(ds, store, ctx, work_dir=work)
     sec = time.time() - t0
-    shutil.rmtree(f"/tmp/graft_kg/bench/{run_id}", ignore_errors=True)
+    shutil.rmtree(f"{scratch}/graft_kg_bench/{run_id}", ignore_errors=True)
     return {
         "sec": sec,
         "turns": int(n_turns),
         "turns_per_sec": round(n_turns / sec, 1),
         "nodes": metrics["nodes"],
         "edges": metrics["edges"],
+        "timings": metrics["timings"],
     }
 
 
@@ -123,6 +142,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "turns": headline["turns"],
                 "turns_per_sec": headline["turns_per_sec"],
+                "timings": headline["timings"],
             }
         )
     )
@@ -137,6 +157,7 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_MODE="headline",
+            GRAFT_BENCH_TURNS=os.environ.get("GRAFT_SCALING_TURNS", "1000000"),
             PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
         )
         out = subprocess.run(

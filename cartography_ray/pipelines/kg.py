@@ -89,7 +89,8 @@ def _checkpoint(ds, path: str) -> str:
     if os.path.exists(path):
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
-    ds.write_parquet(path)
+    # bound file count: downstream consumers pay one task chain per file
+    ds.write_parquet(path, min_rows_per_file=65536)
     with open(marker, "w") as f:
         f.write("ok")
     return path
@@ -103,6 +104,7 @@ def build_graph(
     detector_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 4096,
     cc_partitions: int = 8,
+    timings: dict | None = None,
 ) -> dict[str, Any]:
     """Run extraction → linking → canonicalization; return Dataset handles.
 
@@ -122,7 +124,13 @@ def build_graph(
         work_dir = f"/tmp/graft_kg/work/{os.getpid()}-{id(transcripts)}"
     os.makedirs(work_dir, exist_ok=True)
 
+    import time as _time
+
+    if timings is None:
+        timings = {}
+
     # Stage 1: stabilize order (global sort) + computed id columns — once.
+    _t = _time.time()
     sorted_path = os.path.join(work_dir, "sorted")
     if not os.path.exists(os.path.join(sorted_path, "_SUCCESS")):
         _checkpoint(
@@ -131,30 +139,45 @@ def build_graph(
             ),
             sorted_path,
         )
+    timings["sort_checkpoint"] = round(_time.time() - _t, 2)
     turns = ray.data.read_parquet(sorted_path)
 
     if detector_concurrency is None:
-        # actor pools require an explicit size; default to the session CPUs
-        # (leave a couple for the read/write stages)
+        # autoscaling actor pool: don't pay full-pool startup on small
+        # inputs; scale toward the session CPUs under queue pressure
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        detector_concurrency = max(2, ncpu - 2)
+        detector_concurrency = (2, max(2, ncpu - 2))
     det_kwargs = dict(
         batch_format="pyarrow", batch_size=batch_size, concurrency=detector_concurrency
     )
 
     # Stage 2: mention detection (actor pool) — once; consumers re-read.
+    _t = _time.time()
     mentions_path = os.path.join(work_dir, "mentions")
     if not os.path.exists(os.path.join(mentions_path, "_SUCCESS")):
         _checkpoint(turns.map_batches(MentionDetector, **det_kwargs), mentions_path)
     raw_mentions = ray.data.read_parquet(mentions_path)
+    timings["detect_checkpoint"] = round(_time.time() - _t, 2)
 
     # alias graph → canonical component labels (small vs the corpus)
+    _t = _time.time()
     alias_edges = raw_mentions.map_batches(alias_edges_batch, batch_format="pyarrow")
     labels = connected_components(alias_edges, num_partitions=cc_partitions)
+    timings["canonicalize"] = round(_time.time() - _t, 2)
 
-    # LinkScorer is pure-vectorized (no per-worker state) → stateless tasks
-    linked = raw_mentions.map_batches(LinkScorer(), batch_format="pyarrow")
-    resolved = resolve_keys(linked, labels, key_col="entity_key", out_col="entity_id")
+    # Stage 3: link scoring + canonical resolution — once; both the node
+    # side (Entity) and the edge side (MENTIONS family) consume it.
+    _t = _time.time()
+    resolved_path = os.path.join(work_dir, "resolved")
+    if not os.path.exists(os.path.join(resolved_path, "_SUCCESS")):
+        # LinkScorer is pure-vectorized (no per-worker state) → stateless tasks
+        linked = raw_mentions.map_batches(LinkScorer(), batch_format="pyarrow")
+        _checkpoint(
+            resolve_keys(linked, labels, key_col="entity_key", out_col="entity_id"),
+            resolved_path,
+        )
+    resolved = ray.data.read_parquet(resolved_path)
+    timings["resolve_checkpoint"] = round(_time.time() - _t, 2)
 
     tool_uses = turns.map_batches(ToolUseExtractor(), batch_format="pyarrow")
 
@@ -179,24 +202,35 @@ def build_graph(
         batch_format="pyarrow",
     )
 
-    from ray.data.aggregate import Count
+    def conv_partials(t: pa.Table) -> pa.Table:
+        """Conversation rows WITHOUT a groupby shuffle: each batch emits its
+        per-conversation max(turn_idx)+1 (combiner); the store's MERGE
+        upsert — ordered by (id, lastupdated, value) — keeps the global
+        max within an epoch and the re-synced value across epochs, so the
+        final n_turns is exact. Contiguous turn_idx is a corpus invariant.
+        """
+        import pandas as pd
 
-    conv_counts = (
-        turns.select_columns(["conv_id"])
-        .groupby("conv_id")
-        .aggregate(Count(alias_name="n_turns"))
-    )
-    conv_nodes = conv_counts.map_batches(
-        lambda t: pa.table(
+        pdf = pd.DataFrame(
+            {
+                "conv_id": t.column("conv_id").to_numpy(zero_copy_only=False),
+                "turn_idx": t.column("turn_idx").to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = pdf.groupby("conv_id", sort=False)["turn_idx"].max().reset_index()
+        conv = pa.array(agg["conv_id"], pa.string())
+        return pa.table(
             {
                 "conv_uid": pc.binary_join_element_wise(
-                    pa.array(["conv"] * t.num_rows, pa.string()), pc.cast(t.column("conv_id"), pa.string()), ":"
+                    pa.array(["conv"] * len(agg), pa.string()), conv, ":"
                 ),
-                "conv_id": t.column("conv_id"),
-                "n_turns": pc.cast(t.column("n_turns"), pa.int64()),
+                "conv_id": conv,
+                "n_turns": pa.array((agg["turn_idx"] + 1).astype("int64")),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    conv_nodes = turns.select_columns(["conv_id", "turn_idx"]).map_batches(
+        conv_partials, batch_format="pyarrow"
     ).map_batches(project_nodes(specs.CONVERSATION_NODE, ctx), batch_format="pyarrow")
 
     # entity nodes: distinct canonical ids from mentions ∪ tools ∪ alias roots
@@ -206,11 +240,10 @@ def build_graph(
         lambda t: _entity_rows(t.rename_columns(["node", "entity_id"]), "entity_id"),
         batch_format="pyarrow",
     )
-    entity_rows = (
-        ent_a.union(ent_b, ent_c)
-        .map_batches(lambda t: _dedup_batch(t, ["entity_id", "kind"]), batch_format="pyarrow")
-        .groupby("entity_id")
-        .map_groups(_head1, batch_format="pyarrow")
+    # per-batch combiner only — the store's MERGE-by-id upsert performs the
+    # global dedup in the same shuffle it already pays for clustering
+    entity_rows = ent_a.union(ent_b, ent_c).map_batches(
+        lambda t: _dedup_batch(t, ["entity_id", "kind"]), batch_format="pyarrow"
     )
     entity_nodes = entity_rows.map_batches(
         project_nodes(specs.ENTITY_NODE, ctx), batch_format="pyarrow"
@@ -246,63 +279,70 @@ def build_graph(
         lambda t: _dedup_batch(t, ["src_id", "rel_label", "dst_id"]), batch_format="pyarrow"
     )
 
-    def tool_edges(batch: pa.Table) -> pa.Table:
-        return edge_batch(
-            batch.column("turn_uid"),
-            batch.column("entity_id"),
-            specs.USES_TOOL,
-            ctx,
-            extra_cols={
-                "_sub_id": pc.binary_join_element_wise(
-                    pa.array(["conv"] * batch.num_rows, pa.string()),
-                    pc.cast(batch.column("conv_id"), pa.string()),
-                    ":",
-                )
-            },
+    def per_turn_edges(batch: pa.Table) -> pa.Table:
+        """All per-turn structural edges in ONE pass over the turn stream:
+        USES_TOOL, NEXT_TURN, IN_CONV. A single map keeps the union of
+        edge streams narrow — Ray's UnionOperator executes its inputs with
+        little inter-input concurrency, so fewer inputs = real wall-time.
+        """
+        sub = pc.cast(batch.column("conv_uid"), pa.string())
+        sub = sub.combine_chunks() if isinstance(sub, pa.ChunkedArray) else sub
+        tables = []
+        # USES_TOOL: role='tool' turns → (turn)-[:USES_TOOL]->(tool entity)
+        tool_mask = pc.and_(
+            pc.equal(batch.column("role"), pa.scalar("tool")),
+            pc.is_valid(batch.column("tool")),
         )
-
-    tool_edge_ds = tool_uses.map_batches(tool_edges, batch_format="pyarrow")
-
-    def next_turn_edges(batch: pa.Table) -> pa.Table:
-        # turn t (t>0) emits (turn t-1) -[NEXT_TURN]-> (turn t); contiguity
-        # of turn_idx within a conversation is a corpus invariant, so no
-        # adjacency shuffle is needed.
-        sel = batch.filter(pc.greater(batch.column("turn_idx"), pa.scalar(0, pa.int32())))
+        tsel = batch.filter(tool_mask)
+        tool_key = pc.binary_join_element_wise(
+            pa.array(["tool"] * tsel.num_rows, pa.string()),
+            pc.cast(tsel.column("tool"), pa.string()),
+            ":",
+        )
+        tables.append(
+            edge_batch(
+                tsel.column("turn_uid"), tool_key, specs.USES_TOOL, ctx,
+                extra_cols={"_sub_id": pc.cast(tsel.column("conv_uid"), pa.string()).combine_chunks()},
+            )
+        )
+        # NEXT_TURN: turn t (t>0) emits (t-1)→(t); turn_idx contiguity
+        # within a conversation is a corpus invariant (no adjacency shuffle)
+        nsel = batch.filter(pc.greater(batch.column("turn_idx"), pa.scalar(0, pa.int32())))
         prev_uid = turn_uid_array(
-            sel.column("conv_id"), pc.subtract(sel.column("turn_idx"), pa.scalar(1, pa.int32()))
+            nsel.column("conv_id"), pc.subtract(nsel.column("turn_idx"), pa.scalar(1, pa.int32()))
         )
-        return edge_batch(
-            prev_uid,
-            sel.column("turn_uid"),
-            specs.NEXT_TURN,
-            ctx,
-            extra_cols={
-                "_sub_id": pc.binary_join_element_wise(
-                    pa.array(["conv"] * sel.num_rows, pa.string()),
-                    pc.cast(sel.column("conv_id"), pa.string()),
-                    ":",
-                )
-            },
+        tables.append(
+            edge_batch(
+                prev_uid, nsel.column("turn_uid"), specs.NEXT_TURN, ctx,
+                extra_cols={"_sub_id": pc.cast(nsel.column("conv_uid"), pa.string()).combine_chunks()},
+            )
         )
-
-    next_edge_ds = turns.map_batches(next_turn_edges, batch_format="pyarrow")
-
-    def in_conv_edges(batch: pa.Table) -> pa.Table:
-        return edge_batch(
-            batch.column("turn_uid"),
-            batch.column("conv_uid"),
-            specs.IN_CONV,
-            ctx,
-            extra_cols={"_sub_id": pc.cast(batch.column("conv_uid"), pa.string()).combine_chunks()},
+        # IN_CONV: the sub-resource edge, every turn
+        tables.append(
+            edge_batch(
+                batch.column("turn_uid"), batch.column("conv_uid"), specs.IN_CONV, ctx,
+                extra_cols={"_sub_id": sub},
+            )
         )
+        return pa.concat_tables(tables)
 
-    in_conv_ds = turns.map_batches(in_conv_edges, batch_format="pyarrow")
+    turn_edge_ds = turns.map_batches(per_turn_edges, batch_format="pyarrow")
 
     def alias_of_edges(batch: pa.Table) -> pa.Table:
         sel = batch.filter(pc.not_equal(batch.column("node"), batch.column("label")))
-        return edge_batch(sel.column("node"), sel.column("label"), specs.ALIAS_OF, ctx)
+        # null _sub_id: alias edges span conversations (unscoped cleanup)
+        return edge_batch(
+            sel.column("node"),
+            sel.column("label"),
+            specs.ALIAS_OF,
+            ctx,
+            extra_cols={"_sub_id": pa.nulls(sel.num_rows, pa.string())},
+        )
 
     alias_edge_ds = labels.map_batches(alias_of_edges, batch_format="pyarrow")
+
+    # single mixed edge stream (3 inputs) → ONE spill for the edge side
+    edges_union = mention_edge_ds.union(turn_edge_ds, alias_edge_ds)
 
     return {
         "turns": turns,
@@ -313,13 +353,19 @@ def build_graph(
             "Conversation": conv_nodes,
             "Entity": entity_nodes,
         },
+        "edge_streams": {
+            "mention": mention_edge_ds,
+            "per_turn": turn_edge_ds,
+            "alias": alias_edge_ds,
+        },
+        "edges_union": edges_union,
         "edges": {
             "MENTIONS": mention_edge_ds.filter(expr="rel_label == 'MENTIONS'"),
             "REFERENCES_TICKET": mention_edge_ds.filter(expr="rel_label == 'REFERENCES_TICKET'"),
             "LINKS_TO": mention_edge_ds.filter(expr="rel_label == 'LINKS_TO'"),
-            "USES_TOOL": tool_edge_ds,
-            "NEXT_TURN": next_edge_ds,
-            "IN_CONV": in_conv_ds,
+            "USES_TOOL": turn_edge_ds.filter(expr="rel_label == 'USES_TOOL'"),
+            "NEXT_TURN": turn_edge_ds.filter(expr="rel_label == 'NEXT_TURN'"),
+            "IN_CONV": turn_edge_ds.filter(expr="rel_label == 'IN_CONV'"),
             "ALIAS_OF": alias_edge_ds,
         },
     }
@@ -343,35 +389,51 @@ def run_kg_pipeline(
     for Turn/edge tables (cleanupbuilder.py:244-383 semantics), global for
     Conversation/Entity (386-451 semantics).
     """
+    import time
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
     g = build_graph(
         transcripts,
         ctx,
         work_dir=work_dir,
         detector_concurrency=detector_concurrency,
         batch_size=batch_size,
+        timings=timings,
     )
-    metrics: dict[str, Any] = {"nodes": {}, "edges": {}, "deleted": {}}
+    timings["build_graph"] = round(time.time() - t0, 2)
+    metrics: dict[str, Any] = {"nodes": {}, "edges": {}, "deleted": {}, "timings": timings}
 
-    for label, ds in g["nodes"].items():
-        stats = store.materialize_nodes(label, ds, ctx)
-        metrics["nodes"][label] = int(stats["rows"].sum()) if len(stats) else 0
-    for label, ds in g["edges"].items():
-        stats = store.materialize_edges(label, ds, ctx)
-        metrics["edges"][label] = int(stats["rows"].sum()) if len(stats) else 0
+    # all node + edge streams: concurrent spills, one compaction wave
+    t0 = time.time()
+    stats = store.materialize_many(g["nodes"], g["edge_streams"], ctx)
+    timings["materialize"] = round(time.time() - t0, 2)
+    for label in g["nodes"]:
+        metrics["nodes"][label] = 0
+    if len(stats):
+        for (kind, label), rows in stats.groupby(["kind", "label"])["rows"].sum().items():
+            metrics["nodes" if kind == "nodes" else "edges"][str(label)] = int(rows)
 
     if cleanup:
+        t0 = time.time()
         # sub-resources touched by this run = conversations in the input
         synced = {
             f"conv:{c}" for c in g["turns"].select_columns(["conv_id"]).unique("conv_id")
         }
-        metrics["deleted"]["Turn"] = store.cleanup_nodes(
-            "Turn", ctx, scoped=True, synced_sub_ids=synced
+        # all labels' per-bucket anti-join tasks in flight at once
+        metrics["deleted"] = store.cleanup_all(
+            ctx,
+            node_labels={"Turn": True, "Conversation": False, "Entity": False},
+            edge_labels={
+                "MENTIONS": True,
+                "REFERENCES_TICKET": True,
+                "LINKS_TO": True,
+                "USES_TOOL": True,
+                "NEXT_TURN": True,
+                "IN_CONV": True,
+                "ALIAS_OF": False,
+            },
+            synced_sub_ids=synced,
         )
-        metrics["deleted"]["Conversation"] = store.cleanup_nodes("Conversation", ctx, scoped=False)
-        metrics["deleted"]["Entity"] = store.cleanup_nodes("Entity", ctx, scoped=False)
-        for rel in ("MENTIONS", "REFERENCES_TICKET", "LINKS_TO", "USES_TOOL", "NEXT_TURN", "IN_CONV"):
-            metrics["deleted"][rel] = store.cleanup_edges(
-                rel, ctx, scoped=True, synced_sub_ids=synced
-            )
-        metrics["deleted"]["ALIAS_OF"] = store.cleanup_edges("ALIAS_OF", ctx, scoped=False)
+        timings["cleanup"] = round(time.time() - t0, 2)
     return metrics

@@ -712,10 +712,7 @@ def q_kg_triples(sf_dir: str):
         ctx,
         work_dir=_kg_work_dir(sf_dir),
     )
-    edge_streams = list(g["edges"].values())
-    uni = edge_streams[0].select_columns(["src_id", "rel_label", "dst_id"])
-    for e in edge_streams[1:]:
-        uni = uni.union(e.select_columns(["src_id", "rel_label", "dst_id"]))
+    uni = g["edges_union"].select_columns(["src_id", "rel_label", "dst_id"])
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table(

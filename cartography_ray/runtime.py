@@ -22,25 +22,54 @@ from __future__ import annotations
 import os
 
 
+def _stub_fsspec_http() -> None:
+    """fsspec's HTTP filesystem needs aiohttp (absent here); its import
+    failure raises plain ImportError under concurrent imports, which
+    Ray's path_util only catches as ModuleNotFoundError. Register a
+    sentinel module once so concurrent write_parquet calls never race."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except Exception:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel only — never instantiated (no network)
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def configure(quiet: bool = True) -> None:
     import ray
     from ray.data.context import DataContext, ShuffleStrategy
 
+    _stub_fsspec_http()
+
     ctx = DataContext.get_current()
     if quiet:
+        import logging
+
         ctx.enable_progress_bars = False
         try:
             ctx.execution_options.verbose_progress = False
         except AttributeError:
             pass
+        for name in ("ray.data", "ray.air", "ray"):
+            logging.getLogger(name).setLevel(logging.ERROR)
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     if ray.is_initialized():
         ncpu = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8))
     else:
         ncpu = os.cpu_count() or 8
-    # keep each shuffle's aggregator pool well under the session CPUs so
-    # two concurrent shuffles plus map stages never starve each other
-    ctx.max_hash_shuffle_aggregators = max(2, min(8, ncpu // 2))
+    # the aggregator pool is the reduce side of every shuffle — it MUST
+    # scale with the session CPUs or shuffles flatline (observed: a fixed
+    # 4-aggregator cap made 8→32 CPUs a no-op for groupby stages)
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
     ctx.default_hash_shuffle_parallelism = max(16, 2 * ncpu)
     ctx.min_hash_shuffle_aggregator_wait_time_in_s = 60
 

@@ -226,3 +226,40 @@ def read_transcripts(sf_dir: str, **read_kwargs):
     import ray.data
 
     return ray.data.read_parquet(ensure_transcripts(sf_dir), **read_kwargs)
+
+
+def ensure_transcripts_turns(n_turns: int, seed: int = DEFAULT_SEED) -> str:
+    """Generate-once a corpus of ~n_turns turns, sharded in parallel.
+
+    Each shard is a pure function of its conversation-index range, so the
+    directory's contents are deterministic regardless of task scheduling.
+    Returns the directory path (read with ``ray.data.read_parquet``).
+    """
+    import ray
+
+    out_dir = f"{CACHE_ROOT}/{GENERATOR_VERSION}/turns-{n_turns}-seed{seed}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n_convs = num_convs_for_turns(n_turns)
+    shards = max(8, min(256, n_convs // 200))
+    per = (n_convs + shards - 1) // shards
+
+    @ray.remote(num_cpus=1)
+    def gen_shard(i: int) -> str:
+        off = i * per
+        cnt = min(per, n_convs - off)
+        if cnt <= 0:
+            return ""
+        tbl = synth_transcripts_table(0, seed=seed, conv_offset=off, n_convs=cnt)
+        path = os.path.join(out_dir, f"shard-{i:04d}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return path
+
+    ray.get([gen_shard.remote(i) for i in range(shards)])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir

@@ -64,30 +64,59 @@ def distinct_edges(edges_ds):
 
 
 def _hashsum(ds) -> int:
-    """Order-independent fingerprint of a (node, label) dataset."""
-    from ray.data.aggregate import Sum
+    """Order-independent fingerprint of a (node, label) dataset.
 
-    def h(batch: pa.Table) -> pa.Table:
-        joined = pc.binary_join_element_wise(batch.column("node"), batch.column("label"), "\x1f")
-        import pandas as pd
+    The labels table is small by construction (bounded by distinct aliased
+    keys), and it is already materialized each round — so we hash its
+    blocks driver-side instead of paying another distributed pass per
+    round. Blocks are fetched zero-copy from the local object store.
+    """
+    import pandas as pd
+    import ray
 
+    total = 0
+    for blk in ray.get(ds.to_arrow_refs()):
+        if blk.num_columns == 0 or blk.num_rows == 0:
+            continue
+        joined = pc.binary_join_element_wise(blk.column("node"), blk.column("label"), "\x1f")
         hv = pd.util.hash_array(joined.to_numpy(zero_copy_only=False))
-        # keep per-block sums small so the final Sum cannot overflow int64
-        return pa.table({"h": pa.array([int(hv.sum() % (1 << 40))], pa.int64())})
-
-    res = ds.map_batches(h, batch_format="pyarrow").aggregate(Sum("h", alias_name="s"))
-    return int(res["s"]) if res and res["s"] is not None else 0
+        total = (total + int(hv.sum() % (1 << 62))) % (1 << 62)
+    return total
 
 
-def connected_components(edges_ds, num_partitions: int = 16, max_rounds: int = 25):
+BROADCAST_LABEL_LIMIT = 2_000_000
+
+
+def connected_components(
+    edges_ds,
+    num_partitions: int = 16,
+    max_rounds: int = 25,
+    strategy: str = "auto",
+):
     """(a,b) alias-edge Dataset → (node, label) Dataset of component roots.
 
-    Pure Dataset pipeline (join + groupby-min per round); returns labels for
-    every node that appears in at least one edge. Nodes outside the alias
-    graph are implicitly their own root (resolve_keys applies that default).
+    Two propagation strategies per round:
+
+    - ``broadcast`` (default when the label table is small): the current
+      (node → label) map is broadcast via ``ray.put``; each edge batch
+      emits (a, label(b)) messages with a LOCAL min-combiner, and one
+      groupby-min merges them — ONE shuffle per round. The label table is
+      bounded by the number of distinct *aliased* keys, orders of
+      magnitude below corpus size, so this is the common case.
+    - ``join`` (scale fallback): labels too big to broadcast — the
+      propagation becomes a reduce-side hash join (ops/joins.py) against
+      the label Dataset, then the same groupby-min. Three shuffles per
+      round but nothing is ever driver-resident.
+
+    Convergence: driver-side hashsum of the (small, materialized) label
+    table per round, bounded by ``max_rounds``. Rounds needed =
+    O(diameter of the alias graph).
     """
+    import ray
     import ray.data
     from ray.data.aggregate import Min
+
+    from cartography_ray.runtime import drop_empty_blocks
 
     # Local (per-batch) dedup only: min-label propagation is idempotent to
     # duplicate edges, so the global distinct groupby would buy nothing but
@@ -97,12 +126,77 @@ def connected_components(edges_ds, num_partitions: int = 16, max_rounds: int = 2
         lambda t: pa.table({"a": t.column("b"), "b": t.column("a")}),
         batch_format="pyarrow",
     )
-    from cartography_ray.runtime import drop_empty_blocks
-
     # cache the symmetrized edge list — reused every round — and strip
     # empty blocks (they bypass map UDFs and break downstream shuffles)
     sym = drop_empty_blocks(edges.union(swapped))
 
+    # strategy decision without materializing labels first: the label set
+    # is bounded by sym's node count (≤ sym row count)
+    n_sym = sym.count()
+    use_broadcast = strategy == "broadcast" or (
+        strategy == "auto" and n_sym <= 2 * BROADCAST_LABEL_LIMIT
+    )
+
+    if use_broadcast:
+        # The (node → label) map lives on the driver between rounds (it is
+        # broadcast-size by precondition). Per round: ONE distributed map
+        # over the edge list emitting per-batch partial minima (the
+        # combiner collapses hot nodes to one row per batch), then a tiny
+        # driver-side final merge. Round 1 falls out of the same code with
+        # an empty map (label(x) defaults to x). Convergence = map equality.
+        import pandas as pd
+
+        lmap: dict[str, str] = {}
+        for _ in range(max_rounds):
+            lmap_ref = ray.put(lmap)
+
+            def messages(batch: pa.Table) -> pa.Table:
+                m = ray.get(lmap_ref)
+                a = batch.column("a").to_pylist()
+                b = batch.column("b").to_pylist()
+                best: dict[str, str] = {}
+                for x, y in zip(a, b):
+                    lx = m.get(x, x)
+                    ly = m.get(y, y)
+                    cur = best.get(x)
+                    cand = lx if lx < ly else ly
+                    if cur is None or cand < cur:
+                        best[x] = cand
+                return pa.table(
+                    {
+                        "node": pa.array(list(best.keys()), pa.string()),
+                        "label": pa.array(list(best.values()), pa.string()),
+                    }
+                )
+
+            refs = sym.map_batches(messages, batch_format="pyarrow").to_arrow_refs()
+            partial_blocks = [
+                blk.to_pandas()
+                for blk in ray.get(refs)
+                if blk.num_columns and blk.num_rows
+            ]
+            if partial_blocks:
+                merged = (
+                    pd.concat(partial_blocks, ignore_index=True)
+                    .groupby("node", sort=False)["label"]
+                    .min()
+                )
+                new_map = merged.to_dict()
+            else:
+                new_map = {}
+            if new_map == lmap:
+                break
+            lmap = new_map
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(list(lmap.keys()), pa.string()),
+                    "label": pa.array(list(lmap.values()), pa.string()),
+                }
+            )
+        )
+
+    # ---- join strategy (labels too large to broadcast) ---------------------
     # fused round 1: candidates = neighbor labels ∪ self labels
     self_pairs = sym.map_batches(
         lambda t: pa.table({"node": t.column("a"), "label": t.column("a")}),
@@ -112,8 +206,6 @@ def connected_components(edges_ds, num_partitions: int = 16, max_rounds: int = 2
         lambda t: pa.table({"node": t.column("a"), "label": t.column("b")}),
         batch_format="pyarrow",
     )
-    from cartography_ray.runtime import drop_empty_blocks
-
     labels = drop_empty_blocks(
         self_pairs.union(nbr_pairs)
         .groupby("node")
@@ -121,36 +213,33 @@ def connected_components(edges_ds, num_partitions: int = 16, max_rounds: int = 2
     )
     prev_fp = _hashsum(labels)
 
-    from cartography_ray.ops.joins import hash_join
-
     for _ in range(max_rounds):
-        # propagate: edges (a=x, b=y) ⋈ labels(y) → (x, label(y)).
-        # Reduce-side hash join (ops/joins.py) — one bucket shuffle; the
-        # per-batch edge combiner upstream already collapsed hot keys.
-        # drop_empty_blocks between shuffles: see runtime.py.
-        prop = drop_empty_blocks(
-            hash_join(
-                sym,
-                labels,
-                left_on="b",
-                right_on="node",
-                how="inner",
-                num_buckets=max(8, num_partitions),
+        if True:
+            from cartography_ray.ops.joins import hash_join
+
+            prop = drop_empty_blocks(
+                hash_join(
+                    sym,
+                    labels,
+                    left_on="b",
+                    right_on="node",
+                    how="inner",
+                    num_buckets=max(8, num_partitions),
+                )
+            ).map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": pc.cast(t.column("a"), pa.string()),
+                        "label": pc.cast(t.column("label"), pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
             )
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "node": pc.cast(t.column("a"), pa.string()),
-                    "label": pc.cast(t.column("label"), pa.string()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        labels = drop_empty_blocks(
-            labels.union(prop)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-        )
+            labels = drop_empty_blocks(
+                labels.union(prop)
+                .groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+            )
         fp = _hashsum(labels)
         if fp == prev_fp:
             break
@@ -169,7 +258,7 @@ def resolve_keys(ds, labels, key_col: str = "entity_key", out_col: str = "entity
     import ray
 
     if hasattr(labels, "to_arrow_refs"):
-        blocks = [ray.get(r) for r in labels.to_arrow_refs()]
+        blocks = ray.get(labels.to_arrow_refs())
         # drop schema-less empty placeholder blocks Ray's groupby can emit
         blocks = [b for b in blocks if b.num_columns > 0]
         mapping_tbl = (
@@ -185,9 +274,11 @@ def resolve_keys(ds, labels, key_col: str = "entity_key", out_col: str = "entity
     mapping_ref = ray.put(mapping)
 
     def lookup(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         m = ray.get(mapping_ref)
-        col = batch.column(key_col).to_pylist()
-        resolved = pa.array([m.get(k, k) for k in col], pa.string())
-        return batch.append_column(out_col, resolved)
+        s = pd.Series(batch.column(key_col).to_numpy(zero_copy_only=False))
+        resolved = s.map(m).fillna(s)  # identity for unaliased keys
+        return batch.append_column(out_col, pa.array(resolved, pa.string()))
 
     return ds.map_batches(lookup, batch_format="pyarrow")

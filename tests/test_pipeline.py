@@ -59,6 +59,12 @@ def test_full_sync_and_invariants(ray_session, tmp_root):
     non_tool = turns_out[turns_out["role"] != "tool"]
     assert (non_tool["_labels"] == "Turn;Utterance").all()
 
+    # conversation n_turns exact (combiner + MERGE-as-max, no shuffle)
+    convs = store.read_nodes("Conversation").to_pandas()
+    true_counts = src.groupby("conv_id").size()
+    got = dict(zip(convs["conv_id"], convs["n_turns"]))
+    assert got == true_counts.to_dict()
+
     # edges reference existing nodes (inner-join drop semantics)
     entities = set(store.read_nodes("Entity").column("id").to_pylist())
     mentions = store.read_edges("MENTIONS")
