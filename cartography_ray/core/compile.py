@@ -214,7 +214,7 @@ def attach_rels(
     o2m_keys = [k for k, r in matcher.items() if r.one_to_many]
 
     # Prepare the broadcast side once: (id, normalized match keys)
-    keep = ["id"] + list(matcher.keys())
+    keep = list(dict.fromkeys(["id"] + list(matcher.keys())))
     tgt = target_nodes.select([c for c in keep if c in target_nodes.column_names])
     tgt_cols = {"dst_id": pc.cast(tgt.column("id"), pa.string())}
     for key, ref in matcher.items():

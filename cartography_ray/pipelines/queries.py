@@ -466,6 +466,132 @@ def q_emb_knn_lsh(sf_dir: str):
     )
 
 
+MATERIAL_WORDS = ("ring", "widget", "bolt", "gear", "gizmo")
+
+
+def q_fuzzy_match_parts(sf_dir: str):
+    """Fuzzy-contains matcher (attach_rels): part name CONTAINS word.
+
+    The matchlink-style fuzzy mode (reference querybuilder.py:731-739):
+    target key contains the item value, case-folded; target table
+    broadcast-small as the reference's docs require.
+    """
+    rd = _rd()
+    import pyarrow.parquet as pq
+
+    from cartography_ray.core.compile import attach_rels, project_rel_candidates
+    from cartography_ray.spec import PropertyRef, RelSpec, TargetNodeMatcher
+
+    ctx = IngestContext.make(update_tag=QUERY_TAG)
+    rel = RelSpec(
+        rel_label="NAMES",
+        target_node_label="Part",
+        target_node_matcher=TargetNodeMatcher.make(
+            pname=PropertyRef("word", fuzzy_and_ignore_case=True)
+        ),
+    )
+    parts = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    targets = pa.table(
+        {
+            "id": pc.cast(parts.column("p_partkey"), pa.string()),
+            "pname": parts.column("p_name"),
+        }
+    )
+    import ray.data
+
+    items = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(list(MATERIAL_WORDS), pa.string()),
+                "word": pa.array(list(MATERIAL_WORDS), pa.string()),
+            }
+        )
+    )
+    cand = items.map_batches(
+        project_rel_candidates(rel, ctx, PropertyRef("src")), batch_format="pyarrow"
+    )
+    out = attach_rels(cand, targets, rel, ctx)
+    return out.select_columns(["src_id", "dst_id"])
+
+
+SQL_FUZZY_PARTS = f"""
+SELECT t.w AS src_id, CAST(p_partkey AS VARCHAR) AS dst_id
+FROM part, (SELECT unnest({list(MATERIAL_WORDS)}) AS w) t
+WHERE contains(lower(p_name), t.w)
+"""
+
+
+def q_one_to_many_part_words(sf_dir: str):
+    """one_to_many matcher: item carries a LIST; target key IN list
+    (reference querybuilder.py:723-729 'a.key IN item.list')."""
+    rd = _rd()
+    import ray.data
+
+    from cartography_ray.core.compile import attach_rels, project_rel_candidates
+    from cartography_ray.spec import PropertyRef, RelSpec, TargetNodeMatcher
+
+    ctx = IngestContext.make(update_tag=QUERY_TAG)
+    rel = RelSpec(
+        rel_label="HAS_WORD",
+        target_node_label="Word",
+        target_node_matcher=TargetNodeMatcher.make(
+            wkey=PropertyRef("words", one_to_many=True)
+        ),
+    )
+    targets = pa.table(
+        {
+            "id": pa.array([f"word:{w}" for w in MATERIAL_WORDS], pa.string()),
+            "wkey": pa.array(list(MATERIAL_WORDS), pa.string()),
+        }
+    )
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t.column("p_partkey"), pa.string()),
+                "words": pc.split_pattern(pc.cast(t.column("p_name"), pa.string()), " "),
+            }
+        )
+
+    cand = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        project_rel_candidates(rel, ctx, PropertyRef("src")), batch_format="pyarrow"
+    )
+    return attach_rels(cand, targets, rel, ctx).select_columns(["src_id", "dst_id"])
+
+
+SQL_ONE_TO_MANY_WORDS = f"""
+SELECT CAST(p_partkey AS VARCHAR) AS src_id, 'word:' || w AS dst_id
+FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w FROM part)
+WHERE w IN {tuple(MATERIAL_WORDS)}
+"""
+
+
+def q_events_props_k(sf_dir: str):
+    """Semi-structured payload parsing (the reference's JSON report reads,
+    trivy/__init__.py:239-247) — extract props.k vectorized."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(pc.cast(t.column("props"), pa.string()), r'"k": (?P<k>[0-9]+)')
+        kv = pc.struct_field(k, "k")
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "k_value": pc.cast(kv, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EVENTS_PROPS = r"""
+SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Spec-driven load (the MERGE/store path) over a relational table
 # --------------------------------------------------------------------------
@@ -798,6 +924,9 @@ QUERIES: dict[str, Callable] = {
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "emb_knn": q_emb_knn,
     "emb_knn_lsh": q_emb_knn_lsh,
+    "fuzzy_match_parts": q_fuzzy_match_parts,
+    "one_to_many_part_words": q_one_to_many_part_words,
+    "events_props_k": q_events_props_k,
     "load_customers": q_load_customers,
     "kg_turns": q_kg_turns,
     "kg_mentions": q_kg_mentions,
@@ -826,6 +955,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_jaccard_pairs": SQL_DOCS_JACCARD,
         "emb_knn": SQL_EMB_KNN,
+        "fuzzy_match_parts": SQL_FUZZY_PARTS,
+        "one_to_many_part_words": SQL_ONE_TO_MANY_WORDS,
+        "events_props_k": SQL_EVENTS_PROPS,
         "load_customers": SQL_LOAD_CUSTOMERS,
         "kg_turns": sql_kg_turns(path),
         "kg_mentions": sql_kg_mentions(path),
