@@ -2,35 +2,48 @@
 
 End-to-end (north rule): read Parquet transcripts → stabilize order by
 (conv_id, turn_idx) → mention detection (actor pool over zero-copy Arrow)
-→ entity-link scoring → distributed union-find canonicalization (salted /
-combined groupby) → spec-driven triple emission → MERGE materialize into
-partitioned Parquet node/edge tables with lastupdated lineage →
-update-tag cleanup → per-partition manifests.
+→ entity-link scoring → distributed union-find canonicalization →
+spec-driven triple emission → MERGE materialize into partitioned Parquet
+node/edge tables with lastupdated lineage → update-tag cleanup →
+per-partition manifests.
 
 Lifecycle mirrors the reference's get → transform → load → cleanup loop
 (cartography/intel/aws/ec2/instances.py:576-615, cartography/sync.py:240-297)
-with the stages re-expressed as one streaming Dataset pipeline.
+with the stages re-expressed as one staged Ray pipeline.
 
-Scale notes:
-- **staged checkpoints**: the sorted transcript stream and the raw mention
-  stream are each computed ONCE and written to Parquet stage directories;
-  every downstream consumer re-reads the checkpoint instead of re-running
-  the sort / extraction lineage. This (a) avoids re-executing the global
-  sort per consumer (Ray re-runs lazy lineage for every sink; the sort's
-  boundary sampling also deadlocks intermittently when the same sort
-  lineage executes concurrently in Ray 2.49), (b) is the resume story:
-  a completed stage directory is skipped on rerun;
-- the corpus is never materialized in memory; checkpoints stream to disk;
-- ``text`` is projected away immediately after extraction on every edge
-  stream (wide-record rule, SURVEY §7.4);
-- the canonical-map is broadcast (ray.put) — it is bounded by the number
-  of distinct aliased keys, orders of magnitude below turn count.
+Architecture of a sync run:
+
+1. **Checkpoint stages** (Ray Data): global sort, mention detection
+   (actor pool), link scoring + canonical resolution — each executes
+   exactly once into a ``_SUCCESS``-marked Parquet directory (the
+   rerun-skip unit). Ray re-runs lazy lineage per consumer and its sort's
+   boundary sampling deadlocks intermittently under shared lineage in
+   2.49, so heavy lineage is cut at these checkpoints.
+2. **Canonicalization** (stages/canonicalize): distributed union-find
+   over the alias graph; the resulting (node → root) map is bounded by
+   distinct aliased keys.
+3. **Materialize** (state/spill + store): every node/edge stream is a
+   PURE FUNCTION of one checkpoint's files, so the spill fan-out runs as
+   plain Ray tasks — one task reads a file chunk once and applies all of
+   that checkpoint's stream functions (driver-thread-driven Dataset
+   writes measured only 1.3× speedup 8→32 CPUs; tasks scale linearly).
+   A compaction wave then MERGEs each (label, bucket) partition with the
+   previous snapshot and stamps manifests.
+4. **Cleanup**: update-tag anti-join tasks over every bucket file,
+   scoped to the conversations present in this input for Turn/edges,
+   global for Conversation/Entity (cleanupbuilder.py semantics).
+
+Scale notes: the corpus never materializes in memory; ``text`` is
+projected away immediately after extraction everywhere except the Turn
+table (per-turn equality invariant); per-batch combiners defuse
+hot-entity skew before anything shuffles.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
-from typing import Any
+from typing import Any, Callable
 
 import numpy as np
 import pyarrow as pa
@@ -50,7 +63,9 @@ def _prepare_turns(batch: pa.Table) -> pa.Table:
     n = batch.num_rows
     conv = batch.column("conv_id")
     uid = turn_uid_array(conv, batch.column("turn_idx"))
-    conv_uid = pc.binary_join_element_wise(pa.array(["conv"] * n, pa.string()), pc.cast(conv, pa.string()), ":")
+    conv_uid = pc.binary_join_element_wise(
+        pa.array(["conv"] * n, pa.string()), pc.cast(conv, pa.string()), ":"
+    )
     return batch.append_column("turn_uid", uid).append_column("conv_uid", conv_uid)
 
 
@@ -62,16 +77,12 @@ def _entity_rows(batch: pa.Table, id_col: str) -> pa.Table:
 
 
 def _dedup_batch(batch: pa.Table, cols: list[str]) -> pa.Table:
-    """Per-batch combiner: local distinct before any shuffle."""
+    """Per-batch combiner: local distinct before any exchange."""
     if batch.num_rows == 0:
         return batch
     pdf = batch.select(cols).to_pandas()
     idx = pdf.drop_duplicates().index.to_numpy()
     return batch.take(pa.array(idx))
-
-
-def _head1(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
 
 
 def _checkpoint(ds, path: str) -> str:
@@ -96,119 +107,37 @@ def _checkpoint(ds, path: str) -> str:
     return path
 
 
-def build_graph(
-    transcripts,
-    ctx: IngestContext,
-    *,
-    work_dir: str | None = None,
-    detector_concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 4096,
-    cc_partitions: int = 8,
-    timings: dict | None = None,
-) -> dict[str, Any]:
-    """Run extraction → linking → canonicalization; return Dataset handles.
+# --------------------------------------------------------------------------
+# Stream functions — pure (pa.Table → pa.Table), used BOTH by the Dataset
+# handles build_graph returns and by the task-parallel spill. Factories
+# close over the IngestContext (picklable).
+# --------------------------------------------------------------------------
 
-    Returns a dict of lazy Datasets: node streams per label, edge streams
-    per rel label, plus intermediates (mentions, alias component labels)
-    for inspection / tests. Heavy stages (global sort, mention detection)
-    are checkpointed to ``work_dir`` so each executes exactly once.
-    """
-    import ray
-    import ray.data
 
-    from cartography_ray.runtime import configure
+def make_turn_nodes_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
+    project = project_nodes(specs.TURN_NODE, ctx)
 
-    configure()
-
-    if work_dir is None:
-        work_dir = f"/tmp/graft_kg/work/{os.getpid()}-{id(transcripts)}"
-    os.makedirs(work_dir, exist_ok=True)
-
-    import time as _time
-
-    if timings is None:
-        timings = {}
-
-    # Stage 1: stabilize order (global sort) + computed id columns — once.
-    _t = _time.time()
-    sorted_path = os.path.join(work_dir, "sorted")
-    if not os.path.exists(os.path.join(sorted_path, "_SUCCESS")):
-        _checkpoint(
-            transcripts.sort(["conv_id", "turn_idx"]).map_batches(
-                _prepare_turns, batch_format="pyarrow"
-            ),
-            sorted_path,
+    def fn(t: pa.Table) -> pa.Table:
+        out = project(t)
+        sub = pc.binary_join_element_wise(
+            pa.array(["conv"] * out.num_rows, pa.string()),
+            pc.cast(out.column("conv_id"), pa.string()),
+            ":",
         )
-    timings["sort_checkpoint"] = round(_time.time() - _t, 2)
-    turns = ray.data.read_parquet(sorted_path)
+        return out.append_column("_sub_id", sub)
 
-    if detector_concurrency is None:
-        # autoscaling actor pool: don't pay full-pool startup on small
-        # inputs; scale toward the session CPUs under queue pressure
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        detector_concurrency = (2, max(2, ncpu - 2))
-    det_kwargs = dict(
-        batch_format="pyarrow", batch_size=batch_size, concurrency=detector_concurrency
-    )
+    return fn
 
-    # Stage 2: mention detection (actor pool) — once; consumers re-read.
-    _t = _time.time()
-    mentions_path = os.path.join(work_dir, "mentions")
-    if not os.path.exists(os.path.join(mentions_path, "_SUCCESS")):
-        _checkpoint(turns.map_batches(MentionDetector, **det_kwargs), mentions_path)
-    raw_mentions = ray.data.read_parquet(mentions_path)
-    timings["detect_checkpoint"] = round(_time.time() - _t, 2)
 
-    # alias graph → canonical component labels (small vs the corpus)
-    _t = _time.time()
-    alias_edges = raw_mentions.map_batches(alias_edges_batch, batch_format="pyarrow")
-    labels = connected_components(alias_edges, num_partitions=cc_partitions)
-    timings["canonicalize"] = round(_time.time() - _t, 2)
+def make_conv_nodes_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
+    """Conversation rows WITHOUT a groupby shuffle: each batch emits its
+    per-conversation max(turn_idx)+1 (combiner); the store's MERGE upsert
+    — ordered by (id, lastupdated, value) — keeps the global max within an
+    epoch and the re-synced value across epochs, so the final n_turns is
+    exact. Contiguous turn_idx is a corpus invariant."""
+    project = project_nodes(specs.CONVERSATION_NODE, ctx)
 
-    # Stage 3: link scoring + canonical resolution — once; both the node
-    # side (Entity) and the edge side (MENTIONS family) consume it.
-    _t = _time.time()
-    resolved_path = os.path.join(work_dir, "resolved")
-    if not os.path.exists(os.path.join(resolved_path, "_SUCCESS")):
-        # LinkScorer is pure-vectorized (no per-worker state) → stateless tasks
-        linked = raw_mentions.map_batches(LinkScorer(), batch_format="pyarrow")
-        _checkpoint(
-            resolve_keys(linked, labels, key_col="entity_key", out_col="entity_id"),
-            resolved_path,
-        )
-    resolved = ray.data.read_parquet(resolved_path)
-    timings["resolve_checkpoint"] = round(_time.time() - _t, 2)
-
-    tool_uses = turns.map_batches(ToolUseExtractor(), batch_format="pyarrow")
-
-    def tool_entity_key(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pa.array(["tool"] * batch.num_rows, pa.string()), pc.cast(batch.column("tool"), pa.string()), ":"
-        )
-        return batch.append_column("entity_id", key)
-
-    tool_uses = tool_uses.map_batches(tool_entity_key, batch_format="pyarrow")
-
-    # ---- node streams ------------------------------------------------------
-    turn_nodes = turns.map_batches(project_nodes(specs.TURN_NODE, ctx), batch_format="pyarrow")
-    # carry the sub-resource id for scoped cleanup
-    turn_nodes = turn_nodes.map_batches(
-        lambda t: t.append_column(
-            "_sub_id",
-            pc.binary_join_element_wise(
-                pa.array(["conv"] * t.num_rows, pa.string()), pc.cast(t.column("conv_id"), pa.string()), ":"
-            ),
-        ),
-        batch_format="pyarrow",
-    )
-
-    def conv_partials(t: pa.Table) -> pa.Table:
-        """Conversation rows WITHOUT a groupby shuffle: each batch emits its
-        per-conversation max(turn_idx)+1 (combiner); the store's MERGE
-        upsert — ordered by (id, lastupdated, value) — keeps the global
-        max within an epoch and the re-synced value across epochs, so the
-        final n_turns is exact. Contiguous turn_idx is a corpus invariant.
-        """
+    def fn(t: pa.Table) -> pa.Table:
         import pandas as pd
 
         pdf = pd.DataFrame(
@@ -219,76 +148,46 @@ def build_graph(
         )
         agg = pdf.groupby("conv_id", sort=False)["turn_idx"].max().reset_index()
         conv = pa.array(agg["conv_id"], pa.string())
-        return pa.table(
-            {
-                "conv_uid": pc.binary_join_element_wise(
-                    pa.array(["conv"] * len(agg), pa.string()), conv, ":"
-                ),
-                "conv_id": conv,
-                "n_turns": pa.array((agg["turn_idx"] + 1).astype("int64")),
-            }
+        return project(
+            pa.table(
+                {
+                    "conv_uid": pc.binary_join_element_wise(
+                        pa.array(["conv"] * len(agg), pa.string()), conv, ":"
+                    ),
+                    "conv_id": conv,
+                    "n_turns": pa.array((agg["turn_idx"] + 1).astype("int64")),
+                }
+            )
         )
 
-    conv_nodes = turns.select_columns(["conv_id", "turn_idx"]).map_batches(
-        conv_partials, batch_format="pyarrow"
-    ).map_batches(project_nodes(specs.CONVERSATION_NODE, ctx), batch_format="pyarrow")
+    return fn
 
-    # entity nodes: distinct canonical ids from mentions ∪ tools ∪ alias roots
-    ent_a = resolved.map_batches(lambda t: _entity_rows(t, "entity_id"), batch_format="pyarrow")
-    ent_b = tool_uses.map_batches(lambda t: _entity_rows(t, "entity_id"), batch_format="pyarrow")
-    ent_c = labels.map_batches(
-        lambda t: _entity_rows(t.rename_columns(["node", "entity_id"]), "entity_id"),
-        batch_format="pyarrow",
-    )
-    # per-batch combiner only — the store's MERGE-by-id upsert performs the
-    # global dedup in the same shuffle it already pays for clustering
-    entity_rows = ent_a.union(ent_b, ent_c).map_batches(
-        lambda t: _dedup_batch(t, ["entity_id", "kind"]), batch_format="pyarrow"
-    )
-    entity_nodes = entity_rows.map_batches(
-        project_nodes(specs.ENTITY_NODE, ctx), batch_format="pyarrow"
-    )
 
-    # ---- edge streams (text projected away everywhere) ---------------------
-    def mention_edges(batch: pa.Table) -> pa.Table:
-        tables = []
-        for pred, rel in specs.MENTION_RELS.items():
-            sel = batch.filter(pc.equal(batch.column("pred"), pa.scalar(pred)))
-            tables.append(
-                edge_batch(
-                    sel.column("turn_uid"),
-                    sel.column("entity_id"),
-                    rel,
-                    ctx,
-                    extra_cols={
-                        "_sub_id": pc.binary_join_element_wise(
-                            pa.array(["conv"] * sel.num_rows, pa.string()),
-                            pc.cast(sel.column("conv_id"), pa.string()),
-                            ":",
-                        )
-                    },
-                )
-            )
-        return pa.concat_tables(tables)
+def make_tool_entity_nodes_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
+    """tool:<name> entity rows from role='tool' turns (sorted checkpoint)."""
+    project = project_nodes(specs.ENTITY_NODE, ctx)
 
-    mention_edge_ds = resolved.map_batches(mention_edges, batch_format="pyarrow")
-    # mention edges are per-occurrence; the edge MERGE key is
-    # (src, rel, dst) so duplicates within a turn collapse at materialize —
-    # pre-dedup per batch here to shrink the shuffle (combiner).
-    mention_edge_ds = mention_edge_ds.map_batches(
-        lambda t: _dedup_batch(t, ["src_id", "rel_label", "dst_id"]), batch_format="pyarrow"
-    )
+    def fn(t: pa.Table) -> pa.Table:
+        uses = ToolUseExtractor()(t)
+        key = pc.binary_join_element_wise(
+            pa.array(["tool"] * uses.num_rows, pa.string()),
+            pc.cast(uses.column("tool"), pa.string()),
+            ":",
+        )
+        rows = _entity_rows(uses.append_column("entity_id", key), "entity_id")
+        return project(_dedup_batch(rows, ["entity_id", "kind"]))
 
-    def per_turn_edges(batch: pa.Table) -> pa.Table:
-        """All per-turn structural edges in ONE pass over the turn stream:
-        USES_TOOL, NEXT_TURN, IN_CONV. A single map keeps the union of
-        edge streams narrow — Ray's UnionOperator executes its inputs with
-        little inter-input concurrency, so fewer inputs = real wall-time.
-        """
+    return fn
+
+
+def make_per_turn_edges_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
+    """All per-turn structural edges in ONE pass over the turn stream:
+    USES_TOOL, NEXT_TURN, IN_CONV."""
+
+    def fn(batch: pa.Table) -> pa.Table:
         sub = pc.cast(batch.column("conv_uid"), pa.string())
         sub = sub.combine_chunks() if isinstance(sub, pa.ChunkedArray) else sub
         tables = []
-        # USES_TOOL: role='tool' turns → (turn)-[:USES_TOOL]->(tool entity)
         tool_mask = pc.and_(
             pc.equal(batch.column("role"), pa.scalar("tool")),
             pc.is_valid(batch.column("tool")),
@@ -317,7 +216,6 @@ def build_graph(
                 extra_cols={"_sub_id": pc.cast(nsel.column("conv_uid"), pa.string()).combine_chunks()},
             )
         )
-        # IN_CONV: the sub-resource edge, every turn
         tables.append(
             edge_batch(
                 batch.column("turn_uid"), batch.column("conv_uid"), specs.IN_CONV, ctx,
@@ -326,9 +224,51 @@ def build_graph(
         )
         return pa.concat_tables(tables)
 
-    turn_edge_ds = turns.map_batches(per_turn_edges, batch_format="pyarrow")
+    return fn
 
-    def alias_of_edges(batch: pa.Table) -> pa.Table:
+
+def make_mention_edges_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
+    """MENTIONS / REFERENCES_TICKET / LINKS_TO edges from resolved
+    mentions, with a per-batch (src, rel, dst) dedup combiner."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tables = []
+        for pred, rel in specs.MENTION_RELS.items():
+            sel = batch.filter(pc.equal(batch.column("pred"), pa.scalar(pred)))
+            tables.append(
+                edge_batch(
+                    sel.column("turn_uid"),
+                    sel.column("entity_id"),
+                    rel,
+                    ctx,
+                    extra_cols={
+                        "_sub_id": pc.binary_join_element_wise(
+                            pa.array(["conv"] * sel.num_rows, pa.string()),
+                            pc.cast(sel.column("conv_id"), pa.string()),
+                            ":",
+                        )
+                    },
+                )
+            )
+        return _dedup_batch(pa.concat_tables(tables), ["src_id", "rel_label", "dst_id"])
+
+    return fn
+
+
+def make_mention_entity_nodes_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
+    project = project_nodes(specs.ENTITY_NODE, ctx)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = _entity_rows(batch, "entity_id")
+        return project(_dedup_batch(rows, ["entity_id", "kind"]))
+
+    return fn
+
+
+def make_alias_edges_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
+    """(node)-[ALIAS_OF]->(root) edges from the canonical label map."""
+
+    def fn(batch: pa.Table) -> pa.Table:
         sel = batch.filter(pc.not_equal(batch.column("node"), batch.column("label")))
         # null _sub_id: alias edges span conversations (unscoped cleanup)
         return edge_batch(
@@ -339,12 +279,138 @@ def build_graph(
             extra_cols={"_sub_id": pa.nulls(sel.num_rows, pa.string())},
         )
 
-    alias_edge_ds = labels.map_batches(alias_of_edges, batch_format="pyarrow")
+    return fn
 
-    # single mixed edge stream (3 inputs) → ONE spill for the edge side
+
+def make_label_entity_nodes_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
+    project = project_nodes(specs.ENTITY_NODE, ctx)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = _entity_rows(batch.rename_columns(["node", "entity_id"]), "entity_id")
+        return project(_dedup_batch(rows, ["entity_id", "kind"]))
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+
+
+def build_graph(
+    transcripts,
+    ctx: IngestContext,
+    *,
+    work_dir: str | None = None,
+    detector_concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 4096,
+    cc_partitions: int = 8,
+    timings: dict | None = None,
+    _defer_resolve: bool = False,
+) -> dict[str, Any]:
+    """Run extraction → linking → canonicalization; return Dataset handles.
+
+    Returns a dict of lazy Datasets: node streams per label, edge streams
+    per rel label, plus intermediates (mentions, alias component labels)
+    and the checkpoint work_dir. Heavy stages are checkpointed so each
+    executes exactly once.
+    """
+    import time as _time
+
+    import ray
+    import ray.data
+
+    from cartography_ray.runtime import configure
+
+    configure()
+
+    if work_dir is None:
+        work_dir = f"/tmp/graft_kg/work/{os.getpid()}-{id(transcripts)}"
+    os.makedirs(work_dir, exist_ok=True)
+    if timings is None:
+        timings = {}
+
+    # Stage 1: stabilize order (global sort) + computed id columns — once.
+    _t = _time.time()
+    sorted_path = os.path.join(work_dir, "sorted")
+    if not os.path.exists(os.path.join(sorted_path, "_SUCCESS")):
+        _checkpoint(
+            transcripts.sort(["conv_id", "turn_idx"]).map_batches(
+                _prepare_turns, batch_format="pyarrow"
+            ),
+            sorted_path,
+        )
+    timings["sort_checkpoint"] = round(_time.time() - _t, 2)
+    turns = ray.data.read_parquet(sorted_path)
+
+    if detector_concurrency is None:
+        # full-size pool up front: autoscaling ramp was the detect phase's
+        # scaling cap (measured 2x at 4x CPUs); actor spawn is ~1s/batch
+        # and amortizes over any non-trivial corpus
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        detector_concurrency = max(2, ncpu - 2)
+    det_kwargs = dict(
+        batch_format="pyarrow", batch_size=batch_size, concurrency=detector_concurrency
+    )
+
+    # Stage 2: mention detection (actor pool) — once; consumers re-read.
+    _t = _time.time()
+    mentions_path = os.path.join(work_dir, "mentions")
+    if not os.path.exists(os.path.join(mentions_path, "_SUCCESS")):
+        _checkpoint(turns.map_batches(MentionDetector, **det_kwargs), mentions_path)
+    raw_mentions = ray.data.read_parquet(mentions_path)
+    timings["detect_checkpoint"] = round(_time.time() - _t, 2)
+
+    if _defer_resolve:
+        # run_kg_pipeline overlaps the sorted-checkpoint spill with the
+        # canonicalize/resolve stages — stop here on the first call
+        return {"work_dir": work_dir, "ctx": ctx, "turns": turns}
+
+    # alias graph → canonical component labels (small vs the corpus)
+    _t = _time.time()
+    alias_edges = raw_mentions.map_batches(alias_edges_batch, batch_format="pyarrow")
+    labels = connected_components(alias_edges, num_partitions=cc_partitions)
+    timings["canonicalize"] = round(_time.time() - _t, 2)
+
+    # Stage 3: link scoring + canonical resolution — once; both the node
+    # side (Entity) and the edge side (MENTIONS family) consume it.
+    _t = _time.time()
+    resolved_path = os.path.join(work_dir, "resolved")
+    if not os.path.exists(os.path.join(resolved_path, "_SUCCESS")):
+        # LinkScorer is pure-vectorized (no per-worker state) → stateless tasks
+        linked = raw_mentions.map_batches(LinkScorer(), batch_format="pyarrow")
+        _checkpoint(
+            resolve_keys(linked, labels, key_col="entity_key", out_col="entity_id"),
+            resolved_path,
+        )
+    resolved = ray.data.read_parquet(resolved_path)
+    timings["resolve_checkpoint"] = round(_time.time() - _t, 2)
+
+    # ---- lazy Dataset handles (queries / tests) ---------------------------
+    turn_nodes_fn = make_turn_nodes_fn(ctx)
+    conv_nodes_fn = make_conv_nodes_fn(ctx)
+    tool_entity_fn = make_tool_entity_nodes_fn(ctx)
+    mention_entity_fn = make_mention_entity_nodes_fn(ctx)
+    label_entity_fn = make_label_entity_nodes_fn(ctx)
+    per_turn_edges_fn = make_per_turn_edges_fn(ctx)
+    mention_edges_fn = make_mention_edges_fn(ctx)
+    alias_edges_fn = make_alias_edges_fn(ctx)
+
+    turn_nodes = turns.map_batches(turn_nodes_fn, batch_format="pyarrow")
+    conv_nodes = turns.select_columns(["conv_id", "turn_idx"]).map_batches(
+        conv_nodes_fn, batch_format="pyarrow"
+    )
+    entity_nodes = (
+        resolved.map_batches(mention_entity_fn, batch_format="pyarrow")
+        .union(turns.map_batches(tool_entity_fn, batch_format="pyarrow"))
+        .union(labels.map_batches(label_entity_fn, batch_format="pyarrow"))
+    )
+    mention_edge_ds = resolved.map_batches(mention_edges_fn, batch_format="pyarrow")
+    turn_edge_ds = turns.map_batches(per_turn_edges_fn, batch_format="pyarrow")
+    alias_edge_ds = labels.map_batches(alias_edges_fn, batch_format="pyarrow")
     edges_union = mention_edge_ds.union(turn_edge_ds, alias_edge_ds)
 
     return {
+        "work_dir": work_dir,
+        "ctx": ctx,
         "turns": turns,
         "mentions": resolved,
         "alias_labels": labels,
@@ -371,6 +437,96 @@ def build_graph(
     }
 
 
+_CONV_SWEEP = None
+
+
+def _submit_conv_sweep(work_dir: str) -> list:
+    """Submit per-file distinct-conv tasks (non-blocking); see
+    _collect_synced for the union."""
+    global _CONV_SWEEP
+    import ray
+
+    if _CONV_SWEEP is None:
+
+        @ray.remote(num_cpus=0.5)
+        def conv_sweep(path: str) -> list[str]:
+            import pyarrow.parquet as _pq
+
+            col = _pq.read_table(path, columns=["conv_id"]).column("conv_id")
+            return pc.unique(col).to_pylist()
+
+        _CONV_SWEEP = conv_sweep
+    files = sorted(_glob.glob(os.path.join(work_dir, "sorted", "*.parquet")))
+    return [_CONV_SWEEP.remote(f) for f in files]
+
+
+def _collect_synced(futures: list) -> set[str]:
+    import ray
+
+    out: set[str] = set()
+    for chunk in ray.get(futures):
+        out.update(f"conv:{c}" for c in chunk)
+    return out
+
+
+def _synced_convs(work_dir: str) -> set[str]:
+    """Distinct conv_uid set of this run's input: one tiny task per sorted
+    checkpoint file (reads only the conv_id column), unioned on the driver."""
+    return _collect_synced(_submit_conv_sweep(work_dir))
+
+
+def _labels_table(labels) -> pa.Table:
+    """Collect the (small) canonical label map driver-side."""
+    import ray
+
+    blocks = [b for b in ray.get(labels.to_arrow_refs()) if b.num_columns]
+    if not blocks:
+        return pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
+    return pa.concat_tables(blocks)
+
+
+def _materialize_tasked(store: GraphStore, g: dict, ctx: IngestContext):
+    """Task-parallel spill from checkpoint files + compaction wave."""
+    import shutil
+    import uuid
+
+    from cartography_ray.state.spill import run_spill
+
+    work_dir = g["work_dir"]
+    sorted_files = sorted(_glob.glob(os.path.join(work_dir, "sorted", "*.parquet")))
+    resolved_files = sorted(_glob.glob(os.path.join(work_dir, "resolved", "*.parquet")))
+
+    plans = [
+        (
+            sorted_files,
+            [
+                ("nodes", "Turn", make_turn_nodes_fn(ctx)),
+                ("nodes", "Conversation", make_conv_nodes_fn(ctx)),
+                ("nodes", "Entity", make_tool_entity_nodes_fn(ctx)),
+                ("edges", None, make_per_turn_edges_fn(ctx)),
+            ],
+        ),
+        (
+            resolved_files,
+            [
+                ("nodes", "Entity", make_mention_entity_nodes_fn(ctx)),
+                ("edges", None, make_mention_edges_fn(ctx)),
+            ],
+        ),
+    ]
+    labels_tbl = _labels_table(g["alias_labels"])
+    small_tables = [
+        ("edges", None, make_alias_edges_fn(ctx)(labels_tbl)),
+        ("nodes", "Entity", make_label_entity_nodes_fn(ctx)(labels_tbl)),
+    ]
+    spill_root = os.path.join(store.root, "_spill", f"sync-{ctx.update_tag}-{uuid.uuid4().hex[:8]}")
+    try:
+        run_spill(plans, small_tables, spill_root, store.num_buckets)
+        return store.compact_spill(spill_root, ctx)
+    finally:
+        shutil.rmtree(spill_root, ignore_errors=True)
+
+
 def run_kg_pipeline(
     transcripts,
     store: GraphStore,
@@ -389,9 +545,27 @@ def run_kg_pipeline(
     for Turn/edge tables (cleanupbuilder.py:244-383 semantics), global for
     Conversation/Entity (386-451 semantics).
     """
+    import shutil
     import time
+    import uuid
 
+    import ray
+    import ray.data
+
+    from cartography_ray.runtime import configure
+    from cartography_ray.state.spill import submit_spill, write_small_tables
+
+    configure()
+    if work_dir is None:
+        work_dir = f"/tmp/graft_kg/work/{os.getpid()}-sync"
     timings: dict[str, float] = {}
+    metrics: dict[str, Any] = {"nodes": {}, "edges": {}, "deleted": {}, "timings": timings}
+
+    # Stages 1-2 (sort + detect checkpoints) — via build_graph's helpers.
+    # We orchestrate materialize OURSELVES to overlap independent phases:
+    # the sorted-checkpoint spill tasks and the conv sweep run in the
+    # background WHILE canonicalization + resolution execute (they only
+    # depend on the mention checkpoint).
     t0 = time.time()
     g = build_graph(
         transcripts,
@@ -400,14 +574,71 @@ def run_kg_pipeline(
         detector_concurrency=detector_concurrency,
         batch_size=batch_size,
         timings=timings,
+        _defer_resolve=True,
     )
     timings["build_graph"] = round(time.time() - t0, 2)
-    metrics: dict[str, Any] = {"nodes": {}, "edges": {}, "deleted": {}, "timings": timings}
 
-    # all node + edge streams: concurrent spills, one compaction wave
     t0 = time.time()
-    stats = store.materialize_many(g["nodes"], g["edge_streams"], ctx)
+    spill_root = os.path.join(
+        store.root, "_spill", f"sync-{ctx.update_tag}-{uuid.uuid4().hex[:8]}"
+    )
+    sorted_files = sorted(_glob.glob(os.path.join(work_dir, "sorted", "*.parquet")))
+    spill_futs = submit_spill(
+        [
+            (
+                sorted_files,
+                [
+                    ("nodes", "Turn", make_turn_nodes_fn(ctx)),
+                    ("nodes", "Conversation", make_conv_nodes_fn(ctx)),
+                    ("nodes", "Entity", make_tool_entity_nodes_fn(ctx)),
+                    ("edges", None, make_per_turn_edges_fn(ctx)),
+                ],
+            )
+        ],
+        spill_root,
+        store.num_buckets,
+    )
+    conv_futs = _submit_conv_sweep(work_dir) if cleanup else []
+
+    # canonicalize + resolve now run overlapped with the spill tasks
+    g2 = build_graph(
+        transcripts,
+        ctx,
+        work_dir=work_dir,
+        detector_concurrency=detector_concurrency,
+        batch_size=batch_size,
+        timings=timings,
+    )
+    resolved_files = sorted(_glob.glob(os.path.join(work_dir, "resolved", "*.parquet")))
+    spill_futs += submit_spill(
+        [
+            (
+                resolved_files,
+                [
+                    ("nodes", "Entity", make_mention_entity_nodes_fn(ctx)),
+                    ("edges", None, make_mention_edges_fn(ctx)),
+                ],
+            )
+        ],
+        spill_root,
+        store.num_buckets,
+    )
+    labels_tbl = _labels_table(g2["alias_labels"])
+    write_small_tables(
+        [
+            ("edges", None, make_alias_edges_fn(ctx)(labels_tbl)),
+            ("nodes", "Entity", make_label_entity_nodes_fn(ctx)(labels_tbl)),
+        ],
+        spill_root,
+        store.num_buckets,
+    )
+    try:
+        ray.get(spill_futs)
+        stats = store.compact_spill(spill_root, ctx)
+    finally:
+        shutil.rmtree(spill_root, ignore_errors=True)
     timings["materialize"] = round(time.time() - t0, 2)
+    g = g2
     for label in g["nodes"]:
         metrics["nodes"][label] = 0
     if len(stats):
@@ -416,10 +647,10 @@ def run_kg_pipeline(
 
     if cleanup:
         t0 = time.time()
-        # sub-resources touched by this run = conversations in the input
-        synced = {
-            f"conv:{c}" for c in g["turns"].select_columns(["conv_id"]).unique("conv_id")
-        }
+        # sub-resources touched by this run = conversations in the input —
+        # a parallel per-file distinct sweep over the sorted checkpoint
+        # (ds.unique() is a full executor pass + driver list build)
+        synced = _collect_synced(conv_futs)
         # all labels' per-bucket anti-join tasks in flight at once
         metrics["deleted"] = store.cleanup_all(
             ctx,

@@ -86,6 +86,41 @@ def _hashsum(ds) -> int:
 
 BROADCAST_LABEL_LIMIT = 2_000_000
 
+_MIN_REDUCE = None
+
+
+def _min_reduce_task():
+    """Lazy remote task: merge a chunk of (node,label) partial blocks by
+    per-node min (the tree-reduce step of the broadcast CC strategy)."""
+    global _MIN_REDUCE
+    if _MIN_REDUCE is None:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def min_reduce(*blocks) -> pa.Table:
+            import pandas as pd
+
+            frames = [b.to_pandas() for b in blocks if b.num_columns and b.num_rows]
+            if not frames:
+                return pa.table(
+                    {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
+                )
+            merged = (
+                pd.concat(frames, ignore_index=True)
+                .groupby("node", sort=False)["label"]
+                .min()
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "node": pa.array(merged["node"], pa.string()),
+                    "label": pa.array(merged["label"], pa.string()),
+                }
+            )
+
+        _MIN_REDUCE = min_reduce
+    return _MIN_REDUCE
+
 
 def connected_components(
     edges_ds,
@@ -170,10 +205,15 @@ def connected_components(
                 )
 
             refs = sym.map_batches(messages, batch_format="pyarrow").to_arrow_refs()
+            # tree-reduce the partial minima in tasks so the driver only
+            # merges ~#chunks pre-reduced tables, not every block
+            reduce_task = _min_reduce_task()
+            chunk = 8
+            red_refs = [
+                reduce_task.remote(*refs[i : i + chunk]) for i in range(0, len(refs), chunk)
+            ]
             partial_blocks = [
-                blk.to_pandas()
-                for blk in ray.get(refs)
-                if blk.num_columns and blk.num_rows
+                blk.to_pandas() for blk in ray.get(red_refs) if blk.num_rows
             ]
             if partial_blocks:
                 merged = (

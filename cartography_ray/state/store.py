@@ -88,68 +88,6 @@ class _TaskHolder:
         return cls._task
 
 
-def _lazy_compact_task():
-    import ray
-
-    @ray.remote(num_cpus=1)
-    def compact_parts(items: list, root: str, kind: str, tag: int, key_cols: list, col_map: dict | None) -> list:
-        """Compaction: merge spill files for (label, bucket) with the
-        previous snapshot under MERGE semantics, write atomically, stamp
-        the manifest. ``items`` = [(label, bucket, spill_dir), ...]."""
-        out = []
-        for label, bucket, sdir in items:
-            bdir = os.path.join(root, kind, label, f"bucket={bucket}")
-            os.makedirs(bdir, exist_ok=True)
-            part = os.path.join(bdir, "part.parquet")
-            mf_path = os.path.join(bdir, "manifest.json")
-            if os.path.exists(mf_path):
-                try:
-                    if json.load(open(mf_path)).get("update_tag") == tag:
-                        out.append((label, bucket, 0, tag))
-                        continue
-                except (json.JSONDecodeError, OSError):
-                    pass
-            files = sorted(glob.glob(os.path.join(sdir, "*.parquet")))
-            new = pa.concat_tables(
-                [pq.read_table(f) for f in files], promote_options="default"
-            ).to_pandas()
-            if kind == "edges":
-                # partition cols are stripped from spilled files; rel_label
-                # is a real data column — restore it from the dir name
-                new.insert(1, "rel_label", label)
-            if col_map is not None:
-                new = new[[c for c in col_map[label] if c in new.columns]]
-            if os.path.exists(part):
-                prev = pq.read_table(part).to_pandas()
-                new = pd.concat([prev, new], ignore_index=True)
-            merged = _upsert_pdf(new, key_cols)
-            tmp = part + f".tmp.{os.getpid()}"
-            pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
-            os.replace(tmp, part)
-            manifest = {
-                "kind": kind, "label": label, "bucket": bucket,
-                "rows": int(len(merged)), "update_tag": tag,
-            }
-            mtmp = os.path.join(bdir, f"manifest.json.tmp.{os.getpid()}")
-            with open(mtmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(mtmp, mf_path)
-            out.append((label, bucket, int(len(merged)), tag))
-        return out
-
-    return compact_parts
-
-
-class _CompactHolder:
-    _task = None
-
-    @classmethod
-    def get(cls):
-        if cls._task is None:
-            cls._task = _lazy_compact_task()
-        return cls._task
-
-
 def _lazy_compact_many_task():
     import ray
 
@@ -178,8 +116,9 @@ def _lazy_compact_many_task():
                 [pq.read_table(f) for f in files], promote_options="default"
             ).to_pandas()
             if kind == "edges":
-                # rel_label was a partition col in the spill — restore it
-                new.insert(1, "rel_label", label)
+                if "rel_label" not in new.columns:
+                    # hive-partitioned spills strip the column — restore it
+                    new.insert(1, "rel_label", label)
                 key_cols = EDGE_KEY
             else:
                 key_cols = ["id"]
@@ -214,61 +153,6 @@ class _CompactManyHolder:
         return cls._task
 
 
-def _spill_and_compact(
-    ds,
-    root: str,
-    kind: str,
-    tag: int,
-    part_cols: list[str],
-    key_cols: list[str],
-    col_map: dict | None,
-) -> list[tuple]:
-    """Two-phase materialize without a hash shuffle:
-
-    1. **spill**: one streaming ``write_parquet(partition_cols=...)`` pass
-       lays every row into its (label, bucket) partition directory — no
-       shuffle actors, pure map-side fan-out to storage;
-    2. **compact**: one Ray task per chunk of (label, bucket) partitions
-       merges the spill with the previous snapshot under MERGE-by-key
-       semantics and stamps the manifest.
-
-    This is the classic external-shuffle layout: on a multi-node cluster
-    the spill goes to shared storage and compaction tasks read only their
-    own partitions. Measured against Ray's hash-shuffle groupby on this
-    workload it is both faster and flat-cost in the number of labels.
-    """
-    import shutil
-    import uuid
-
-    import ray
-
-    label_col = part_cols[0]
-    spill = os.path.join(root, "_spill", f"{kind}-{tag}-{uuid.uuid4().hex[:8]}")
-    os.makedirs(spill, exist_ok=True)
-    try:
-        ds.write_parquet(spill, partition_cols=part_cols)
-        items = []
-        for d in sorted(glob.glob(os.path.join(spill, f"{label_col}=*", "bucket=*"))):
-            bucket = int(os.path.basename(d).split("=", 1)[1])
-            label = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
-            items.append((label, bucket, d))
-        if not items:
-            return []
-        task = _CompactHolder.get()
-        chunk = max(1, len(items) // 64) if len(items) > 64 else 1
-        chunk = max(chunk, 4) if len(items) > 128 else chunk
-        futures = [
-            task.remote(items[i : i + chunk], root, kind, tag, key_cols, col_map)
-            for i in range(0, len(items), chunk)
-        ]
-        rows: list[tuple] = []
-        for res in ray.get(futures):
-            rows.extend(res)
-        return rows
-    finally:
-        shutil.rmtree(spill, ignore_errors=True)
-
-
 def stable_bucket(ids: pa.Array | pa.ChunkedArray, num_buckets: int) -> pa.Array:
     """Deterministic (cross-process) hash bucket of a string id column.
 
@@ -280,12 +164,20 @@ def stable_bucket(ids: pa.Array | pa.ChunkedArray, num_buckets: int) -> pa.Array
     return pa.array((h % num_buckets).astype(np.int32))
 
 
+# Columns that may legitimately VARY between duplicate-key rows within one
+# epoch and must win by max (MERGE-as-aggregate; see make_conv_nodes_fn).
+# Everything else is identical across same-(key, lastupdated) rows by
+# construction, so it needn't join the sort key (sorting by every column
+# was the compaction hot spot at 10M+ rows).
+_UPSERT_TIE_COLS = ("n_turns",)
+
+
 def _upsert_pdf(pdf: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
     """MERGE reduce inside one bucket: min firstseen, last-writer-wins rest."""
     if pdf.empty:
         return pdf
     order_cols = key_cols + ["lastupdated"]
-    tie = [c for c in pdf.columns if c not in order_cols and c != "firstseen"]
+    tie = [c for c in _UPSERT_TIE_COLS if c in pdf.columns]
     pdf = pdf.sort_values(order_cols + tie, kind="mergesort")
     firstseen = pdf.groupby(key_cols, sort=False)["firstseen"].transform("min")
     pdf = pdf.assign(firstseen=firstseen)
@@ -498,105 +390,32 @@ class GraphStore:
         finally:
             shutil.rmtree(spill_root, ignore_errors=True)
 
-    def materialize_nodes_multi(self, streams: dict, ctx: IngestContext) -> pd.DataFrame:
-        """Upsert SEVERAL node-label streams in ONE shuffle.
+    def compact_spill(self, spill_root: str, ctx: IngestContext) -> pd.DataFrame:
+        """Compaction wave over a task-written spill tree
+        (``spill/<kind>/<label>/bucket=<k>/*.parquet`` — see state/spill.py).
+        Merges each partition with the previous snapshot under MERGE
+        semantics and stamps manifests. Returns per-partition stats."""
+        import ray
 
-        Schemas are aligned to their union (typed nulls for columns a
-        label lacks) plus a ``_node_label`` discriminator; groups are
-        (label, bucket) so each label keeps its own bucket files, but the
-        whole node side pays a single all-to-all. Columns that are
-        all-null for a label are dropped again at write time, so on-disk
-        per-label schemas stay tight.
-        """
-        from cartography_ray.ops.joins import _arrow_schema
-        from cartography_ray.runtime import drop_empty_blocks
-
-        num_buckets = self.num_buckets
-        root = self.root
-        tag = ctx.update_tag
-
-        # materialize each stream ONCE up front: schema inspection on a
-        # lazy dataset re-executes its lineage (expensive for the entity
-        # stream), and empty-block stripping needs a pass anyway
-        streams = {label: drop_empty_blocks(ds) for label, ds in streams.items()}
-        schemas = {label: _arrow_schema(ds) for label, ds in streams.items()}
-        all_fields: dict[str, pa.DataType] = {}
-        for sch in schemas.values():
-            for f in sch:
-                all_fields.setdefault(f.name, f.type)
-        all_cols = list(all_fields)
-        done = {
-            label: self.done_buckets("nodes", label, tag) for label in streams
-        }
-
-        def pad(label: str):
-            label_done = sorted(done[label])
-
-            def fn(batch: pa.Table) -> pa.Table:
-                n = batch.num_rows
-                cols = {}
-                for c in all_cols:
-                    if c in batch.column_names:
-                        col = batch.column(c)
-                        cols[c] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                    else:
-                        cols[c] = pa.nulls(n, all_fields[c])
-                cols["_node_label"] = pa.array([label] * n, pa.string())
-                cols["bucket"] = stable_bucket(batch.column("id"), num_buckets)
-                out = pa.table(cols)
-                if label_done:
-                    mask = pc.invert(
-                        pc.is_in(out.column("bucket"), pa.array(label_done, pa.int32()))
-                    )
-                    out = out.filter(mask)
-                return out
-
-            return fn
-
-        uni = None
-        for label, ds in streams.items():
-            part = ds.map_batches(pad(label), batch_format="pyarrow")
-            uni = part if uni is None else uni.union(part)
-        uni = drop_empty_blocks(uni)
-        if uni.count() == 0:
-            return pd.DataFrame({"_node_label": [], "bucket": [], "rows": [], "update_tag": []})
-
-        per_label_cols = {
-            label: [f.name for f in sch] for label, sch in schemas.items()
-        }
-        rows = _spill_and_compact(
-            uni, root, "nodes", tag, ["_node_label", "bucket"], ["id"], per_label_cols
-        )
-        return pd.DataFrame(rows, columns=["_node_label", "bucket", "rows", "update_tag"])
-
-    def materialize_edges_multi(self, ds, ctx: IngestContext) -> pd.DataFrame:
-        """Upsert a MIXED edge stream (multiple rel_labels) in ONE shuffle.
-
-        Groups by (rel_label, bucket) so every edge label lands in its own
-        ``edges/<rel>/bucket=k`` file, but the whole edge side of a sync
-        pays a single all-to-all instead of one per label. Streams must
-        share one schema (union of edge columns; missing props null).
-        """
-        from cartography_ray.runtime import drop_empty_blocks
-
-        num_buckets = self.num_buckets
-        root = self.root
-        tag = ctx.update_tag
-
-        ds = drop_empty_blocks(ds)
-
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            b = stable_bucket(batch.column("src_id"), num_buckets)
-            return batch.append_column("bucket", b)
-
-        bucketed = drop_empty_blocks(ds.map_batches(add_bucket, batch_format="pyarrow"))
-        if bucketed.count() == 0:
-            return pd.DataFrame({"rel_label": [], "bucket": [], "rows": [], "update_tag": []})
-
-        rows = _spill_and_compact(
-            bucketed, root, "edges", tag, ["rel_label", "bucket"], EDGE_KEY, None
-        )
-        return pd.DataFrame(rows, columns=["rel_label", "bucket", "rows", "update_tag"])
+        grouped: dict[tuple, list[str]] = {}
+        for d in glob.glob(os.path.join(spill_root, "*", "*", "bucket=*")):
+            bucket = int(os.path.basename(d).split("=", 1)[1])
+            label = os.path.basename(os.path.dirname(d))
+            kind = os.path.basename(os.path.dirname(os.path.dirname(d)))
+            grouped.setdefault((kind, label, bucket), []).append(d)
+        items = [(k[0], k[1], k[2], dirs) for k, dirs in sorted(grouped.items())]
+        if not items:
+            return pd.DataFrame(columns=["kind", "label", "bucket", "rows", "update_tag"])
+        task = _CompactManyHolder.get()
+        chunk = max(1, (len(items) + 63) // 64)
+        futures = [
+            task.remote(items[i : i + chunk], self.root, ctx.update_tag)
+            for i in range(0, len(items), chunk)
+        ]
+        rows: list[tuple] = []
+        for res in ray.get(futures):
+            rows.extend(res)
+        return pd.DataFrame(rows, columns=["kind", "label", "bucket", "rows", "update_tag"])
 
     # ------------------------------------------------------------------- read
     def _read(self, kind: str, label: str) -> pa.Table | None:
