@@ -601,14 +601,20 @@ def run_kg_pipeline(
     conv_futs = _submit_conv_sweep(work_dir) if cleanup else []
 
     # canonicalize + resolve now run overlapped with the spill tasks
+    t2: dict = {}
     g2 = build_graph(
         transcripts,
         ctx,
         work_dir=work_dir,
         detector_concurrency=detector_concurrency,
         batch_size=batch_size,
-        timings=timings,
+        timings=t2,
     )
+    # checkpoints were built by the first call; keep its timings and take
+    # only the second call's new phases (canonicalize / resolve)
+    for k in ("canonicalize", "resolve_checkpoint"):
+        if k in t2:
+            timings[k] = t2[k]
     resolved_files = sorted(_glob.glob(os.path.join(work_dir, "resolved", "*.parquet")))
     spill_futs += submit_spill(
         [

@@ -404,9 +404,13 @@ def q_docs_minhash_pairs(sf_dir: str):
     from cartography_ray.functions.dedup import minhash_lsh_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # r=2 banding: candidate prob 1-(1-j²)^16 ≈ 0.64 at j=0.25, →1 above 0.5
+    # r=4 banding (64 hashes, 16 bands): candidate prob ≈0.64 at j=0.5 and
+    # ≈0.03 at j=0.2 — the operating point matters: r=2 banding admits most
+    # sub-threshold pairs of a same-domain corpus and the candidate set
+    # goes quadratic (observed at 5k docs). Low thresholds want r=1 on a
+    # pre-blocked corpus instead (see tests/test_functions.py).
     return minhash_lsh_pairs(
-        ds, threshold=JACCARD_THRESHOLD, num_perm=32, bands=16
+        ds, threshold=0.5, num_perm=64, bands=16
     ).select_columns(["id_a", "id_b"])
 
 
