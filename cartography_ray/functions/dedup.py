@@ -100,21 +100,19 @@ class MinHasher:
         assert num_perm % bands == 0
         self.num_perm, self.bands, self.k, self.seed = num_perm, bands, shingle_k, seed
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _M61, size=num_perm, dtype=np.int64)
-        self.b = rng.integers(0, _M61, size=num_perm, dtype=np.int64)
+        # a < 2^29 and 32-bit shingle hashes keep a*x + b < 2^61 inside
+        # uint64 — the whole (num_perm × n_shingles) universal hash runs as
+        # one vectorized numpy expression, no per-permutation Python loop
+        self.a = rng.integers(1, 1 << 29, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles((text or "").lower(), self.k)
         if not sh:
             return np.full(self.num_perm, _M61, dtype=np.int64)
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-        # vectorized (num_perm, n_shingles) universal hash in uint64 with
-        # mersenne-prime modulus (overflow-safe via python ints per perm)
-        sig = np.empty(self.num_perm, dtype=np.int64)
-        xs = x.astype(object)
-        for j in range(self.num_perm):
-            sig[j] = int(((int(self.a[j]) * xs + int(self.b[j])) % _M61).min())
-        return sig
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh)) & np.uint64(0xFFFFFFFF)
+        hashed = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_M61)
+        return hashed.min(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch.column("doc_id"), pa.int64()).to_pylist()
