@@ -4,22 +4,31 @@ Five strategies, each a Dataset transform (SURVEY brief §dedup):
 
 - ``exact_dedup``            — content-hash → hash-partitioned groupby →
   keep min-id row per hash (deterministic representative).
-- ``minhash_lsh_pairs``      — shingle → minhash signature → band →
-  ``groupby(band, band_hash)`` candidate pairs → exact-Jaccard verify.
+- ``minhash_lsh_pairs``      — shingle → minhash signature → band; text
+  rides with the banded rows so exact-Jaccard verification happens
+  INSIDE the band-bucket group; hot LSH buckets are SALTED into
+  chunk-pair cells (north-rule skew handling) so no verify task exceeds
+  ~limit² pairs. Text never materializes on the driver.
 - ``simhash_pairs``          — 64-bit simhash, banded into 16-bit chunks
-  (hamming ≤ 3 ⇒ at least one identical chunk by pigeonhole), verify by
-  true hamming distance.
+  (hamming ≤ 3 ⇒ at least one identical chunk by pigeonhole); the full
+  signature rides with the banded rows so hamming verification happens
+  inside the band group — no driver-side signature map.
 - ``jaccard_pairs_smallside``— exact O(n·m) n-gram Jaccard against a
-  broadcast subset (the oracle-checkable baseline; also the verify
-  kernel the LSH paths reuse).
+  broadcast subset (the oracle-checkable baseline).
 - embedding cosine near-dup  — see functions/ann.py (same machinery).
 
-Scale notes: signatures/bands are computed per batch (stateless,
-vectorized-ish); the only shuffles are the band groupby (bounded by
-signature width, hot buckets are split by the band hash itself) and the
-verify join. Verification fetches text via a broadcast doc map by
-default — swap in ops.joins.hash_join for corpora whose keeper table
-cannot be broadcast.
+All shingle hashing is vectorized numpy: texts are viewed as UTF-32
+codepoint arrays (character k-gram semantics — matches the SQL oracle's
+``substring(lower(text), i, k)``), rolling-polynomial-hashed in one pass
+per batch, finalized with a splitmix-style mixer. No per-byte Python
+loops anywhere in the hot path.
+
+Scale notes: the shuffles are the (salted) band groupby, a tiny hot-key
+histogram aggregation, and the skinny verified-pair dedup groupby —
+every one hash-bucketed so group count stays O(partitions), never
+O(keys) (per-group pandas overhead dominates otherwise; measured 191 s
+for a per-pair groupby over 4.7M pairs vs 8 s bucketed). Nothing
+gathers the corpus onto the driver.
 """
 
 from __future__ import annotations
@@ -32,23 +41,74 @@ import pyarrow.compute as pc
 from cartography_ray.functions.text import normalize_text_array
 
 _M61 = (1 << 61) - 1
+_FNV_PRIME = np.uint64(0x100000001B3)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+# cap on concatenated shingles processed per internal chunk (bounds the
+# (num_perm × S) universal-hash temporary to ~128 MB at num_perm=64)
+_SHINGLE_CHUNK = 1 << 18
 
 
-def _shingles(text: str, k: int) -> set[int]:
-    """Character k-gram shingle hashes (stable across processes)."""
-    if not text or len(text) < k:
-        return {hash_bytes(text.encode())} if text else set()
-    arr = {hash_bytes(text[i : i + k].encode()) for i in range(len(text) - k + 1)}
-    return arr
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wraparound)."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
 
-def hash_bytes(b: bytes) -> int:
-    # FNV-1a 64-bit: deterministic across processes (unlike Python's hash)
-    h = 0xCBF29CE484222325
-    for byte in b:
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _batch_shingle_hashes(texts: list[str | None], k: int) -> list[np.ndarray]:
+    """Per-doc sorted-unique uint64 character-k-gram hashes, vectorized.
+
+    The whole batch's lowercased codepoints are concatenated into ONE
+    uint64 array; a single rolling polynomial pass hashes every window;
+    per-doc windows are sliced out and uniqued. Texts shorter than k
+    hash as one whole-text shingle (matching the prior semantics).
+    """
+    cps = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        c = np.frombuffer((t or "").lower().encode("utf-32-le"), dtype=np.uint32)
+        cps.append(c)
+        lens[i] = c.size
+    if not cps:
+        return []
+    buf = np.concatenate(cps).astype(np.uint64) if len(cps) > 1 else cps[0].astype(np.uint64)
+    starts = np.zeros(len(cps), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    n_windows = max(0, buf.size - k + 1)
+    H = np.full(n_windows, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            H = H * _FNV_PRIME + buf[j : j + n_windows]
+    H = _mix64(H)
+    out: list[np.ndarray] = []
+    for i in range(len(cps)):
+        s, L = int(starts[i]), int(lens[i])
+        if L == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+        elif L < k:
+            # whole-short-text shingle: same polynomial over its codepoints
+            h = _FNV_OFFSET
+            with np.errstate(over="ignore"):
+                for v in buf[s : s + L]:
+                    h = h * _FNV_PRIME + v
+                out.append(_mix64(np.array([h], dtype=np.uint64)))
+        else:
+            out.append(np.unique(H[s : s + L - k + 1]))
+    return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique hash arrays (searchsorted
+    membership — no re-sort, ~3× faster than intersect1d per call)."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    if a.size > b.size:
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = 0
+    inter = int(np.count_nonzero(b[idx] == a))
+    return inter / max(1, a.size + b.size - inter)
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
@@ -77,28 +137,25 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def _minhash_signature(shingle_sets: list[set[int]], num_perm: int, seed: int = 7) -> np.ndarray:
-    """(n_docs, num_perm) minhash matrix via universal hashing a*x+b mod p."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _M61, size=num_perm, dtype=np.int64).astype(object)
-    b = rng.integers(0, _M61, size=num_perm, dtype=np.int64).astype(object)
-    out = np.full((len(shingle_sets), num_perm), _M61, dtype=np.int64)
-    for i, sh in enumerate(shingle_sets):
-        if not sh:
-            continue
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh)).astype(object)
-        # (a*x + b) mod p, per permutation — object dtype avoids overflow
-        for j in range(num_perm):
-            out[i, j] = int(min((a[j] * xi + b[j]) % _M61 for xi in x))
-    return out
-
-
 class MinHasher:
-    """Actor-pool stage: doc batch → (band_id, band_hash, id) rows."""
+    """Actor-pool stage: doc batch → (band_id, band_hash, id) rows.
 
-    def __init__(self, num_perm: int = 32, bands: int = 8, shingle_k: int = 5, seed: int = 7):
+    Fully vectorized: one universal-hash GEMM-shaped pass per internal
+    chunk, per-doc minima via ``np.minimum.reduceat``, band folding as a
+    vectorized polynomial over the r rows of each band.
+    """
+
+    def __init__(
+        self,
+        num_perm: int = 32,
+        bands: int = 8,
+        shingle_k: int = 5,
+        seed: int = 7,
+        carry_text: bool = False,
+    ):
         assert num_perm % bands == 0
         self.num_perm, self.bands, self.k, self.seed = num_perm, bands, shingle_k, seed
+        self.carry_text = carry_text
         rng = np.random.default_rng(seed)
         # a < 2^29 and 32-bit shingle hashes keep a*x + b < 2^61 inside
         # uint64 — the whole (num_perm × n_shingles) universal hash runs as
@@ -106,34 +163,61 @@ class MinHasher:
         self.a = rng.integers(1, 1 << 29, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles((text or "").lower(), self.k)
-        if not sh:
-            return np.full(self.num_perm, _M61, dtype=np.int64)
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh)) & np.uint64(0xFFFFFFFF)
-        hashed = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_M61)
-        return hashed.min(axis=1).astype(np.int64)
+    def _signatures(self, texts: list[str | None]) -> np.ndarray:
+        """(n_docs, num_perm) int64 minhash matrix for a text chunk."""
+        sh = _batch_shingle_hashes(texts, self.k)
+        n = len(sh)
+        sig = np.full((n, self.num_perm), _M61, dtype=np.int64)
+        counts = np.array([s.size for s in sh], dtype=np.int64)
+        nz = np.flatnonzero(counts)
+        if nz.size == 0:
+            return sig
+        xs = np.concatenate([sh[i] for i in nz]) & np.uint64(0xFFFFFFFF)
+        offs = np.zeros(nz.size, dtype=np.int64)
+        np.cumsum(counts[nz][:-1], out=offs[1:])
+        with np.errstate(over="ignore"):
+            hashed = (self.a[:, None] * xs[None, :] + self.b[:, None]) % np.uint64(_M61)
+        mins = np.minimum.reduceat(hashed, offs, axis=1)  # (num_perm, n_nonempty)
+        sig[nz] = mins.T.astype(np.int64)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_pylist()
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        rows_id, rows_band, rows_hash = [], [], []
         r = self.num_perm // self.bands
+        sig_parts, lo = [], 0
+        # chunk by shingle budget so the (num_perm × S) temp stays bounded
+        budget, acc = _SHINGLE_CHUNK, 0
         for i, t in enumerate(texts):
-            sig = self.signature(t)
-            for band in range(self.bands):
-                chunk = sig[band * r : (band + 1) * r]
-                h = hash_bytes(chunk.tobytes())
-                rows_id.append(ids[i])
-                rows_band.append(band)
-                rows_hash.append(h % (1 << 62))
-        return pa.table(
-            {
-                "doc_id": pa.array(rows_id, pa.int64()),
-                "band": pa.array(rows_band, pa.int32()),
-                "band_hash": pa.array(rows_hash, pa.int64()),
-            }
-        )
+            acc += max(1, len(t or ""))
+            if acc >= budget:
+                sig_parts.append(self._signatures(texts[lo : i + 1]))
+                lo, acc = i + 1, 0
+        if lo < len(texts):
+            sig_parts.append(self._signatures(texts[lo:]))
+        sig = np.vstack(sig_parts) if sig_parts else np.empty((0, self.num_perm), np.int64)
+        n = sig.shape[0]
+        # fold each band's r values into one 62-bit hash, vectorized
+        resh = sig.view(np.uint64).reshape(n, self.bands, r)
+        bh = np.full((n, self.bands), _FNV_OFFSET, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(r):
+                bh = bh * _FNV_PRIME + resh[:, :, j]
+        bh = (_mix64(bh) & np.uint64((1 << 62) - 1)).astype(np.int64)
+        cols = {
+            "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array(bh.ravel(), pa.int64()),
+        }
+        if self.carry_text:
+            # text rides with each banded row (×bands amplification) so
+            # verification can happen INSIDE the band-bucket group — one
+            # shuffle total instead of candidate + two text joins
+            t = pc.cast(batch.column("text"), pa.string())
+            cols["text"] = pa.array(
+                np.repeat(t.to_numpy(zero_copy_only=False), self.bands), pa.string()
+            )
+        return pa.table(cols)
 
 
 def _group_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -145,10 +229,96 @@ def _group_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
 
-def jaccard(a: set, b: set) -> float:
-    if not a and not b:
-        return 1.0
-    return len(a & b) / max(1, len(a | b))
+def _banded_pairs(banded, num_buckets: int = 64):
+    """Candidate pairs from a banded table via a HASH-BUCKET groupby: the
+    natural per-(band, band_hash) groupby creates one tiny pandas group
+    per bucket (tens of thousands), and per-group overhead dominates
+    (measured ~24 s for 80k banded rows). Instead: shuffle once on
+    ``hash(band_hash) % num_buckets`` (all rows of one band bucket
+    co-locate) and build pairs inside each partition with ONE vectorized
+    self-merge on (band, band_hash)."""
+    from cartography_ray.runtime import drop_empty_blocks
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["band_hash"].to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+        return batch.assign(__bb=(_mix64(h) % np.uint64(num_buckets)).astype(np.int64))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        sub = group.drop(columns="__bb")
+        m = sub.merge(sub, on=["band", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = pd.DataFrame(
+            {
+                "id_a": m["doc_id_x"].to_numpy(dtype=np.int64),
+                "id_b": m["doc_id_y"].to_numpy(dtype=np.int64),
+            }
+        )
+        return out.drop_duplicates()
+
+    return drop_empty_blocks(
+        banded.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+def _dedup_pairs(cand, num_buckets: int = 64):
+    """Distinct (id_a, id_b) via a HASH-BUCKET groupby — NOT a per-pair
+    groupby: millions of two-row groups make per-group pandas overhead the
+    bottleneck (measured 191 s for 4.7M pairs); 64 bucket groups with a
+    vectorized drop_duplicates inside run in seconds. Same shuffle volume.
+    Extra columns ride along (first row per pair wins)."""
+    from cartography_ray.runtime import drop_empty_blocks
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.drop_duplicates(["id_a", "id_b"])
+        a = batch["id_a"].to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+        b = batch["id_b"].to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+        return batch.assign(__pb=(h % np.uint64(num_buckets)).astype(np.int64))
+
+    def bucket_distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["id_a", "id_b"]).drop(columns="__pb")
+
+    return drop_empty_blocks(
+        cand.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(bucket_distinct, batch_format="pandas")
+    )
+
+
+def _hot_band_buckets(banded_skinny, limit: int) -> dict:
+    """(band, band_hash) → chunk count for buckets larger than ``limit``.
+
+    Two-phase: per-batch partial counts, then a small hash-bucket groupby
+    sums them and keeps ONLY hot keys — the collected set is provably
+    ≤ total_rows / limit entries, so the driver never holds the full
+    bucket histogram (the salted-repartition prerequisite of the north
+    rule's skew handling).
+    """
+    from cartography_ray.runtime import drop_empty_blocks
+
+    def local_count(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(["band", "band_hash"], sort=False).size().reset_index(name="n")
+        h = out["band_hash"].to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+        return out.assign(__cb=(_mix64(h) % np.uint64(64)).astype(np.int64))
+
+    def hot_only(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["band", "band_hash"], sort=False)["n"].sum().reset_index()
+        return tot[tot["n"] > limit]
+
+    hot = drop_empty_blocks(
+        banded_skinny.map_batches(local_count, batch_format="pandas")
+        .groupby("__cb")
+        .map_groups(hot_only, batch_format="pandas")
+    ).to_pandas()
+    if hot.empty or "band" not in hot.columns:  # no hot buckets anywhere
+        return {}
+    return {
+        (int(b), int(h)): int(-(-n // limit))
+        for b, h, n in zip(hot["band"], hot["band_hash"], hot["n"])
+    }
 
 
 def minhash_lsh_pairs(
@@ -158,109 +328,228 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 5,
     concurrency: int = 4,
+    hot_bucket_limit: int = 256,
 ):
     """Near-dup pairs via MinHash-LSH with exact-Jaccard verification.
 
-    Returns (id_a, id_b) pairs with char-k-gram Jaccard ≥ threshold.
-    Verification broadcasts the (id → text) map — replace with a
-    hash_join for corpora that cannot broadcast.
+    Returns (id_a, id_b, jaccard) pairs with char-k-gram Jaccard ≥
+    threshold. Text rides with the banded rows (×bands amplification —
+    linear in corpus size) so exact-Jaccard verification happens INSIDE
+    the band-bucket group: candidate generation, text co-location and
+    verification cost ONE main shuffle, plus a tiny hot-key histogram
+    pass and a skinny dedup shuffle over the verified pair set. The
+    corpus never lands on the driver.
+
+    **Skew (north rule: salt hot keys)**: an LSH bucket with m docs emits
+    m(m-1)/2 pairs; one template cluster would serialize the whole verify
+    on one task (measured: a 1,619-doc bucket = 1.3M pairs = a 16 s
+    straggler). Buckets above ``hot_bucket_limit`` are therefore split
+    into ceil(m/limit) doc-chunks and every chunk PAIR (i ≤ j) becomes
+    its own verify cell — each row ships once per chunk it must meet, so
+    no cell exceeds ~limit² pairs and the verify stage load-balances.
     """
     import ray
 
     from cartography_ray.runtime import drop_empty_blocks
 
+    hasher = MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k, carry_text=True)
     banded = ds.map_batches(
-        MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
-    cand = drop_empty_blocks(
-        banded.groupby(["band", "band_hash"]).map_groups(_group_pairs, batch_format="pandas")
-    )
-
-    # distinct pairs across bands
-    def _local_dedup(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates()
-
-    def _head(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    cand = drop_empty_blocks(
-        cand.map_batches(_local_dedup, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(_head, batch_format="pandas")
-    )
-
-    texts = {}
-    for blk in ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pyarrow"):
-        texts.update(zip(blk.column("doc_id").to_pylist(), blk.column("text").to_pylist()))
-    texts_ref = ray.put(texts)
+        hasher, batch_format="pyarrow", concurrency=concurrency
+    ).materialize()
+    hot = _hot_band_buckets(banded.select_columns(["band", "band_hash"]), hot_bucket_limit)
+    hot_ref = ray.put(hot)
     k = shingle_k
 
-    def verify(batch: pa.Table) -> pa.Table:
-        tmap = ray.get(texts_ref)
-        ia = batch.column("id_a").to_pylist()
-        ib = batch.column("id_b").to_pylist()
-        keep_a, keep_b, sims = [], [], []
-        cache: dict[int, set] = {}
-
-        def sh(i):
-            if i not in cache:
-                cache[i] = _shingles((tmap.get(i) or "").lower(), k)
-            return cache[i]
-
-        for x, y in zip(ia, ib):
-            j = jaccard(sh(x), sh(y))
-            if j >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                sims.append(j)
-        return pa.table(
-            {
-                "id_a": pa.array(keep_a, pa.int64()),
-                "id_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(sims, pa.float64()),
-            }
+    def explode(b: pa.Table) -> pa.Table:
+        """Arrow-native cell assignment (text stays an Arrow string array —
+        no Python-object round trip through the shuffle)."""
+        hmap = ray.get(hot_ref)
+        band = b.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(band)
+        if hmap:
+            hot_mask = np.fromiter(
+                ((int(bd), int(bhh)) in hmap for bd, bhh in zip(band, bh)),
+                dtype=bool,
+                count=n,
+            )
+        else:
+            hot_mask = np.zeros(n, dtype=bool)
+        # cold rows pass through once; hot rows replicate to their chunk
+        # cells via a take-index list (arrow `take` keeps text zero-copy-ish)
+        take_idx = [np.flatnonzero(~hot_mask)]
+        n_cold = take_idx[0].size
+        chunk = [np.zeros(n_cold, dtype=np.int64)]
+        gx = [np.zeros(n_cold, dtype=np.int64)]
+        gy = [np.zeros(n_cold, dtype=np.int64)]
+        for idx in np.flatnonzero(hot_mask):
+            c = hmap[(int(band[idx]), int(bh[idx]))]
+            ci = int(_mix64(np.array([did[idx]], dtype=np.uint64))[0] % c)
+            cells = [(min(ci, j), max(ci, j)) for j in range(c)]
+            take_idx.append(np.full(len(cells), idx, dtype=np.int64))
+            chunk.append(np.full(len(cells), ci, dtype=np.int64))
+            gx.append(np.array([x for x, _ in cells], dtype=np.int64))
+            gy.append(np.array([y for _, y in cells], dtype=np.int64))
+        take = np.concatenate(take_idx)
+        out = b.take(pa.array(take, pa.int64()))
+        gx_o = np.concatenate(gx)
+        gy_o = np.concatenate(gy)
+        with np.errstate(over="ignore"):
+            cell = _mix64(
+                bh[take].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ^ (gx_o.view(np.uint64) << np.uint64(32))
+                ^ gy_o.view(np.uint64)
+            )
+        return (
+            out.append_column("chunk", pa.array(np.concatenate(chunk), pa.int64()))
+            .append_column("gx", pa.array(gx_o, pa.int64()))
+            .append_column("gy", pa.array(gy_o, pa.int64()))
+            .append_column("__bb", pa.array((cell % np.uint64(64)).astype(np.int64), pa.int64()))
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    def verify_cell(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+        sub = group.drop(columns="__bb").reset_index(drop=True)
+        key = sub[["band", "band_hash", "gx", "gy", "chunk", "doc_id"]]
+        m = key.merge(key, on=["band", "band_hash", "gx", "gy"])
+        m = m[
+            (m["chunk_x"] == m["gx"])
+            & (m["chunk_y"] == m["gy"])
+            & (m["doc_id_x"] != m["doc_id_y"])
+        ]
+        if not len(m):
+            return empty
+        ia = np.minimum(m["doc_id_x"].to_numpy(dtype=np.int64), m["doc_id_y"].to_numpy(dtype=np.int64))
+        ib = np.maximum(m["doc_id_x"].to_numpy(dtype=np.int64), m["doc_id_y"].to_numpy(dtype=np.int64))
+        pairs = pd.DataFrame({"id_a": ia, "id_b": ib}).drop_duplicates()
+        # shingle each UNIQUE doc in this partition once
+        docs_u = sub.drop_duplicates("doc_id")
+        sh_u = _batch_shingle_hashes(docs_u["text"].tolist(), k)
+        pos = {int(i): j for j, i in enumerate(docs_u["doc_id"].to_numpy(dtype=np.int64))}
+        ix = pairs["id_a"].to_numpy(dtype=np.int64)
+        iy = pairs["id_b"].to_numpy(dtype=np.int64)
+        sims = np.fromiter(
+            (jaccard(sh_u[pos[int(a)]], sh_u[pos[int(b)]]) for a, b in zip(ix, iy)),
+            dtype=np.float64,
+            count=len(ix),
+        )
+        keep = sims >= threshold
+        return pd.DataFrame({"id_a": ix[keep], "id_b": iy[keep], "jaccard": sims[keep]})
+
+    verified = drop_empty_blocks(
+        banded.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bb")
+        .map_groups(verify_cell, batch_format="pandas")
+    )
+    return _dedup_pairs(verified)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 class SimHasher:
-    """Actor-pool stage: 64-bit simhash + 16-bit chunk keys per doc."""
+    """Actor-pool stage: 64-bit simhash + 16-bit chunk keys per doc.
+
+    Vectorized: per-bit votes are segment sums (``np.add.reduceat``) over
+    the batch's concatenated shingle hashes; the full signature is
+    emitted with every banded row (int64 bit-pattern) so downstream
+    verification never needs a signature lookup table.
+    """
 
     def __init__(self, shingle_k: int = 5):
         self.k = shingle_k
 
-    def simhash(self, text: str) -> int:
-        sh = _shingles((text or "").lower(), self.k)
-        if not sh:
-            return 0
-        v = np.zeros(64, dtype=np.int64)
-        for h in sh:
-            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-            v += np.where(bits.astype(np.int64) > 0, 1, -1)
-        bits = (v > 0).astype(np.uint8)
-        return int.from_bytes(np.packbits(bits).tobytes(), "little")
+    def _simhashes(self, texts: list[str | None]) -> np.ndarray:
+        """(n_docs,) uint64 simhash per text."""
+        sh = _batch_shingle_hashes(texts, self.k)
+        n = len(sh)
+        out = np.zeros(n, dtype=np.uint64)
+        counts = np.array([s.size for s in sh], dtype=np.int64)
+        nz = np.flatnonzero(counts)
+        if nz.size == 0:
+            return out
+        xs = np.concatenate([sh[i] for i in nz])
+        offs = np.zeros(nz.size, dtype=np.int64)
+        np.cumsum(counts[nz][:-1], out=offs[1:])
+        cn = counts[nz]
+        sig = np.zeros(nz.size, dtype=np.uint64)
+        for bit in range(64):
+            bvals = ((xs >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bvals, offs)
+            sig |= ((2 * ones > cn).astype(np.uint64)) << np.uint64(bit)
+        out[nz] = sig
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_pylist()
-        hs = [self.simhash(t) for t in batch.column("text").to_pylist()]
-        out_id, out_chunk, out_key, out_sim = [], [], [], []
-        for i, h in zip(ids, hs):
-            for c in range(4):
-                out_id.append(i)
-                out_chunk.append(c)
-                out_key.append((h >> (16 * c)) & 0xFFFF)
-                out_sim.append(h % (1 << 62))
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        sims_parts, lo, acc = [], 0, 0
+        for i, t in enumerate(texts):
+            acc += max(1, len(t or ""))
+            if acc >= _SHINGLE_CHUNK:
+                sims_parts.append(self._simhashes(texts[lo : i + 1]))
+                lo, acc = i + 1, 0
+        if lo < len(texts):
+            sims_parts.append(self._simhashes(texts[lo:]))
+        sims = np.concatenate(sims_parts) if sims_parts else np.empty(0, np.uint64)
+        n = sims.size
+        chunks = np.tile(np.arange(4, dtype=np.int32), n)
+        rep = np.repeat(sims, 4)
+        shifts = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+        keys = ((rep >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "chunk": pa.array(out_chunk, pa.int32()),
-                "chunk_key": pa.array(out_key, pa.int64()),
-                "simhash_mod": pa.array(out_sim, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "chunk": pa.array(chunks, pa.int32()),
+                "chunk_key": pa.array(keys, pa.int64()),
+                "simhash": pa.array(rep.view(np.int64), pa.int64()),
             }
         )
+
+
+def _simhash_bucket_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """Hamming-verified distinct pairs within one hash bucket of the
+    banded simhash table — signatures ride with the rows, so verification
+    is local (no driver-side signature map). One vectorized self-merge on
+    (chunk, chunk_key) builds the candidate pairs."""
+    sub = group.drop(columns="__bb")
+    m = sub.merge(sub, on=["chunk", "chunk_key"])
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    if not len(m):
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+    d = _popcount64(
+        m["simhash_x"].to_numpy(dtype=np.int64).view(np.uint64)
+        ^ m["simhash_y"].to_numpy(dtype=np.int64).view(np.uint64)
+    )
+    keep = d <= max_hamming
+    return pd.DataFrame(
+        {
+            "id_a": m["doc_id_x"].to_numpy(dtype=np.int64)[keep],
+            "id_b": m["doc_id_y"].to_numpy(dtype=np.int64)[keep],
+            "hamming": d[keep],
+        }
+    ).drop_duplicates(["id_a", "id_b"])
 
 
 def simhash_pairs(ds, max_hamming: int = 3, shingle_k: int = 5, concurrency: int = 4):
@@ -268,62 +557,25 @@ def simhash_pairs(ds, max_hamming: int = 3, shingle_k: int = 5, concurrency: int
 
     Banding: 4 chunks of 16 bits ⇒ any pair within hamming 3 shares at
     least one chunk (pigeonhole), so the chunk groupby finds all of them;
-    verification recomputes true hamming on the full hashes.
+    hamming is verified inside the group from the carried signatures
+    (larger max_hamming values remain approximate, as documented).
     """
-    import ray
-
     from cartography_ray.runtime import drop_empty_blocks
 
     hashed = ds.map_batches(
         SimHasher(shingle_k=shingle_k), batch_format="pyarrow", concurrency=concurrency
     )
-    sims: dict[int, int] = {}
-    hashed_mat = drop_empty_blocks(hashed)
-    for blk in hashed_mat.iter_batches(batch_format="pyarrow"):
-        for i, c, key, m in zip(
-            blk.column("doc_id").to_pylist(),
-            blk.column("chunk").to_pylist(),
-            blk.column("chunk_key").to_pylist(),
-            blk.column("simhash_mod").to_pylist(),
-        ):
-            sims.setdefault(i, 0)
-            sims[i] |= int(key) << (16 * int(c))
-    sims_ref = ray.put(sims)
 
-    cand = drop_empty_blocks(
-        hashed_mat.groupby(["chunk", "chunk_key"]).map_groups(_group_pairs, batch_format="pandas")
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["chunk_key"].to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+        return batch.assign(__bb=(_mix64(h) % np.uint64(64)).astype(np.int64))
+
+    verified = drop_empty_blocks(
+        hashed.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bb")
+        .map_groups(lambda g: _simhash_bucket_pairs(g, max_hamming), batch_format="pandas")
     )
-
-    def _local_dedup(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates()
-
-    def _head(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    cand = drop_empty_blocks(
-        cand.map_batches(_local_dedup, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(_head, batch_format="pandas")
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        smap = ray.get(sims_ref)
-        keep_a, keep_b, dists = [], [], []
-        for x, y in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
-            d = bin(smap.get(x, 0) ^ smap.get(y, 0)).count("1")
-            if d <= max_hamming:
-                keep_a.append(x)
-                keep_b.append(y)
-                dists.append(d)
-        return pa.table(
-            {
-                "id_a": pa.array(keep_a, pa.int64()),
-                "id_b": pa.array(keep_b, pa.int64()),
-                "hamming": pa.array(dists, pa.int64()),
-            }
-        )
-
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return _dedup_pairs(verified)
 
 
 def jaccard_pairs_smallside(
@@ -338,27 +590,35 @@ def jaccard_pairs_smallside(
 
     The oracle-checkable baseline: every (row, subset-doc) pair with
     id_row < id_subset and Jaccard ≥ threshold. O(n·|subset|) — subset
-    must be broadcastable.
+    must be broadcastable. Subset shingle arrays are computed once and
+    shipped via ``ray.put``; batch-side hashing is vectorized.
     """
     import ray
 
     sub = set(subset_ids)
-    texts = {}
-    for blk in ds.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
+    sub_texts: dict[int, str] = {}
+    filt = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(pc.cast(b.column(id_col), pa.int64()), pa.array(sorted(sub), pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    for blk in filt.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
         for i, t in zip(blk.column(id_col).to_pylist(), blk.column(text_col).to_pylist()):
-            if i in sub:
-                texts[i] = t
-    sub_sh = {i: _shingles((t or "").lower(), shingle_k) for i, t in texts.items()}
+            sub_texts[i] = t
+    sub_ids = list(sub_texts)
+    sub_sh = dict(
+        zip(sub_ids, _batch_shingle_hashes([sub_texts[i] for i in sub_ids], shingle_k))
+    )
     sub_ref = ray.put(sub_sh)
+    k = shingle_k
 
     def pairs(batch: pa.Table) -> pa.Table:
         smap = ray.get(sub_ref)
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        shs = _batch_shingle_hashes(batch.column(text_col).to_pylist(), k)
         out_a, out_b, out_j = [], [], []
-        for i, t in zip(
-            pc.cast(batch.column(id_col), pa.int64()).to_pylist(),
-            batch.column(text_col).to_pylist(),
-        ):
-            sh = _shingles((t or "").lower(), shingle_k)
+        for i, sh in zip(ids, shs):
             for j_id, j_sh in smap.items():
                 if i >= j_id:
                     continue

@@ -85,17 +85,19 @@ def _dedup_batch(batch: pa.Table, cols: list[str]) -> pa.Table:
     return batch.take(pa.array(idx))
 
 
-def _checkpoint(ds, path: str) -> str:
+def _checkpoint(ds, path: str, token: str = "ok") -> str:
     """Execute a stage ONCE into a Parquet directory; skip if already done.
 
     A ``_SUCCESS`` marker written after ``write_parquet`` makes the stage
     atomic-enough for rerun-after-kill: a partial directory (no marker) is
-    discarded and rewritten.
+    discarded and rewritten. The marker records an input ``token``
+    (fingerprint): a checkpoint left by a DIFFERENT input is discarded
+    instead of silently reused.
     """
     import shutil
 
     marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker):
+    if _checkpoint_valid(path, token):
         return path
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -103,8 +105,49 @@ def _checkpoint(ds, path: str) -> str:
     # bound file count: downstream consumers pay one task chain per file
     ds.write_parquet(path, min_rows_per_file=65536)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(token)
     return path
+
+
+def _checkpoint_valid(path: str, token: str = "ok") -> bool:
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        return False
+    try:
+        content = open(marker).read()
+    except OSError:
+        return False
+    # legacy "ok" markers (pre-token) only match an explicit "ok" token
+    return content == token
+
+
+_WORK_SEQ = 0
+
+
+def _input_fingerprint(transcripts) -> str:
+    """Cheap input-identity token for checkpoint reuse.
+
+    File-backed Datasets fingerprint deterministically on (sorted file
+    list, sizes) — resumable across processes. In-memory Datasets get a
+    unique per-call token (no reuse — their identity is unknowable, and
+    ``id()`` can be recycled after GC)."""
+    import hashlib
+
+    global _WORK_SEQ
+    try:
+        files = sorted(transcripts.input_files())
+    except Exception:
+        files = []
+    if files:
+        h = hashlib.md5()
+        for f in files:
+            try:
+                h.update(f"{f}:{os.path.getsize(f)}".encode())
+            except OSError:
+                h.update(f.encode())
+        return h.hexdigest()[:12]
+    _WORK_SEQ += 1
+    return f"mem-{os.getpid()}-{_WORK_SEQ}"
 
 
 # --------------------------------------------------------------------------
@@ -283,10 +326,19 @@ def make_alias_edges_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
 
 
 def make_label_entity_nodes_fn(ctx: IngestContext) -> Callable[[pa.Table], pa.Table]:
+    """Entity rows for BOTH columns of the canonical label map — member
+    ('node') and root ('label') — so every ALIAS_OF endpoint exists as an
+    Entity node (edges attach only to existing nodes; reference
+    querybuilder.py:864-902 inner-join-drop semantics)."""
     project = project_nodes(specs.ENTITY_NODE, ctx)
 
     def fn(batch: pa.Table) -> pa.Table:
-        rows = _entity_rows(batch.rename_columns(["node", "entity_id"]), "entity_id")
+        member = pc.cast(batch.column("node"), pa.string()).combine_chunks()
+        root = pc.cast(batch.column("label"), pa.string()).combine_chunks()
+        ids = pa.concat_arrays(
+            [c for col in (member, root) for c in (col.chunks if isinstance(col, pa.ChunkedArray) else [col])]
+        )
+        rows = _entity_rows(pa.table({"entity_id": ids}), "entity_id")
         return project(_dedup_batch(rows, ["entity_id", "kind"]))
 
     return fn
@@ -304,6 +356,7 @@ def build_graph(
     batch_size: int = 4096,
     cc_partitions: int = 8,
     timings: dict | None = None,
+    input_token: str | None = None,
     _defer_resolve: bool = False,
 ) -> dict[str, Any]:
     """Run extraction → linking → canonicalization; return Dataset handles.
@@ -322,8 +375,10 @@ def build_graph(
 
     configure()
 
+    if input_token is None:
+        input_token = _input_fingerprint(transcripts)
     if work_dir is None:
-        work_dir = f"/tmp/graft_kg/work/{os.getpid()}-{id(transcripts)}"
+        work_dir = f"/tmp/graft_kg/work/{input_token}"
     os.makedirs(work_dir, exist_ok=True)
     if timings is None:
         timings = {}
@@ -331,12 +386,13 @@ def build_graph(
     # Stage 1: stabilize order (global sort) + computed id columns — once.
     _t = _time.time()
     sorted_path = os.path.join(work_dir, "sorted")
-    if not os.path.exists(os.path.join(sorted_path, "_SUCCESS")):
+    if not _checkpoint_valid(sorted_path, input_token):
         _checkpoint(
             transcripts.sort(["conv_id", "turn_idx"]).map_batches(
                 _prepare_turns, batch_format="pyarrow"
             ),
             sorted_path,
+            input_token,
         )
     timings["sort_checkpoint"] = round(_time.time() - _t, 2)
     turns = ray.data.read_parquet(sorted_path)
@@ -354,8 +410,10 @@ def build_graph(
     # Stage 2: mention detection (actor pool) — once; consumers re-read.
     _t = _time.time()
     mentions_path = os.path.join(work_dir, "mentions")
-    if not os.path.exists(os.path.join(mentions_path, "_SUCCESS")):
-        _checkpoint(turns.map_batches(MentionDetector, **det_kwargs), mentions_path)
+    if not _checkpoint_valid(mentions_path, input_token):
+        _checkpoint(
+            turns.map_batches(MentionDetector, **det_kwargs), mentions_path, input_token
+        )
     raw_mentions = ray.data.read_parquet(mentions_path)
     timings["detect_checkpoint"] = round(_time.time() - _t, 2)
 
@@ -374,12 +432,13 @@ def build_graph(
     # side (Entity) and the edge side (MENTIONS family) consume it.
     _t = _time.time()
     resolved_path = os.path.join(work_dir, "resolved")
-    if not os.path.exists(os.path.join(resolved_path, "_SUCCESS")):
+    if not _checkpoint_valid(resolved_path, input_token):
         # LinkScorer is pure-vectorized (no per-worker state) → stateless tasks
         linked = raw_mentions.map_batches(LinkScorer(), batch_format="pyarrow")
         _checkpoint(
             resolve_keys(linked, labels, key_col="entity_key", out_col="entity_id"),
             resolved_path,
+            input_token,
         )
     resolved = ray.data.read_parquet(resolved_path)
     timings["resolve_checkpoint"] = round(_time.time() - _t, 2)
@@ -556,8 +615,9 @@ def run_kg_pipeline(
     from cartography_ray.state.spill import submit_spill, write_small_tables
 
     configure()
+    input_token = _input_fingerprint(transcripts)
     if work_dir is None:
-        work_dir = f"/tmp/graft_kg/work/{os.getpid()}-sync"
+        work_dir = f"/tmp/graft_kg/work/{input_token}-sync"
     timings: dict[str, float] = {}
     metrics: dict[str, Any] = {"nodes": {}, "edges": {}, "deleted": {}, "timings": timings}
 
@@ -574,6 +634,7 @@ def run_kg_pipeline(
         detector_concurrency=detector_concurrency,
         batch_size=batch_size,
         timings=timings,
+        input_token=input_token,
         _defer_resolve=True,
     )
     timings["build_graph"] = round(time.time() - t0, 2)
@@ -609,6 +670,7 @@ def run_kg_pipeline(
         detector_concurrency=detector_concurrency,
         batch_size=batch_size,
         timings=t2,
+        input_token=input_token,
     )
     # checkpoints were built by the first call; keep its timings and take
     # only the second call's new phases (canonicalize / resolve)
@@ -657,10 +719,17 @@ def run_kg_pipeline(
         # a parallel per-file distinct sweep over the sorted checkpoint
         # (ds.unique() is a full executor pass + driver list build)
         synced = _collect_synced(conv_futs)
-        # all labels' per-bucket anti-join tasks in flight at once
+        # all labels' per-bucket anti-join tasks in flight at once.
+        # Turn nodes are scoped to their conversation (reference Case 1,
+        # cleanupbuilder.py:244-383); Conversation and Entity nodes are
+        # SHARED across sub-resources, so they map to Case 3
+        # (cleanupbuilder.py:91-103): delete only their stale
+        # relationships, never the nodes — a partial re-sync must not
+        # delete Conversation/Entity rows other conversations still
+        # reference (dangling-edge corruption otherwise).
         metrics["deleted"] = store.cleanup_all(
             ctx,
-            node_labels={"Turn": True, "Conversation": False, "Entity": False},
+            node_labels={"Turn": True, "Conversation": "rels_only", "Entity": "rels_only"},
             edge_labels={
                 "MENTIONS": True,
                 "REFERENCES_TICKET": True,

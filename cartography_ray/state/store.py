@@ -50,12 +50,29 @@ def _lazy_cleanup_task():
     import ray
 
     @ray.remote(num_cpus=1)
-    def cleanup_parts(parts: list, tag: int, scoped: bool, subs) -> int:
-        # `subs` arrives as the resolved broadcast value (Ray auto-resolves
-        # ObjectRef arguments): a pa.Array of in-scope sub ids, or None.
+    def cleanup_parts(
+        parts: list,
+        tag: int,
+        scoped: bool,
+        subs,
+        eq_filter: list | None = None,
+        restrict=None,
+        restrict_cols: list | None = None,
+        collect_col: str | None = None,
+    ):
+        # `subs` / `restrict` arrive as resolved broadcast values (Ray
+        # auto-resolves ObjectRef arguments): pa.Arrays or None.
         # Chunked: one task handles several bucket files (tiny per-file
         # work makes per-task scheduling the dominant cost otherwise).
+        #
+        # eq_filter: [(col, value)] equality conjuncts — the matchlink
+        # cleanup scope (_sub_resource_label/_sub_resource_id; reference
+        # cleanupbuilder.py:603-667).
+        # restrict/restrict_cols: row eligible only if ANY restrict_col
+        # value is in `restrict` — cascade-delete children / detach edges.
+        # collect_col: also return the deleted rows' values of this column.
         deleted = 0
+        collected: list = []
         for part in parts:
             tbl = pq.read_table(part)
             stale = pc.not_equal(tbl.column("lastupdated"), pa.scalar(tag, pa.int64()))
@@ -64,18 +81,82 @@ def _lazy_cleanup_task():
                     continue
                 in_scope = pc.is_in(tbl.column("_sub_id"), subs)
                 stale = pc.and_(stale, pc.fill_null(in_scope, False))
+            if eq_filter:
+                for col, val in eq_filter:
+                    if col not in tbl.column_names:
+                        stale = None
+                        break
+                    stale = pc.and_(
+                        stale,
+                        pc.fill_null(
+                            pc.equal(pc.cast(tbl.column(col), pa.string()), pa.scalar(str(val))),
+                            False,
+                        ),
+                    )
+                if stale is None:
+                    continue
+            if restrict is not None and restrict_cols:
+                hit = None
+                for col in restrict_cols:
+                    m = pc.fill_null(
+                        pc.is_in(pc.cast(tbl.column(col), pa.string()), restrict), False
+                    )
+                    hit = m if hit is None else pc.or_(hit, m)
+                stale = pc.and_(stale, hit)
             stale = pc.fill_null(stale, False)
             n_stale = pc.sum(pc.cast(stale, pa.int64())).as_py() or 0
             if not n_stale:
                 continue
+            if collect_col is not None:
+                collected.extend(
+                    pc.cast(tbl.filter(stale).column(collect_col), pa.string()).to_pylist()
+                )
             kept = tbl.filter(pc.invert(stale))
             tmp = part + f".tmp.{os.getpid()}"
             pq.write_table(kept, tmp)
             os.replace(tmp, part)
             deleted += int(n_stale)
-        return deleted
+        return (deleted, collected)
 
     return cleanup_parts
+
+
+def _lazy_detach_task():
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def detach_parts(parts: list, ids) -> int:
+        """DETACH analogue: delete edges whose src OR dst is a deleted
+        node id, regardless of staleness (reference DETACH DELETE —
+        cleanupbuilder.py:336-342 deletes a node's rels with it)."""
+        deleted = 0
+        for part in parts:
+            tbl = pq.read_table(part)
+            hit = pc.or_(
+                pc.fill_null(pc.is_in(pc.cast(tbl.column("src_id"), pa.string()), ids), False),
+                pc.fill_null(pc.is_in(pc.cast(tbl.column("dst_id"), pa.string()), ids), False),
+            )
+            n = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+            if not n:
+                continue
+            kept = tbl.filter(pc.invert(hit))
+            tmp = part + f".tmp.{os.getpid()}"
+            pq.write_table(kept, tmp)
+            os.replace(tmp, part)
+            deleted += int(n)
+        return deleted
+
+    return detach_parts
+
+
+class _DetachHolder:
+    _task = None
+
+    @classmethod
+    def get(cls):
+        if cls._task is None:
+            cls._task = _lazy_detach_task()
+        return cls._task
 
 
 class _TaskHolder:
@@ -462,7 +543,7 @@ class GraphStore:
         import ray
 
         futures = self._cleanup_futures(kind, label, ctx, scoped, synced_sub_ids)
-        return int(sum(ray.get(futures)))
+        return int(sum(n for n, _ in ray.get(futures)))
 
     def _cleanup_futures(
         self,
@@ -494,33 +575,61 @@ class GraphStore:
             for i in range(0, len(parts), chunk)
         ]
 
+    @staticmethod
+    def _mode(value) -> str:
+        """Normalize a cleanup-mode value: True → 'scoped', False →
+        'unscoped'; strings pass through ('scoped'|'unscoped'|'rels_only').
+
+        The three node modes mirror the reference's cleanup cases
+        (cleanupbuilder.py:16-120): scoped = Case 1 (delete stale nodes
+        only inside synced sub-resources), unscoped = Case 4 (global
+        stale delete), rels_only = Case 3 (nodes shared across
+        sub-resources are NEVER deleted; only their stale rels are, via
+        the edge-label entries).
+        """
+        if value is True:
+            return "scoped"
+        if value is False:
+            return "unscoped"
+        if value not in ("scoped", "unscoped", "rels_only"):
+            raise ValueError(f"unknown cleanup mode: {value!r}")
+        return value
+
     def cleanup_all(
         self,
         ctx: IngestContext,
-        node_labels: dict[str, bool],
-        edge_labels: dict[str, bool],
+        node_labels: dict,
+        edge_labels: dict,
         synced_sub_ids: set,
     ) -> dict[str, int]:
         """Run the whole cleanup epoch pass with ALL labels' per-bucket
-        anti-join tasks in flight concurrently. label → scoped flag."""
+        anti-join tasks in flight concurrently. label → mode
+        (True/'scoped', False/'unscoped', 'rels_only' — nodes only)."""
         import ray
 
         sub_ref = ray.put(pa.array(sorted(synced_sub_ids), pa.string()))
+        none_ref = ray.put(None)
         plan: list[tuple[str, list]] = []
-        for label, scoped in node_labels.items():
+        for label, mode in node_labels.items():
+            mode = self._mode(mode)
+            if mode == "rels_only":
+                plan.append((label, []))
+                continue
+            scoped = mode == "scoped"
             plan.append(
-                (label, self._cleanup_futures("nodes", label, ctx, scoped, None, sub_ref if scoped else ray.put(None)))
+                (label, self._cleanup_futures("nodes", label, ctx, scoped, None, sub_ref if scoped else none_ref))
             )
-        for label, scoped in edge_labels.items():
+        for label, mode in edge_labels.items():
+            scoped = self._mode(mode) == "scoped"
             plan.append(
-                (label, self._cleanup_futures("edges", label, ctx, scoped, None, sub_ref if scoped else ray.put(None)))
+                (label, self._cleanup_futures("edges", label, ctx, scoped, None, sub_ref if scoped else none_ref))
             )
         out: dict[str, int] = {}
         all_futs = [f for _, futs in plan for f in futs]
         results = ray.get(all_futs)
         i = 0
         for label, futs in plan:
-            out[label] = int(sum(results[i : i + len(futs)]))
+            out[label] = int(sum(n for n, _ in results[i : i + len(futs)]))
             i += len(futs)
         return out
 
@@ -533,3 +642,145 @@ class GraphStore:
         self, rel_label: str, ctx: IngestContext, scoped: bool = True, synced_sub_ids: set | None = None
     ) -> int:
         return self._cleanup("edges", rel_label, ctx, scoped, synced_sub_ids)
+
+    def cleanup_matchlinks(
+        self,
+        rel_label: str,
+        ctx: IngestContext,
+        sub_resource_label: str,
+        sub_resource_id: str,
+    ) -> int:
+        """Expire stale matchlink edges scoped by the
+        ``_sub_resource_label`` / ``_sub_resource_id`` rel properties the
+        loaders stamp (reference cleanupbuilder.py:603-667: matchlink
+        cleanup matches on rel props, not a path; scoping refs validated
+        as kwargs-level at 568-600). Only edges belonging to this
+        (label, id) sub-resource whose lastupdated <> tag are deleted."""
+        import ray
+
+        parts = sorted(
+            glob.glob(os.path.join(self._dir("edges", rel_label), "bucket=*", "part.parquet"))
+        )
+        if not parts:
+            return 0
+        task = _TaskHolder.get()
+        eq = [("_sub_resource_label", sub_resource_label), ("_sub_resource_id", sub_resource_id)]
+        chunk = 16
+        futures = [
+            task.remote(parts[i : i + chunk], ctx.update_tag, False, None, eq)
+            for i in range(0, len(parts), chunk)
+        ]
+        return int(sum(n for n, _ in ray.get(futures)))
+
+    def cleanup_cascade(
+        self,
+        parent_label: str,
+        child_label: str,
+        ownership_rel: str,
+        ctx: IngestContext,
+        *,
+        parent_scoped: bool = False,
+        synced_sub_ids: set | None = None,
+        detach_edge_labels: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Cascade delete (reference cleanupbuilder.py:309-334): delete
+        stale parents, then stale children reachable via the ownership
+        rel — guarded by ``child.lastupdated <> tag`` so re-parented
+        (freshly-synced) children survive — then DETACH stale edges that
+        reference any deleted node.
+
+        Returns {parent, child, detached} row counts.
+        """
+        import ray
+
+        task = _TaskHolder.get()
+        tag = ctx.update_tag
+
+        def parts_of(kind: str, label: str) -> list[str]:
+            return sorted(
+                glob.glob(os.path.join(self._dir(kind, label), "bucket=*", "part.parquet"))
+            )
+
+        sub_ref = ray.put(
+            pa.array(sorted(synced_sub_ids), pa.string())
+            if parent_scoped and synced_sub_ids
+            else None
+        )
+        p_parts = parts_of("nodes", parent_label)
+        chunk = 16
+        p_futs = [
+            task.remote(p_parts[i : i + chunk], tag, parent_scoped, sub_ref, None, None, None, "id")
+            for i in range(0, len(p_parts), chunk)
+        ]
+        deleted_parents: list[str] = []
+        n_parent = 0
+        for n, ids in ray.get(p_futs):
+            n_parent += n
+            deleted_parents.extend(ids)
+        n_child = 0
+        child_ids: list[str] = []
+        if deleted_parents:
+            # children owned by a deleted parent (via the ownership edge
+            # table — one column scan per bucket, no shuffle)
+            parents_ref = ray.put(pa.array(sorted(set(deleted_parents)), pa.string()))
+            own_parts = parts_of("edges", ownership_rel)
+
+            @ray.remote(num_cpus=1)
+            def owned_children(parts: list, parents) -> list[str]:
+                out: list[str] = []
+                for part in parts:
+                    tbl = pq.read_table(part, columns=["src_id", "dst_id"])
+                    hit = pc.fill_null(
+                        pc.is_in(pc.cast(tbl.column("src_id"), pa.string()), parents), False
+                    )
+                    out.extend(
+                        pc.cast(tbl.filter(hit).column("dst_id"), pa.string()).to_pylist()
+                    )
+                return out
+
+            for ids in ray.get(
+                [
+                    owned_children.remote(own_parts[i : i + chunk], parents_ref)
+                    for i in range(0, len(own_parts), chunk)
+                ]
+            ):
+                child_ids.extend(ids)
+            if child_ids:
+                child_ref = ray.put(pa.array(sorted(set(child_ids)), pa.string()))
+                c_parts = parts_of("nodes", child_label)
+                c_futs = [
+                    task.remote(
+                        c_parts[i : i + chunk], tag, False, None, None, child_ref, ["id"], "id"
+                    )
+                    for i in range(0, len(c_parts), chunk)
+                ]
+                deleted_children: list[str] = []
+                for n, ids in ray.get(c_futs):
+                    n_child += n
+                    deleted_children.extend(ids)
+                child_ids = deleted_children
+        detached = 0
+        all_deleted = sorted(set(deleted_parents) | set(child_ids))
+        if all_deleted and detach_edge_labels:
+            detached = self.detach_edges(detach_edge_labels, all_deleted)
+        return {"parent": n_parent, "child": n_child, "detached": detached}
+
+    def detach_edges(self, edge_labels: list[str], node_ids: list[str]) -> int:
+        """Delete every edge referencing any of ``node_ids`` (either
+        endpoint) — the DETACH DELETE analogue preventing dangling rels."""
+        import ray
+
+        if not node_ids:
+            return 0
+        ids_ref = ray.put(pa.array(sorted(set(node_ids)), pa.string()))
+        task = _DetachHolder.get()
+        futures = []
+        chunk = 16
+        for label in edge_labels:
+            parts = sorted(
+                glob.glob(os.path.join(self._dir("edges", label), "bucket=*", "part.parquet"))
+            )
+            futures += [
+                task.remote(parts[i : i + chunk], ids_ref) for i in range(0, len(parts), chunk)
+            ]
+        return int(sum(ray.get(futures)))
