@@ -235,6 +235,10 @@ def attach_rels(
             batch = _explode_one_to_many(batch, f"_match_{key}")
         pdf = batch.to_pandas()
         if eq_keys:
+            # NULL never matches NULL (Cypher 'n.key = item.value'
+            # semantics) — pd.merge would pair NaN keys, fabricating edges
+            pdf = pdf.dropna(subset=[f"_match_{k}" for k in eq_keys])
+            tgt_df = tgt_df.dropna(subset=[f"_t_{k}" for k in eq_keys])
             merged = pdf.merge(
                 tgt_df,
                 left_on=[f"_match_{k}" for k in eq_keys],

@@ -60,9 +60,20 @@ def broadcast_join(
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
         rhs = ray.get(small_ref)
-        return batch.merge(
+        # NULL join keys never match (SQL semantics) — pd.merge pairs NaNs
+        rhs = rhs.dropna(subset=right_on)
+        if how == "inner":
+            batch = batch.dropna(subset=left_on)
+            return batch.merge(
+                rhs, left_on=left_on, right_on=right_on, how=how, suffixes=("", suffix)
+            )
+        nullk = batch[left_on].isna().any(axis=1)
+        out = batch[~nullk].merge(
             rhs, left_on=left_on, right_on=right_on, how=how, suffixes=("", suffix)
         )
+        if nullk.any():
+            out = pd.concat([out, batch[nullk]], ignore_index=True)
+        return out
 
     return ds.map_batches(merge, batch_format="pandas")
 
@@ -191,8 +202,22 @@ def hash_join(
     def merge_bucket(group: pa.Table) -> pa.Table:
         pdf = group.to_pandas()
         lhs = pdf[pdf["__side"] == 0][left_on + l_value]
-        rhs = pdf[pdf["__side"] == 1][left_on + r_value]
-        out = lhs.merge(rhs, on=left_on, how=pd_how)[all_cols]
+        # NULL join keys never match (SQL semantics) — pd.merge pairs NaNs
+        rhs_all = pdf[pdf["__side"] == 1][left_on + r_value]
+        rhs_nullk = rhs_all[left_on].isna().any(axis=1)
+        rhs = rhs_all[~rhs_nullk]
+        if pd_how == "inner":
+            lhs = lhs.dropna(subset=left_on)
+            out = lhs.merge(rhs, on=left_on, how=pd_how)[all_cols]
+        else:
+            # left/outer: null-key rows survive unmatched (other side null)
+            nullk = lhs[left_on].isna().any(axis=1)
+            out = lhs[~nullk].merge(rhs, on=left_on, how=pd_how)
+            parts = [out] + [lhs[nullk]] * int(nullk.any())
+            if pd_how == "outer" and rhs_nullk.any():
+                parts.append(rhs_all[rhs_nullk])
+            out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else out
+            out = out.reindex(columns=all_cols)
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     from cartography_ray.runtime import drop_empty_blocks

@@ -104,20 +104,25 @@ GROUP BY 1, 2
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """Broadcast join chain lineitem→orders→customer→nation + agg."""
+    """Join chain lineitem→orders→customer→nation + agg.
+
+    Scale posture: lineitem⋈orders are BOTH fact tables (∝ scale) —
+    they join distributedly via ``hash_join`` (reduce-side, one shuffle
+    each). Only the genuinely dimension-sized customer⋈nation product is
+    broadcast (customers per nation are bounded; at extreme scale swap
+    this for a second hash_join). The driver never holds a fact table.
+    """
     rd = _rd()
     import pyarrow.parquet as pq
 
     from cartography_ray.ops.agg import partial_groupby_agg
-    from cartography_ray.ops.joins import broadcast_join
+    from cartography_ray.ops.joins import broadcast_join, hash_join
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]).to_pandas()
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["o_orderkey", "n_name"]]
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
 
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -126,9 +131,13 @@ def q_revenue_by_nation(sf_dir: str):
         disc = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue_cents": _cents(disc)})
 
-    joined = broadcast_join(
-        ds.map_batches(prep, batch_format="pyarrow"), dim, left_on="l_orderkey", right_on="o_orderkey"
+    fact = hash_join(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
     )
+    joined = broadcast_join(fact, dim, left_on="o_custkey", right_on="c_custkey")
     return partial_groupby_agg(
         joined.select_columns(["n_name", "revenue_cents"]),
         "n_name",
@@ -209,19 +218,39 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount >= 0.05
 
 
 def q_customers_without_orders(sf_dir: str):
-    """Anti-join via broadcast key set (the cleanup primitive): customers with no order above 300k."""
+    """Anti-join via broadcast key set (the cleanup primitive): customers
+    with no order above 300k.
+
+    Scale posture: the key set is DISTINCT-aggregated distributedly
+    (per-batch unique, then a hash-bucketed groupby distinct) BEFORE
+    anything reaches the driver — the driver holds at most the distinct
+    customer keys (bounded by the dimension), never the fact rows.
+    """
     rd = _rd()
-    import pyarrow.parquet as pq
-
     from cartography_ray.ops.joins import broadcast_semi_anti
+    from cartography_ray.runtime import drop_empty_blocks
 
-    big = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    import pyarrow.compute as _pc
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
-    big = big.filter(_pc.greater(big.column("o_totalprice"), pa.scalar(300000.0)))
-    keys = big.column("o_custkey").to_pylist()
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("o_totalprice"), pa.scalar(300000.0)))
+        keys = pc.unique(pc.cast(t.column("o_custkey"), pa.string()))
+        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False), categorize=False)
+        return pa.table(
+            {"key": keys, "__kb": pa.array((h % 64).astype(np.int64), pa.int64())}
+        )
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("key")[["key"]]
+
+    distinct = drop_empty_blocks(
+        drop_empty_blocks(orders.map_batches(local_distinct, batch_format="pyarrow"))
+        .groupby("__kb")
+        .map_groups(bucket_distinct, batch_format="pandas")
+    )
+    keys = [r["key"] for r in distinct.take_all()]
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    return broadcast_semi_anti(ds, [str(k) for k in set(keys)], on="c_custkey", anti=True)
+    return broadcast_semi_anti(ds, keys, on="c_custkey", anti=True)
 
 
 SQL_CUST_NO_ORDERS = """
@@ -907,6 +936,71 @@ def sql_kg_conversations(path: str) -> str:
     )
 
 
+def q_kg_co_mentions(sf_dir: str):
+    """2-hop graph-derived pair join (reference pattern
+    intel/aws/ec2/instances.py:517-552 — the instance→profile→role
+    ASSUMES chain): entities co-mentioned in the same turn, via an
+    edge⋈edge SELF-join of the MENTIONS edge stream through
+    ``ops.joins.hash_join`` (reduce-side; both sides are fact-sized)."""
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.runtime import drop_empty_blocks
+    from cartography_ray.stages.canonicalize import resolve_keys
+    from cartography_ray.stages.link import LinkScorer
+
+    _, mentions = _kg_mentions_ds(sf_dir)
+    labels = _kg_labels(sf_dir, mentions)
+    linked = mentions.map_batches(LinkScorer(), batch_format="pyarrow")
+    resolved = resolve_keys(linked, labels, key_col="entity_key", out_col="entity_id")
+
+    # distinct (turn, entity) — bucket-hashed groupby distinct
+    def local_distinct(t: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        pdf = pa.table(
+            {"turn_uid": t.column("turn_uid"), "entity_id": t.column("entity_id")}
+        ).to_pandas().drop_duplicates()
+        h = pd.util.hash_array(pdf["turn_uid"].to_numpy(), categorize=False)
+        pdf["__kb"] = (h % 64).astype("int64")
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["turn_uid", "entity_id"])[["turn_uid", "entity_id"]]
+
+    edges = drop_empty_blocks(
+        drop_empty_blocks(resolved.map_batches(local_distinct, batch_format="pyarrow"))
+        .groupby("__kb")
+        .map_groups(bucket_distinct, batch_format="pandas")
+    )
+    joined = hash_join(
+        edges, edges, left_on="turn_uid", right_on="turn_uid", right_prefix="r_"
+    )
+
+    def ordered_pairs(t: pa.Table) -> pa.Table:
+        mask = pc.less(t.column("entity_id"), t.column("r_entity_id"))
+        t = t.filter(mask)
+        return pa.table(
+            {"entity_a": t.column("entity_id"), "entity_b": t.column("r_entity_id")}
+        )
+
+    pairs = joined.map_batches(ordered_pairs, batch_format="pyarrow")
+    return partial_groupby_agg(
+        pairs, ["entity_a", "entity_b"], {"n_turns": (None, "count")}
+    )
+
+
+def sql_kg_co_mentions(path: str) -> str:
+    return _KG_RESOLVED_SQL.format(path=path) + """
+, dm AS (
+  SELECT DISTINCT 'turn:' || conv_id || ':' || turn_idx AS turn_uid, entity_id
+  FROM resolved
+)
+SELECT a.entity_id AS entity_a, b.entity_id AS entity_b, COUNT(*) AS n_turns
+FROM dm a JOIN dm b ON a.turn_uid = b.turn_uid AND a.entity_id < b.entity_id
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Catalogue
 # --------------------------------------------------------------------------
@@ -938,6 +1032,7 @@ QUERIES: dict[str, Callable] = {
     "kg_alias_components": q_kg_alias_components,
     "kg_conversations": q_kg_conversations,
     "kg_triples": q_kg_triples,
+    "kg_co_mentions": q_kg_co_mentions,
 }
 
 
@@ -969,6 +1064,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_alias_components": sql_kg_alias_components(path),
         "kg_conversations": sql_kg_conversations(path),
         "kg_triples": sql_kg_triples(path),
+        "kg_co_mentions": sql_kg_co_mentions(path),
         # docs_minhash_pairs / docs_simhash_pairs / emb_knn_lsh are
         # approximate-by-design → rows-only checks (recall asserted in tests)
     }

@@ -149,7 +149,16 @@ def _resolve_value(spec, pdf: pd.DataFrame):
 
 
 def _append_set(cell, values: list):
-    base = list(cell) if isinstance(cell, (list, tuple)) else ([] if cell is None or cell is pd.NA else [cell])
+    import numpy as np
+
+    if isinstance(cell, np.ndarray):  # list cells round-trip from parquet as arrays
+        base = cell.tolist()
+    elif isinstance(cell, (list, tuple)):
+        base = list(cell)
+    elif cell is None or cell is pd.NA or (isinstance(cell, float) and np.isnan(cell)):
+        base = []
+    else:
+        base = [cell]
     for v in values:
         if v is not None and v not in base:
             base.append(v)
@@ -195,27 +204,30 @@ def _apply_node_effects_pdf(pdf: pd.DataFrame, stmt: AnalysisStatement, tag: int
                 else:
                     vals = _resolve_value(e.value, pdf[mask])
                 pdf.loc[mask, prop] = vals
-            elif isinstance(e, AddToSet):
-                vals = (
-                    pdf.loc[mask, e.from_prop]
-                    if e.from_prop is not None
-                    else pd.Series([e.value] * matched, index=pdf.index[mask])
-                )
-                pdf.loc[mask, prop] = pd.Series(
-                    [_append_set(c, [v]) for c, v in zip(pdf.loc[mask, prop], vals)],
-                    index=pdf.index[mask],
-                    dtype=object,
-                )
-            elif isinstance(e, AddValuesToSet):
-                cols = [pdf.loc[mask, c] for c in e.from_props]
-                pdf.loc[mask, prop] = pd.Series(
-                    [
+            elif isinstance(e, (AddToSet, AddValuesToSet)):
+                # per-cell assignment into an object array: pandas .loc
+                # list-assignment unpacks single-element lists into scalars
+                import numpy as np
+
+                if isinstance(e, AddToSet):
+                    vals = (
+                        pdf.loc[mask, e.from_prop].tolist()
+                        if e.from_prop is not None
+                        else [e.value] * matched
+                    )
+                    new_cells = [
+                        _append_set(c, [v]) for c, v in zip(pdf.loc[mask, prop], vals)
+                    ]
+                else:
+                    cols = [pdf.loc[mask, c].tolist() for c in e.from_props]
+                    new_cells = [
                         _append_set(c, list(vs))
                         for c, *vs in zip(pdf.loc[mask, prop], *cols)
-                    ],
-                    index=pdf.index[mask],
-                    dtype=object,
-                )
+                    ]
+                arr = pdf[prop].astype(object).to_numpy(copy=True)
+                for j, v in zip(np.flatnonzero(mask.to_numpy()), new_cells):
+                    arr[j] = v
+                pdf[prop] = arr
             side = f"_eff_{prop}"
             if side not in pdf.columns:
                 pdf[side] = None

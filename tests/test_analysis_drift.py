@@ -165,3 +165,221 @@ def test_rules_fact_validation():
         run_fact(bad)
     out = run_rules([Rule("r1", (good,))])
     assert out[0]["facts"][0]["fact"] == "counts"
+
+
+def test_matchlink_two_epoch_cleanup(ray_session, tmp_path):
+    """Matchlink edges expire scoped by _sub_resource_label/_sub_resource_id
+    rel props (reference cleanupbuilder.py:603-667): re-sync without a pair
+    deletes that pair's edge; other sub-resources' edges survive."""
+    import ray.data
+
+    from cartography_ray.ops.matchlink import load_matchlinks
+    from cartography_ray.spec import PropertyRef, RelSpec, SourceNodeMatcher, TargetNodeMatcher
+
+    rel = RelSpec(
+        rel_label="ASSUMES",
+        target_node_label="Role",
+        target_node_matcher=TargetNodeMatcher.make(arn=PropertyRef("role_arn")),
+        source_node_label="Instance",
+        source_node_matcher=SourceNodeMatcher.make(iid=PropertyRef("instance_id")),
+    )
+    sources = pa.table({"id": ["i1", "i2", "i3"], "iid": ["inst-1", "inst-2", "inst-3"]})
+    targets = pa.table({"id": ["r1", "r2"], "arn": ["arn:x", "arn:y"]})
+    store = GraphStore(str(tmp_path / "store"), num_buckets=4)
+
+    def load(pairs_tbl, ctx, acct):
+        edges = load_matchlinks(
+            ray.data.from_arrow(pairs_tbl), sources, targets, rel, ctx,
+            source_key="instance_id", target_key="role_arn",
+            sub_resource_label="Account", sub_resource_id=acct,
+        )
+        store.materialize_edges("ASSUMES", edges, ctx)
+
+    ctx1 = IngestContext.make(update_tag=10)
+    load(pa.table({"instance_id": ["inst-1", "inst-2"], "role_arn": ["arn:x", "arn:y"]}), ctx1, "acct-1")
+    load(pa.table({"instance_id": ["inst-3"], "role_arn": ["arn:x"]}), ctx1, "acct-2")
+
+    # epoch 2: acct-1 re-syncs WITHOUT the (inst-2, arn:y) pair
+    ctx2 = IngestContext.make(update_tag=20)
+    load(pa.table({"instance_id": ["inst-1"], "role_arn": ["arn:x"]}), ctx2, "acct-1")
+    deleted = store.cleanup_matchlinks("ASSUMES", ctx2, "Account", "acct-1")
+    assert deleted == 1
+    out = store.read_edges("ASSUMES").to_pandas()
+    keys = set(zip(out["src_id"], out["dst_id"]))
+    assert keys == {("i1", "r1"), ("i3", "r1")}  # acct-2 edge untouched
+
+
+def test_cascade_delete(ray_session, tmp_path):
+    """Cascade delete (reference cleanupbuilder.py:309-334): stale children
+    reachable via the ownership rel die with their stale parent; re-parented
+    (freshly-tagged) children survive; edges referencing deleted nodes are
+    detached."""
+    import ray.data
+
+    from cartography_ray.core.compile import edge_batch
+    from cartography_ray.spec import PropertyRef, RelSpec, TargetNodeMatcher
+
+    store = GraphStore(str(tmp_path / "store"), num_buckets=4)
+    rel = RelSpec(
+        rel_label="OWNS",
+        target_node_label="Child",
+        target_node_matcher=TargetNodeMatcher.make(id=PropertyRef("id")),
+    )
+    ctx1 = IngestContext.make(update_tag=10)
+
+    def nodes(ids, tag):
+        return pa.table(
+            {
+                "id": ids,
+                "lastupdated": pa.array([tag] * len(ids), pa.int64()),
+                "firstseen": pa.array([tag] * len(ids), pa.int64()),
+            }
+        )
+
+    store.materialize_nodes("Parent", ray.data.from_arrow(nodes(["p1", "p2"], 10)), ctx1)
+    store.materialize_nodes("Child", ray.data.from_arrow(nodes(["c1", "c2", "c3"], 10)), ctx1)
+    own = edge_batch(
+        pa.array(["p1", "p1", "p2"], pa.string()), pa.array(["c1", "c3", "c2"], pa.string()), rel, ctx1
+    )
+    store.materialize_edges("OWNS", ray.data.from_arrow(own), ctx1)
+
+    # epoch 2: only p2+c2 re-synced, c3 re-parented under p2 (fresh tag)
+    ctx2 = IngestContext.make(update_tag=20)
+    store.materialize_nodes("Parent", ray.data.from_arrow(nodes(["p2"], 20)), ctx2)
+    store.materialize_nodes("Child", ray.data.from_arrow(nodes(["c2", "c3"], 20)), ctx2)
+    own2 = edge_batch(
+        pa.array(["p2", "p2"], pa.string()), pa.array(["c2", "c3"], pa.string()), rel, ctx2
+    )
+    store.materialize_edges("OWNS", ray.data.from_arrow(own2), ctx2)
+
+    res = store.cleanup_cascade(
+        "Parent", "Child", "OWNS", ctx2, detach_edge_labels=["OWNS"]
+    )
+    assert res["parent"] == 1          # p1 stale → deleted
+    assert res["child"] == 1           # c1 stale child of p1 → deleted
+    parents = set(store.read_nodes("Parent").column("id").to_pylist())
+    children = set(store.read_nodes("Child").column("id").to_pylist())
+    assert parents == {"p2"}
+    assert children == {"c2", "c3"}    # c3 survived (re-parented, fresh tag)
+    edges = store.read_edges("OWNS").to_pandas()
+    assert "p1" not in set(edges["src_id"])  # detached
+    assert "c1" not in set(edges["dst_id"])
+
+
+def test_analysis_effect_dsl_and_cleanup(ray_session, tmp_path):
+    """Full effect DSL: SetProperties, AddToSet, Case values, ScopeById,
+    SetRelationshipProperty(if_missing) — and the auto-generated effect
+    cleanup (stale _eff_* sidecars → property nulled, stale effect edges
+    deleted)."""
+    import ray.data
+
+    from cartography_ray.stages.analysis import (
+        AddRelationship,
+        AddToSet,
+        AnalysisJob,
+        AnalysisStatement,
+        Case,
+        ScopeById,
+        SetProperties,
+        SetProperty,
+        SetRelationshipProperty,
+        cleanup_analysis_job,
+        run_analysis_job,
+    )
+
+    store = GraphStore(str(tmp_path / "store"), num_buckets=4)
+    ctx1 = IngestContext.make(update_tag=100)
+    users = pa.table(
+        {
+            "id": ["u1", "u2", "u3"],
+            "email": ["a@x.com", "b@y.com", "c@x.com"],
+            "_sub_id": ["t1", "t2", "t1"],
+            "lastupdated": pa.array([100] * 3, pa.int64()),
+            "firstseen": pa.array([100] * 3, pa.int64()),
+        }
+    )
+    devices = pa.table(
+        {
+            "id": ["d1"],
+            "owner_email": ["a@x.com"],
+            "lastupdated": pa.array([100], pa.int64()),
+            "firstseen": pa.array([100], pa.int64()),
+        }
+    )
+    store.materialize_nodes("User", ray.data.from_arrow(users), ctx1)
+    store.materialize_nodes("Device", ray.data.from_arrow(devices), ctx1)
+
+    job = AnalysisJob(
+        name="enrich",
+        statements=(
+            AnalysisStatement(
+                node_label="User",
+                match=lambda df: df["email"].str.endswith("x.com"),
+                scope=ScopeById("t1"),
+                effects=(
+                    SetProperties.make(
+                        domain=Case(
+                            whens=((lambda df: df["email"].str.endswith("x.com"), "corp"),),
+                            default="other",
+                        ),
+                        checked=True,
+                    ),
+                    AddToSet("tags", value="reviewed"),
+                ),
+            ),
+            AnalysisStatement(
+                node_label="Device",
+                match=None,
+                effects=(
+                    AddRelationship("OWNED_BY", "User", "owner_email", "email"),
+                    SetRelationshipProperty("OWNED_BY", "via", value="email", if_missing=True),
+                ),
+            ),
+        ),
+    )
+    ctx2 = IngestContext.make(update_tag=200)
+    m = run_analysis_job(job, store, ctx2)
+    assert m["enrich.0.matched"] == 2          # u1, u3 (t1 scope + x.com)
+    out = store.read_nodes("User").to_pandas().set_index("id")
+    assert out.loc["u1", "domain"] == "corp" and out.loc["u3", "domain"] == "corp"
+    assert out.loc["u1", "checked"] == True  # noqa: E712
+    assert out.loc["u1", "tags"] == ["reviewed"]
+    assert pd.isna(out.loc["u2", "domain"]) or out.loc["u2", "domain"] is None
+    # AddToSet is idempotent-dedup: rerun appends nothing
+    run_analysis_job(job, store, IngestContext.make(update_tag=201))
+    out = store.read_nodes("User").to_pandas().set_index("id")
+    assert out.loc["u1", "tags"] == ["reviewed"]
+    edges = store.read_edges("OWNED_BY").to_pandas()
+    assert list(zip(edges["src_id"], edges["dst_id"])) == [("d1", "u1")]
+    assert list(edges["via"]) == ["email"]
+
+    # effect cleanup: epoch 3 runs a job whose match no longer hits u3 and
+    # whose device statement is gone → u3's derived props expire, edge dies
+    job3 = AnalysisJob(
+        name="enrich",
+        statements=(
+            AnalysisStatement(
+                node_label="User",
+                match=lambda df: df["id"] == "u1",
+                effects=(
+                    SetProperties.make(domain="corp", checked=True),
+                    AddToSet("tags", value="reviewed"),
+                ),
+            ),
+            AnalysisStatement(
+                node_label="Device",
+                match=lambda df: df["id"] == "none",
+                effects=(AddRelationship("OWNED_BY", "User", "owner_email", "email"),),
+            ),
+        ),
+    )
+    ctx3 = IngestContext.make(update_tag=300)
+    run_analysis_job(job3, store, ctx3)
+    cm = cleanup_analysis_job(job3, store, ctx3)
+    out = store.read_nodes("User").to_pandas().set_index("id")
+    assert out.loc["u1", "domain"] == "corp"              # re-applied → kept
+    assert pd.isna(out.loc["u3", "domain"])               # stale effect → nulled
+    assert out.loc["u3", "tags"] is None or (not isinstance(out.loc["u3", "tags"], list))
+    assert cm["edges_cleaned.OWNED_BY"] == 1              # stale edge expired
+    e = store.read_edges("OWNED_BY")
+    assert e is None or len(e) == 0

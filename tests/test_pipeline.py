@@ -181,3 +181,45 @@ def test_canonicalization_transitive(ray_session):
     roots = {labels[n] for n in chain}
     assert roots == {"name:u1"}
     assert labels["user:zz"] == "name:zz"
+
+
+def test_partial_resync_preserves_shared_nodes(ray_session, tmp_root):
+    """ADVICE regression: re-syncing a SUBSET of conversations must not
+    delete Conversation/Entity nodes other conversations still reference
+    (reference Case-3 rel-only cleanup for shared nodes), and no edge may
+    dangle afterwards."""
+    import ray.data
+
+    store = GraphStore(os.path.join(tmp_root, "store"), num_buckets=8)
+    full = synth_transcripts_table(600)
+    run_kg_pipeline(
+        ray.data.from_arrow(full), store, IngestContext.make(update_tag=1000),
+        work_dir=os.path.join(tmp_root, "e1"),
+    )
+    convs1 = set(store.read_nodes("Conversation").column("id").to_pylist())
+    ents1 = set(store.read_nodes("Entity").column("id").to_pylist())
+
+    pdf = full.to_pandas()
+    resync = sorted(set(pdf["conv_id"]))[: len(set(pdf["conv_id"])) // 2]
+    subset = pdf[pdf["conv_id"].isin(resync)]
+    run_kg_pipeline(
+        ray.data.from_arrow(pa.Table.from_pandas(subset, preserve_index=False)),
+        store, IngestContext.make(update_tag=2000),
+        work_dir=os.path.join(tmp_root, "e2"),
+    )
+    convs2 = set(store.read_nodes("Conversation").column("id").to_pylist())
+    ents2 = set(store.read_nodes("Entity").column("id").to_pylist())
+    assert convs2 == convs1          # shared nodes preserved
+    assert ents1 <= ents2 or ents2 == ents1
+
+    # no dangling endpoints anywhere
+    turns = set(store.read_nodes("Turn").column("id").to_pylist())
+    for rel, src_pool, dst_pool in [
+        ("IN_CONV", turns, convs2),
+        ("MENTIONS", turns, ents2),
+        ("ALIAS_OF", ents2, ents2),
+        ("NEXT_TURN", turns, turns),
+    ]:
+        e = store.read_edges(rel)
+        assert set(e.column("src_id").to_pylist()) <= src_pool, rel
+        assert set(e.column("dst_id").to_pylist()) <= dst_pool, rel
