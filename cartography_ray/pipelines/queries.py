@@ -673,6 +673,181 @@ FROM customer
 
 
 # --------------------------------------------------------------------------
+# Ontology projection + consolidation (reference querybuilder.py:24-415,
+# intel/ontology/utils.py:44-153)
+# --------------------------------------------------------------------------
+
+
+def q_ont_project_customers(sf_dir: str):
+    """All 8 ontology special handlers compiled to pyarrow.compute over
+    the customer table (reference querybuilder.py:24-318 semantics)."""
+    rd = _rd()
+    from cartography_ray.stages.ontology import (
+        OntFieldMapping,
+        OntNodeMapping,
+        project_ontology_fields,
+    )
+
+    mapping = OntNodeMapping(
+        node_label="Customer",
+        fields=(
+            OntFieldMapping("name", "c_name"),  # plain copy
+            OntFieldMapping(
+                "segment", "c_mktsegment", handler="mapping",
+                extra={"map": {"BUILDING": "b2b", "MACHINERY": "b2b",
+                               "AUTOMOBILE": "consumer", "HOUSEHOLD": "consumer"}},
+            ),
+            OntFieldMapping("source", "", handler="static_value", extra={"value": "tpch"}),
+            OntFieldMapping(
+                "priority", "c_mktsegment", handler="equal_boolean",
+                extra={"values": ["BUILDING", "MACHINERY"]},
+            ),
+            OntFieldMapping("active", "c_acctbal", handler="to_boolean"),
+            OntFieldMapping("contact", "name_gappy", handler="coalesce", extra={"fields": ["c_mktsegment"]}),
+            OntFieldMapping("not_auto", "is_auto", handler="invert_boolean"),
+            OntFieldMapping("flagged", "is_auto", handler="or_boolean", extra={"fields": ["neg_bal"]}),
+            OntFieldMapping("clean", "is_auto", handler="nor_boolean", extra={"fields": ["neg_bal"]}),
+        ),
+    )
+    project = project_ontology_fields(mapping)
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.append_column("is_auto", pc.equal(t.column("c_mktsegment"), pa.scalar("AUTOMOBILE")))
+        t = t.append_column("neg_bal", pc.less(t.column("c_acctbal"), pa.scalar(0.0)))
+        t = t.append_column(
+            "name_gappy",
+            pc.if_else(
+                pc.less(t.column("c_acctbal"), pa.scalar(0.0)),
+                pa.scalar(None, pa.string()),
+                pc.cast(t.column("c_name"), pa.string()),
+            ),
+        )
+        out = project(t)
+        return pa.table(
+            {
+                "id": pc.cast(out.column("c_custkey"), pa.string()),
+                **{
+                    c: out.column(c)
+                    for c in out.column_names
+                    if c.startswith("_ont_")
+                },
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_ONT_PROJECT = """
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS _ont_name,
+       CASE c_mktsegment WHEN 'BUILDING' THEN 'b2b' WHEN 'MACHINERY' THEN 'b2b'
+                         WHEN 'AUTOMOBILE' THEN 'consumer' WHEN 'HOUSEHOLD' THEN 'consumer'
+                         END AS _ont_segment,
+       'tpch' AS _ont_source,
+       c_mktsegment IN ('BUILDING', 'MACHINERY') AS _ont_priority,
+       (c_acctbal <> 0) AS _ont_active,
+       coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END, c_mktsegment) AS _ont_contact,
+       NOT coalesce(c_mktsegment = 'AUTOMOBILE', false) AS _ont_not_auto,
+       (coalesce(c_mktsegment = 'AUTOMOBILE', false) OR coalesce(c_acctbal < 0, false)) AS _ont_flagged,
+       (NOT coalesce(c_mktsegment = 'AUTOMOBILE', false) AND NOT coalesce(c_acctbal < 0, false)) AS _ont_clean
+FROM customer
+"""
+
+
+def q_ont_users_merged(sf_dir: str):
+    """Cross-source consolidation merge (reference
+    intel/ontology/utils.py:60-81): customer + supplier rows keyed by the
+    shared numeric id; per field, the FIRST source's non-null value wins
+    (customer has priority; suppliers fill phone gaps)."""
+    rd = _rd()
+    from cartography_ray.stages.ontology import (
+        OntFieldMapping,
+        OntNodeMapping,
+        consolidate_sources,
+        extract_ont_rows,
+    )
+
+    cust_map = OntNodeMapping(
+        node_label="Customer",
+        fields=(
+            OntFieldMapping("id", "id_str", required=True),
+            OntFieldMapping("name", "name_gappy"),
+            OntFieldMapping("region", "region_str"),
+            OntFieldMapping("segment", "c_mktsegment"),
+        ),
+    )
+    supp_map = OntNodeMapping(
+        node_label="Supplier",
+        fields=(
+            OntFieldMapping("id", "id_str", required=True),
+            OntFieldMapping("name", "s_name"),
+            OntFieldMapping("region", "region_str"),
+            OntFieldMapping("segment", "seg_null"),
+        ),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        t = t.append_column("id_str", pc.cast(t.column("c_custkey"), pa.string()))
+        t = t.append_column("region_str", pc.cast(t.column("c_nationkey"), pa.string()))
+        # negative-balance customers have no name on file (creates the
+        # gaps the supplier source fills)
+        return t.append_column(
+            "name_gappy",
+            pc.if_else(
+                pc.less(t.column("c_acctbal"), pa.scalar(0.0)),
+                pa.scalar(None, pa.string()),
+                pc.cast(t.column("c_name"), pa.string()),
+            ),
+        )
+
+    def prep_supp(t: pa.Table) -> pa.Table:
+        t = t.append_column("id_str", pc.cast(t.column("s_suppkey"), pa.string()))
+        t = t.append_column("region_str", pc.cast(t.column("s_nationkey"), pa.string()))
+        return t.append_column("seg_null", pc.cast(pa.nulls(t.num_rows), pa.string()))
+
+    a = cust.map_batches(prep_cust, batch_format="pyarrow").map_batches(
+        extract_ont_rows(cust_map), batch_format="pyarrow"
+    )
+    b = supp.map_batches(prep_supp, batch_format="pyarrow").map_batches(
+        extract_ont_rows(supp_map), batch_format="pyarrow"
+    )
+    return consolidate_sources([a, b], "id")
+
+
+SQL_ONT_MERGED = """
+WITH a AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS id,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END AS name,
+         CAST(c_nationkey AS VARCHAR) AS region,
+         c_mktsegment AS segment
+  FROM customer
+),
+b AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS id, s_name AS name,
+         CAST(s_nationkey AS VARCHAR) AS region,
+         CAST(NULL AS VARCHAR) AS segment
+  FROM supplier
+)
+SELECT coalesce(a.id, b.id) AS id,
+       coalesce(a.name, b.name) AS name,
+       coalesce(a.region, b.region) AS region,
+       coalesce(a.segment, b.segment) AS segment
+FROM a FULL OUTER JOIN b ON a.id = b.id
+"""
+
+
+# --------------------------------------------------------------------------
 # Knowledge-graph pipeline family (north rule) over synthetic transcripts
 # --------------------------------------------------------------------------
 
@@ -1026,6 +1201,8 @@ QUERIES: dict[str, Callable] = {
     "one_to_many_part_words": q_one_to_many_part_words,
     "events_props_k": q_events_props_k,
     "load_customers": q_load_customers,
+    "ont_project_customers": q_ont_project_customers,
+    "ont_users_merged": q_ont_users_merged,
     "kg_turns": q_kg_turns,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
@@ -1058,6 +1235,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "one_to_many_part_words": SQL_ONE_TO_MANY_WORDS,
         "events_props_k": SQL_EVENTS_PROPS,
         "load_customers": SQL_LOAD_CUSTOMERS,
+        "ont_project_customers": SQL_ONT_PROJECT,
+        "ont_users_merged": SQL_ONT_MERGED,
         "kg_turns": sql_kg_turns(path),
         "kg_mentions": sql_kg_mentions(path),
         "kg_entities": sql_kg_entities(path),

@@ -97,3 +97,106 @@ def test_one_to_many_matcher_flag():
     assert ref.match_mode == "one_to_many"
     with pytest.raises(ValueError):
         PropertyRef("x", fuzzy_and_ignore_case=True, one_to_many=True)
+
+
+def test_ontology_handlers():
+    """All 8 special handlers against reference formulas
+    (querybuilder.py:24-318)."""
+    import pyarrow as pa
+
+    from cartography_ray.stages.ontology import (
+        OntFieldMapping,
+        OntNodeMapping,
+        project_ontology_fields,
+    )
+
+    tbl = pa.table(
+        {
+            "flag": pa.array([True, False, None], pa.bool_()),
+            "sflag": pa.array(["true", "FALSE", "meh"], pa.string()),
+            "num": pa.array([0, 3, None], pa.int64()),
+            "seg": pa.array(["A", "B", "Z"], pa.string()),
+            "alt": pa.array([None, "alt-b", "alt-z"], pa.string()),
+        }
+    )
+    mapping = OntNodeMapping(
+        node_label="T",
+        fields=(
+            OntFieldMapping("copy", "seg"),
+            OntFieldMapping("inv", "flag", handler="invert_boolean"),
+            OntFieldMapping("tob", "sflag", handler="to_boolean"),
+            OntFieldMapping("eq", "seg", handler="equal_boolean", extra={"values": ["A", "B"]}),
+            OntFieldMapping("stat", "", handler="static_value", extra={"value": "x"}),
+            OntFieldMapping("orb", "flag", handler="or_boolean", extra={"fields": ["num"]}),
+            OntFieldMapping("norb", "flag", handler="nor_boolean", extra={"fields": ["num"]}),
+            OntFieldMapping("map", "seg", handler="mapping", extra={"map": {"A": "a1", "B": "b1"}}),
+            OntFieldMapping("coal", "alt", handler="coalesce", extra={"fields": ["seg"]}),
+        ),
+    )
+    out = project_ontology_fields(mapping)(tbl)
+    get = lambda c: out.column(c).to_pylist()  # noqa: E731
+    assert get("_ont_copy") == ["A", "B", "Z"]
+    # NOT(coalesce(toBooleanOrNull(x), false))
+    assert get("_ont_inv") == [False, True, True]
+    # coalesce(toBooleanOrNull(x), x IS NOT NULL): "meh" → not convertible → True (non-null)
+    assert get("_ont_tob") == [True, False, True]
+    assert get("_ont_eq") == [True, True, False]
+    assert get("_ont_stat") == ["x", "x", "x"]
+    # flag OR bool(num): [T or F, F or T, F or F]
+    assert get("_ont_orb") == [True, True, False]
+    assert get("_ont_norb") == [False, False, True]
+    assert get("_ont_map") == ["a1", "b1", None]
+    assert get("_ont_coal") == ["A", "alt-b", "alt-z"]
+
+
+def test_ontology_consolidation(ray_session):
+    """First-source-wins per-field merge + required-field drop
+    (intel/ontology/utils.py:44-81)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.stages.ontology import (
+        OntFieldMapping,
+        OntNodeMapping,
+        consolidate_sources,
+        extract_ont_rows,
+    )
+
+    m = OntNodeMapping(
+        node_label="S",
+        fields=(
+            OntFieldMapping("id", "uid", required=True),
+            OntFieldMapping("email", "mail"),
+            OntFieldMapping("team", "team"),
+        ),
+    )
+    a = ray.data.from_arrow(
+        pa.table(
+            {
+                "uid": ["u1", "u2", None],
+                "mail": ["a@x", None, "dropped@x"],
+                "team": [None, "t2", "t3"],
+            }
+        )
+    ).map_batches(extract_ont_rows(m), batch_format="pyarrow")
+    b = ray.data.from_arrow(
+        pa.table(
+            {
+                "uid": ["u1", "u2", "u9"],
+                "mail": ["SHOULD-LOSE@x", "b@x", "c@x"],
+                "team": ["ta", None, "t9"],
+            }
+        )
+    ).map_batches(extract_ont_rows(m), batch_format="pyarrow")
+    out = (
+        consolidate_sources([a, b], "id")
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert list(out.index) == ["u1", "u2", "u9"]   # null-uid row dropped
+    assert out.loc["u1", "email"] == "a@x"         # source A wins
+    assert out.loc["u1", "team"] == "ta"           # B fills A's gap
+    assert out.loc["u2", "email"] == "b@x"
+    assert out.loc["u2", "team"] == "t2"
+    assert out.loc["u9", "email"] == "c@x"
