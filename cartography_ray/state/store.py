@@ -498,6 +498,30 @@ class GraphStore:
             rows.extend(res)
         return pd.DataFrame(rows, columns=["kind", "label", "bucket", "rows", "update_tag"])
 
+    def merge_module_sync_metadata(
+        self, ctx: IngestContext, group_type: str, group_id, synced_type: str
+    ) -> pd.DataFrame:
+        """ModuleSyncMetadata bookkeeping node per (group, synced_type) —
+        the reference's sync-freshness tracking (util.py:362-428): MERGE
+        on ``{group_type}_{group_id}_{synced_type}``, extra SyncMetadata
+        label, firstseen write-once, lastupdated = this run's tag."""
+        import ray.data
+
+        tbl = pa.table(
+            {
+                "id": [f"{group_type}_{group_id}_{synced_type}"],
+                "grouptype": [group_type],
+                "groupid": [str(group_id)],
+                "syncedtype": [synced_type],
+                "_labels": ["ModuleSyncMetadata;SyncMetadata"],
+                "lastupdated": pa.array([ctx.update_tag], pa.int64()),
+                "firstseen": pa.array([ctx.update_tag], pa.int64()),
+            }
+        )
+        return self.materialize_nodes(
+            "ModuleSyncMetadata", ray.data.from_arrow(tbl), ctx
+        )
+
     # ------------------------------------------------------------------- read
     def _read(self, kind: str, label: str) -> pa.Table | None:
         parts = sorted(glob.glob(os.path.join(self._dir(kind, label), "bucket=*", "part.parquet")))

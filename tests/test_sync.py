@@ -1,0 +1,258 @@
+"""Sync composition, dependency gating, JSON analysis-job directory."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from cartography_ray.core.context import IngestContext
+from cartography_ray.state.store import GraphStore
+
+
+def test_sync_stage_ordering_and_replacement(tmp_path):
+    from cartography_ray.sync import Sync
+
+    store = GraphStore(str(tmp_path / "s"))
+    ctx = IngestContext.make(update_tag=1)
+    calls = []
+    sync = Sync("t")
+    sync.add_stages(
+        [
+            ("a", lambda st, c, cfg: calls.append("a")),
+            ("b", lambda st, c, cfg: calls.append("b")),
+        ]
+    )
+    sync.add_stage("a", lambda st, c, cfg: calls.append("a2"))  # replace keeps slot
+    sync.run(store, ctx)
+    assert calls == ["a2", "b"]
+
+    with pytest.raises(ValueError, match="unknown sync stage"):
+        from cartography_ray.sync import build_sync
+
+        build_sync("kg,nope")
+
+
+def test_two_stage_sync_kg_plus_json_analysis(ray_session, tmp_path):
+    """build_sync('kg,analysis'): full KG sync composes with a drop-in
+    JSON analysis job directory (reference sync.py:588-632 +
+    intel/analysis.py:12-45)."""
+    import ray.data
+
+    from cartography_ray.sources.transcripts import synth_transcripts_table
+    from cartography_ray.sync import build_sync
+
+    jobs = tmp_path / "jobs"
+    jobs.mkdir()
+    (jobs / "flag_tools.json").write_text(
+        json.dumps(
+            {
+                "name": "flag-tools",
+                "statements": [
+                    {
+                        "node_label": "Entity",
+                        "match": {"column": "kind", "op": "eq", "value": "tool"},
+                        "effects": [
+                            {"type": "set_property", "prop": "is_tool", "value": True},
+                            {"type": "add_to_set", "prop": "tags", "value": "tooling"},
+                        ],
+                    }
+                ],
+            }
+        )
+    )
+    store = GraphStore(str(tmp_path / "store"), num_buckets=8)
+    ctx = IngestContext.make(update_tag=500)
+    sync = build_sync("kg,analysis")
+    assert sync.stage_names() == ["kg", "analysis"]
+    results = sync.run(
+        store,
+        ctx,
+        {
+            "transcripts": ray.data.from_arrow(synth_transcripts_table(300)),
+            "work_dir": str(tmp_path / "work"),
+            "analysis_job_directory": str(jobs),
+        },
+    )
+    assert results["kg"]["nodes"]["Turn"] > 0
+    assert results["analysis"]["flag_tools.json"]["flag-tools.0.matched"] > 0
+    ents = store.read_nodes("Entity").to_pandas()
+    tools = ents[ents["kind"] == "tool"]
+    others = ents[ents["kind"] != "tool"]
+    assert (tools["is_tool"] == True).all()  # noqa: E712
+    assert tools["tags"].map(lambda v: list(v) == ["tooling"]).all()
+    assert others["is_tool"].isna().all()
+
+
+def test_dependency_gating(ray_session, tmp_path):
+    """run_analysis_and_ensure_deps skips unless every dependency was a
+    requested sync (reference util.py:145-236)."""
+    import ray.data
+
+    from cartography_ray.stages.analysis import AnalysisJob, AnalysisStatement, SetProperty
+    from cartography_ray.sync import run_analysis_and_ensure_deps
+
+    store = GraphStore(str(tmp_path / "store"), num_buckets=4)
+    ctx = IngestContext.make(update_tag=7)
+    store.materialize_nodes(
+        "N",
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": ["x"],
+                    "lastupdated": pa.array([7], pa.int64()),
+                    "firstseen": pa.array([7], pa.int64()),
+                }
+            )
+        ),
+        ctx,
+    )
+    job = AnalysisJob(
+        "gated",
+        (AnalysisStatement("N", None, (SetProperty("seen", value=True),)),),
+    )
+    skipped = run_analysis_and_ensure_deps(job, {"aws:ec2", "aws:iam"}, {"aws:ec2"}, store, ctx)
+    assert skipped is None
+    assert "seen" not in store.read_nodes("N").column_names
+
+    ran = run_analysis_and_ensure_deps(job, {"aws:ec2"}, {"aws:ec2", "aws:iam"}, store, ctx)
+    assert ran is not None and ran["gated.0.matched"] == 1
+    assert store.read_nodes("N").to_pandas()["seen"].iloc[0] == True  # noqa: E712
+
+
+def test_json_match_combinators(tmp_path, ray_session):
+    import ray.data
+
+    from cartography_ray.sync import job_from_json
+    from cartography_ray.stages.analysis import run_analysis_job
+
+    store = GraphStore(str(tmp_path / "store"), num_buckets=4)
+    ctx = IngestContext.make(update_tag=9)
+    store.materialize_nodes(
+        "U",
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": ["a", "b", "c"],
+                    "age": pa.array([10, 20, 30], pa.int64()),
+                    "mail": ["x@corp.io", "y@corp.io", None],
+                    "lastupdated": pa.array([9] * 3, pa.int64()),
+                    "firstseen": pa.array([9] * 3, pa.int64()),
+                }
+            )
+        ),
+        ctx,
+    )
+    job = job_from_json(
+        {
+            "name": "combo",
+            "statements": [
+                {
+                    "node_label": "U",
+                    "match": {
+                        "all": [
+                            {"column": "age", "op": "ge", "value": 20},
+                            {
+                                "any": [
+                                    {"column": "mail", "op": "endswith", "value": "corp.io"},
+                                    {"column": "mail", "op": "is_null"},
+                                ]
+                            },
+                        ]
+                    },
+                    "effects": [{"type": "set_property", "prop": "hit", "value": 1}],
+                }
+            ],
+        }
+    )
+    m = run_analysis_job(job, store, ctx)
+    assert m["combo.0.matched"] == 2  # b (endswith) and c (null mail)
+
+
+def test_module_sync_metadata(ray_session, tmp_path):
+    """merge_module_sync_metadata analogue (reference util.py:362-428):
+    MERGE by composite id, firstseen write-once, SyncMetadata extra label."""
+    store = GraphStore(str(tmp_path / "store"), num_buckets=4)
+    store.merge_module_sync_metadata(IngestContext.make(update_tag=1), "AWSAccount", 123, "S3Bucket")
+    store.merge_module_sync_metadata(IngestContext.make(update_tag=2), "AWSAccount", 123, "S3Bucket")
+    store.merge_module_sync_metadata(IngestContext.make(update_tag=2), "AWSAccount", 999, "S3Bucket")
+    out = store.read_nodes("ModuleSyncMetadata").to_pandas().set_index("id").sort_index()
+    assert len(out) == 2
+    row = out.loc["AWSAccount_123_S3Bucket"]
+    assert row["lastupdated"] == 2 and row["firstseen"] == 1
+    assert row["_labels"] == "ModuleSyncMetadata;SyncMetadata"
+
+
+def test_error_classification_filter(ray_session):
+    """aws_handle_regions analogue (reference util.py:652-760): classified
+    errors → empty batch; transient errors retried; real bugs re-raise."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from cartography_ray.ops.errors import SourceAccessError, handle_source_errors
+
+    schema = pa.schema([("v", pa.int64())])
+    attempts = {"n": 0}
+
+    @handle_source_errors(schema, backoff_base=0.01)
+    def fetch(batch: pa.Table) -> pa.Table:
+        region = batch.column("region")[0].as_py()
+        if region == "denied":
+            raise SourceAccessError("AccessDenied for region")
+        if region == "denied_by_code":
+            raise RuntimeError("An error occurred (UnauthorizedOperation) ...")
+        if region == "flaky":
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise ConnectionError("reset")
+        if region == "broken":
+            raise ValueError("real bug")
+        return pa.table({"v": pa.array([len(region)], pa.int64())})
+
+    ds = ray.data.from_items(
+        [{"region": r} for r in ["us-east-1", "denied", "denied_by_code", "flaky"]]
+    ).repartition(4)
+    out = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    assert sorted(out["v"]) == [5, 9]   # flaky(5 after retries) + us-east-1(9)
+
+    bad = ray.data.from_items([{"region": "broken"}])
+    with pytest.raises(Exception, match="real bug"):
+        bad.map_batches(fetch, batch_format="pyarrow").materialize()
+
+
+def test_config_driven_specs(tmp_path):
+    """NodeSpec/RelSpec compiled from a JSON mapping document (reference
+    config-driven permission_relationships.yaml surface)."""
+    import json
+
+    from cartography_ray.spec.config import node_spec_from_json
+
+    doc = {
+        "label": "Server",
+        "properties": {"id": "hostname", "os": {"name": "os_name"}},
+        "extra_node_labels": [
+            {"label": "Asset"},
+            {"label": "LinuxBox", "when": {"os": "linux"}},
+        ],
+        "scoped_cleanup": False,
+        "other_relationships": [
+            {
+                "rel_label": "RUNS_ON",
+                "target_node_label": "Host",
+                "direction": "INWARD",
+                "target_node_matcher": {"name": {"name": "host_name", "ignore_case": True}},
+                "properties": {"port": "port"},
+            }
+        ],
+    }
+    p = tmp_path / "server.json"
+    p.write_text(json.dumps(doc))
+    spec = node_spec_from_json(str(p))
+    assert spec.label == "Server" and spec.scoped_cleanup is False
+    assert spec.prop_dict()["os"].name == "os_name"
+    assert [e.label for e in spec.extra_node_labels] == ["Asset", "LinuxBox"]
+    assert spec.extra_node_labels[1].when_conditions == (("os", "linux"),)
+    rel = spec.other_relationships[0]
+    assert rel.rel_label == "RUNS_ON" and rel.direction.value == "INWARD"
+    assert rel.target_node_matcher.as_dict()["name"].ignore_case is True
