@@ -177,3 +177,116 @@ def knn_lsh(
         return g[["query_id", "neighbor_id", "rank", "sim6"]]
 
     return drop_empty_blocks(cand.groupby("query_id").map_groups(merge, batch_format="pandas"))
+
+
+# ------------------------------------------------------------------ indexed
+
+
+def build_lsh_index(
+    ds,
+    index_dir: str,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> str:
+    """Write the corpus ONCE partitioned by LSH bucket (one Hive
+    directory per sign-pattern bucket) — the scale path VERDICT asked
+    for: queries then read ONLY matching partitions instead of scanning
+    every batch and filtering. Returns the index dir. A ``meta.json``
+    records (planes, seed, dim) so query-side tagging matches."""
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    def tag(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix_of(batch, vec_col))
+        if mat.size == 0:
+            return batch.append_column("lsh_bucket", pa.array([], pa.int64()))
+        tagger = _LshTag(mat.shape[1], planes, seed)
+        return batch.append_column(
+            "lsh_bucket", pa.array(tagger.bucket(mat).astype(np.int64), pa.int64())
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["lsh_bucket"]
+    )
+    sample = sorted(_glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True))[0]
+    first = pq.read_table(sample, columns=[vec_col]).column(vec_col)
+    dim = len(first[0]) if len(first) else 0
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"planes": planes, "seed": seed, "dim": dim}, f)
+    return index_dir
+
+
+def knn_lsh_indexed(
+    index_dir: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate top-k over a ``build_lsh_index`` directory: only the
+    partitions within ``probe_hamming`` of any query bucket are READ —
+    scan volume is the matching buckets, not the corpus. Same candidate
+    semantics (and output schema) as ``knn_lsh``.
+
+    Returns (result_dataset, stats) with stats = {"partitions_read",
+    "partitions_total", "rows_scanned"}.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    import ray.data
+
+    meta = json.load(open(os.path.join(index_dir, "meta.json")))
+    planes, seed = int(meta["planes"]), int(meta["seed"])
+    tagger = _LshTag(int(meta["dim"]), planes, seed)
+    qids = sorted(queries)
+    qmat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids]))
+    qbuckets = set(int(b) for b in tagger.bucket(qmat))
+    # multi-probe: all buckets within probe_hamming of any query bucket
+    probe: set[int] = set()
+    for qb in qbuckets:
+        for b in range(1 << planes):
+            if bin(b ^ qb).count("1") <= probe_hamming:
+                probe.add(b)
+    all_parts = sorted(_glob.glob(os.path.join(index_dir, "lsh_bucket=*")))
+    hit_dirs = [
+        d for d in all_parts if int(os.path.basename(d).split("=", 1)[1]) in probe
+    ]
+    stats = {"partitions_read": len(hit_dirs), "partitions_total": len(all_parts)}
+    if not hit_dirs:
+        import pyarrow as _pa
+
+        empty = _pa.table(
+            {
+                "query_id": _pa.array([], _pa.int64()),
+                "neighbor_id": _pa.array([], _pa.int64()),
+                "rank": _pa.array([], _pa.int64()),
+                "sim6": _pa.array([], _pa.float64()),
+            }
+        )
+        stats["rows_scanned"] = 0
+        return ray.data.from_arrow(empty), stats
+    hit_files = sorted(
+        f for d in hit_dirs for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    sub = ray.data.read_parquet(hit_files, columns=[id_col, vec_col])
+    stats["rows_scanned"] = sub.count()
+    out = knn_lsh(
+        sub,
+        queries,
+        k=k,
+        planes=planes,
+        probe_hamming=probe_hamming,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    return out, stats

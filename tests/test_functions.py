@@ -162,3 +162,37 @@ def test_topk_and_partial_agg(ray_session):
 
     top = topk(ray.data.from_pandas(df), by="v", k=2).to_pandas()
     assert top["v"].tolist() == [9, 5]
+
+
+def test_knn_lsh_indexed_partition_pruning(ray_session, tmp_path):
+    """Partition-bucketed ANN (write-once LSH index): identical results to
+    the scan-all knn_lsh, while READING fewer rows than the corpus."""
+    import ray.data
+
+    from cartography_ray.functions.ann import build_lsh_index, knn_lsh, knn_lsh_indexed
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src)
+    total = t.num_rows
+    queries = {
+        v: np.asarray(e, dtype=np.float64)
+        for v, e in zip(t.column("vec_id").to_pylist()[:3], t.column("embedding").to_pylist()[:3])
+    }
+    idx = build_lsh_index(ds, str(tmp_path / "lsh_idx"), planes=4)
+    out, stats = knn_lsh_indexed(idx, queries, k=5, probe_hamming=1)
+    indexed = out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    full = (
+        knn_lsh(
+            ray.data.read_parquet(src, columns=["vec_id", "embedding"]),
+            queries, k=5, planes=4, probe_hamming=1,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert indexed.equals(full)                       # same candidates/ranks
+    assert 0 < stats["rows_scanned"] < total          # pruning is real
+    assert stats["partitions_read"] < stats["partitions_total"]
