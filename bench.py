@@ -126,6 +126,11 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # don't forward worker logs: the hash-shuffle aggregators emit a
+        # benign "Failed to hash the schemas" warning per shuffle batch
+        # (pandas-block schema metadata is unhashable in Ray 2.49) that
+        # floods the bench log tail; exceptions still propagate normally
+        log_to_driver=False,
     )
     from cartography_ray.runtime import configure
 
