@@ -586,30 +586,6 @@ def _materialize_tasked(store: GraphStore, g: dict, ctx: IngestContext):
         shutil.rmtree(spill_root, ignore_errors=True)
 
 
-def make_fused_mention_fn(ctx: IngestContext, mapping_ref, maker) -> Callable[[pa.Table], pa.Table]:
-    """Fuse link scoring + canonical resolution INTO a mention-checkpoint
-    stream function: the spill task reads a mention file once, scores it
-    (LinkScorer is pure-vectorized), resolves entity keys against the
-    broadcast canonical map, and emits the final node/edge rows — no
-    'resolved' checkpoint is ever written or re-read on the sync path
-    (it was a full corpus-proportional write+read+barrier)."""
-    import pandas as pd
-
-    inner = maker(ctx)
-
-    def fn(t: pa.Table) -> pa.Table:
-        import ray
-
-        scored = LinkScorer()(t)
-        m = ray.get(mapping_ref)
-        s = pd.Series(scored.column("entity_key").to_numpy(zero_copy_only=False))
-        resolved = s.map(m).fillna(s)  # identity for unaliased keys
-        scored = scored.append_column("entity_id", pa.array(resolved, pa.string()))
-        return inner(scored)
-
-    return fn
-
-
 def run_kg_pipeline(
     transcripts,
     store: GraphStore,
@@ -624,16 +600,9 @@ def run_kg_pipeline(
 
     The analogue of one Cartography sync run (sync.py:240-297): every
     touched row stamped with ctx.update_tag; stale rows (previous epochs)
-    expired afterwards — Turn scoped to the conversations present in this
-    input (cleanupbuilder.py:244-383), Conversation/Entity rel-only
-    (Case 3, cleanupbuilder.py:91-103).
-
-    Serial-orchestration posture (round-2 shave): only TWO barriers are
-    corpus-proportional — the sort checkpoint and the detect checkpoint —
-    and the sorted-file spill tasks + conv sweep run CONCURRENTLY with
-    detection. Link scoring + canonical resolution are fused into the
-    mention spill tasks (``make_fused_mention_fn``), eliminating the
-    resolved checkpoint's write+read+barrier entirely.
+    expired afterwards — scoped to the conversations present in this input
+    for Turn/edge tables (cleanupbuilder.py:244-383 semantics), global for
+    Conversation/Entity (386-451 semantics).
     """
     import shutil
     import time
@@ -649,25 +618,27 @@ def run_kg_pipeline(
     input_token = _input_fingerprint(transcripts)
     if work_dir is None:
         work_dir = f"/tmp/graft_kg/work/{input_token}-sync"
-    os.makedirs(work_dir, exist_ok=True)
     timings: dict[str, float] = {}
     metrics: dict[str, Any] = {"nodes": {}, "edges": {}, "deleted": {}, "timings": timings}
 
-    # Stage 1: stabilize order (global sort) + computed id columns — once.
+    # Stages 1-2 (sort + detect checkpoints) — via build_graph's helpers.
+    # We orchestrate materialize OURSELVES to overlap independent phases:
+    # the sorted-checkpoint spill tasks and the conv sweep run in the
+    # background WHILE canonicalization + resolution execute (they only
+    # depend on the mention checkpoint).
     t0 = time.time()
-    sorted_path = os.path.join(work_dir, "sorted")
-    if not _checkpoint_valid(sorted_path, input_token):
-        _checkpoint(
-            transcripts.sort(["conv_id", "turn_idx"]).map_batches(
-                _prepare_turns, batch_format="pyarrow"
-            ),
-            sorted_path,
-            input_token,
-        )
-    timings["sort_checkpoint"] = round(time.time() - t0, 2)
+    g = build_graph(
+        transcripts,
+        ctx,
+        work_dir=work_dir,
+        detector_concurrency=detector_concurrency,
+        batch_size=batch_size,
+        timings=timings,
+        input_token=input_token,
+        _defer_resolve=True,
+    )
+    timings["build_graph"] = round(time.time() - t0, 2)
 
-    # Sorted-file spills + conv sweep start NOW and overlap with detection
-    # (they only need the sorted checkpoint).
     t0 = time.time()
     spill_root = os.path.join(
         store.root, "_spill", f"sync-{ctx.update_tag}-{uuid.uuid4().hex[:8]}"
@@ -690,53 +661,37 @@ def run_kg_pipeline(
     )
     conv_futs = _submit_conv_sweep(work_dir) if cleanup else []
 
-    # Stage 2: mention detection (actor pool), overlapped with the spills.
-    td = time.time()
-    mentions_path = os.path.join(work_dir, "mentions")
-    if not _checkpoint_valid(mentions_path, input_token):
-        if detector_concurrency is None:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            detector_concurrency = max(2, ncpu - 2)
-        _checkpoint(
-            ray.data.read_parquet(sorted_path).map_batches(
-                MentionDetector,
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                concurrency=detector_concurrency,
-            ),
-            mentions_path,
-            input_token,
-        )
-    timings["detect_checkpoint"] = round(time.time() - td, 2)
-    raw_mentions = ray.data.read_parquet(mentions_path)
-
-    # Stage 3: canonicalization (alias graph is small vs the corpus).
-    tc = time.time()
-    alias_edges = raw_mentions.map_batches(alias_edges_batch, batch_format="pyarrow")
-    labels = connected_components(alias_edges, num_partitions=8)
-    labels_tbl = _labels_table(labels)
-    timings["canonicalize"] = round(time.time() - tc, 2)
-
-    # Stage 4: mention spills with FUSED score+resolve (no resolved
-    # checkpoint) + the small label-derived tables.
-    mapping = dict(
-        zip(labels_tbl.column("node").to_pylist(), labels_tbl.column("label").to_pylist())
+    # canonicalize + resolve now run overlapped with the spill tasks
+    t2: dict = {}
+    g2 = build_graph(
+        transcripts,
+        ctx,
+        work_dir=work_dir,
+        detector_concurrency=detector_concurrency,
+        batch_size=batch_size,
+        timings=t2,
+        input_token=input_token,
     )
-    mapping_ref = ray.put(mapping)
-    mention_files = sorted(_glob.glob(os.path.join(mentions_path, "*.parquet")))
+    # checkpoints were built by the first call; keep its timings and take
+    # only the second call's new phases (canonicalize / resolve)
+    for k in ("canonicalize", "resolve_checkpoint"):
+        if k in t2:
+            timings[k] = t2[k]
+    resolved_files = sorted(_glob.glob(os.path.join(work_dir, "resolved", "*.parquet")))
     spill_futs += submit_spill(
         [
             (
-                mention_files,
+                resolved_files,
                 [
-                    ("nodes", "Entity", make_fused_mention_fn(ctx, mapping_ref, make_mention_entity_nodes_fn)),
-                    ("edges", None, make_fused_mention_fn(ctx, mapping_ref, make_mention_edges_fn)),
+                    ("nodes", "Entity", make_mention_entity_nodes_fn(ctx)),
+                    ("edges", None, make_mention_edges_fn(ctx)),
                 ],
             )
         ],
         spill_root,
         store.num_buckets,
     )
+    labels_tbl = _labels_table(g2["alias_labels"])
     write_small_tables(
         [
             ("edges", None, make_alias_edges_fn(ctx)(labels_tbl)),
@@ -751,7 +706,8 @@ def run_kg_pipeline(
     finally:
         shutil.rmtree(spill_root, ignore_errors=True)
     timings["materialize"] = round(time.time() - t0, 2)
-    for label in ("Turn", "Conversation", "Entity"):
+    g = g2
+    for label in g["nodes"]:
         metrics["nodes"][label] = 0
     if len(stats):
         for (kind, label), rows in stats.groupby(["kind", "label"])["rows"].sum().items():

@@ -76,18 +76,25 @@ def _lazy_spill_task():
         stream_fns: list,
         spill_root: str,
         num_buckets: int,
+        extra=None,
     ) -> int:
         """files: checkpoint parquet files; stream_fns: [(kind, label|None,
         fn)] applied to each file's table. Output is buffered per stream
         across the task's files and written ONCE per partition — file
-        count is partitions × tasks, not partitions × tasks × files."""
+        count is partitions × tasks, not partitions × tasks × files.
+
+        ``extra``: optional broadcast value passed as a TOP-LEVEL task
+        argument (callers pass an ObjectRef; Ray auto-resolves it with
+        proper ref-counting — capturing refs inside pickled closures
+        triggered raylet refcount crashes under load). Stream fns marked
+        ``_wants_extra`` receive it as a second argument."""
         task_id = uuid.uuid4().hex[:12]
         rows = 0
         buffers: dict[int, list[pa.Table]] = {i: [] for i in range(len(stream_fns))}
         for f in files:
             tbl = pq.read_table(f)
             for i, (kind, label, fn) in enumerate(stream_fns):
-                out = fn(tbl)
+                out = fn(tbl, extra) if getattr(fn, "_wants_extra", False) else fn(tbl)
                 rows += out.num_rows
                 if out.num_rows:
                     buffers[i].append(out)
@@ -115,9 +122,11 @@ def submit_spill(
     spill_root: str,
     num_buckets: int,
     files_per_task: int | None = None,
+    extra=None,
 ) -> list:
     """Submit spill tasks (non-blocking); returns futures. Lets the caller
-    overlap spills with other pipeline phases."""
+    overlap spills with other pipeline phases. ``extra``: optional
+    broadcast ObjectRef handed to ``_wants_extra`` stream fns."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -127,7 +136,7 @@ def submit_spill(
         fpt = files_per_task or max(1, len(files) // (2 * ncpu))
         for i in range(0, len(files), fpt):
             futures.append(
-                task.remote(files[i : i + fpt], fns, spill_root, num_buckets)
+                task.remote(files[i : i + fpt], fns, spill_root, num_buckets, extra)
             )
     return futures
 

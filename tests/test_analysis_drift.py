@@ -383,3 +383,40 @@ def test_analysis_effect_dsl_and_cleanup(ray_session, tmp_path):
     assert cm["edges_cleaned.OWNED_BY"] == 1              # stale edge expired
     e = store.read_edges("OWNED_BY")
     assert e is None or len(e) == 0
+
+
+def test_rules_frameworks_findings_formatters():
+    """Framework mappings (case-insensitive match), rule filtering,
+    Finding parsing (extra columns), JSON/table formatters."""
+    from cartography_ray.rules import (
+        Fact,
+        Framework,
+        Rule,
+        format_json,
+        format_table,
+        run_rules,
+    )
+
+    fw = Framework("CIS AWS Foundations Benchmark", "CIS", "5.1.8", scope="AWS", revision="5.0")
+    assert fw.matches("cis") and fw.matches("CIS", scope="aws") and not fw.matches("nist")
+
+    fact = Fact(
+        "open_things", "things that are open", ("id", "port"),
+        lambda: pd.DataFrame({"id": ["a"], "port": [22], "note": ["ssh"]}),
+        id="fact-1",
+    )
+    r1 = Rule("open-rule", (fact,), id="R1", tags=("network",), frameworks=(fw,))
+    r2 = Rule("other-rule", (fact,), id="R2")
+    assert r1.has_framework("cis", scope="aws") and not r2.has_framework("cis")
+    assert r1.get_fact_by_id("FACT-1") is fact
+
+    out = run_rules([r1, r2], framework="cis", with_findings=True)
+    assert [o["rule"] for o in out] == ["open-rule"]      # filtered by framework
+    finding = out[0]["facts"][0]["findings"][0]
+    assert finding.values == {"id": "a", "port": 22}
+    assert finding.extra == {"note": "ssh"}               # undeclared column
+
+    js = format_json(out)
+    assert '"rule": "open-rule"' in js and '"port": 22' in js
+    tbl = format_table(out)
+    assert "open-rule" in tbl and "open_things" in tbl
