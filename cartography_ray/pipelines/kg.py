@@ -729,7 +729,14 @@ def run_kg_pipeline(
         # reference (dangling-edge corruption otherwise).
         metrics["deleted"] = store.cleanup_all(
             ctx,
-            node_labels={"Turn": True, "Conversation": "rels_only", "Entity": "rels_only"},
+            # modes derived from each NodeSpec's declared cleanup case
+            # (sub-resource ⇒ scoped; shared nodes ⇒ rels_only; see
+            # NodeSpec.cleanup_mode / cleanupbuilder.py:16-120)
+            node_labels={
+                "Turn": specs.TURN_NODE.cleanup_mode,
+                "Conversation": specs.CONVERSATION_NODE.cleanup_mode,
+                "Entity": specs.ENTITY_NODE.cleanup_mode,
+            },
             edge_labels={
                 "MENTIONS": True,
                 "REFERENCES_TICKET": True,

@@ -33,7 +33,10 @@ CONVERSATION_NODE = NodeSpec.make(
         "conv_id": PropertyRef("conv_id"),
         "n_turns": PropertyRef("n_turns"),
     },
-    scoped_cleanup=False,  # no sub-resource above conversations ⇒ global stale delete
+    # no sub-resource + scoped_cleanup=True ⇒ reference Case 3 (rel-only
+    # cleanup): Conversation nodes are SHARED across syncs and are never
+    # deleted by a partial re-sync — only their stale rels are
+    # (cleanupbuilder.py:91-103; see NodeSpec.cleanup_mode)
 )
 
 TURN_NODE = NodeSpec.make(
@@ -59,7 +62,7 @@ ENTITY_NODE = NodeSpec.make(
         "id": PropertyRef("entity_id"),
         "kind": PropertyRef("kind"),
     },
-    scoped_cleanup=False,
+    # shared across conversations ⇒ Case-3 rel-only cleanup (see above)
     extra_node_labels=(
         ExtraNodeLabel("User").when(kind="user"),
         ExtraNodeLabel("Ticket").when(kind="ticket"),

@@ -85,3 +85,20 @@ class NodeSpec:
         if self.sub_resource_relationship is not None:
             rels = (self.sub_resource_relationship,)
         return rels + self.other_relationships
+
+    @property
+    def cleanup_mode(self) -> str:
+        """The reference's cleanup case for this spec
+        (cleanupbuilder.py:16-120), as a ``GraphStore.cleanup_all`` mode:
+
+        - sub-resource + scoped (Case 1)  → ``scoped`` (delete stale
+          nodes only inside synced sub-resources),
+        - no sub-resource + scoped (Case 3) → ``rels_only`` (shared
+          nodes are never deleted; only their stale rels are),
+        - no sub-resource + unscoped (Case 4) → ``unscoped`` (global
+          stale delete). Case 2 (sub-resource + unscoped) is rejected in
+          ``__post_init__``.
+        """
+        if self.sub_resource_relationship is not None:
+            return "scoped"
+        return "rels_only" if self.scoped_cleanup else "unscoped"
