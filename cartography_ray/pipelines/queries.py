@@ -390,6 +390,33 @@ GROUP BY fp
 """
 
 
+def q_docs_dup_edges(sf_dir: str):
+    """(member)-[DUPLICATE_OF]->(keeper) edges from exact-duplicate
+    clusters (the documents module's graph output; pipelines/docs.py)."""
+    rd = _rd()
+    from cartography_ray.pipelines.docs import duplicate_edges
+
+    ctx = IngestContext.make(update_tag=QUERY_TAG)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = duplicate_edges(ds, ctx)
+    if out.count() == 0:
+        # all-empty shuffle output loses its schema in Ray 2.49 — return
+        # a typed empty so the driver's schema compare still matches
+        return pa.table({"src_id": pa.array([], pa.string()), "dst_id": pa.array([], pa.string())})
+    return out.select_columns(["src_id", "dst_id"])
+
+
+SQL_DOCS_DUP_EDGES = r"""
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f FROM documents
+),
+k AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f)
+SELECT 'doc:' || fp.doc_id AS src_id, 'doc:' || k.keeper AS dst_id
+FROM fp JOIN k ON fp.f = k.f
+WHERE fp.doc_id <> k.keeper
+"""
+
+
 JACCARD_SUBSET_MAX = 40
 JACCARD_THRESHOLD = 0.25
 
@@ -1199,6 +1226,7 @@ QUERIES: dict[str, Callable] = {
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_dup_edges": q_docs_dup_edges,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash_pairs": q_docs_simhash_pairs,
@@ -1236,6 +1264,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_langid": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+        "docs_dup_edges": SQL_DOCS_DUP_EDGES,
         "docs_jaccard_pairs": SQL_DOCS_JACCARD,
         "emb_knn": SQL_EMB_KNN,
         "fuzzy_match_parts": SQL_FUZZY_PARTS,

@@ -260,6 +260,17 @@ def _stage_kg(store: GraphStore, ctx: IngestContext, config: dict):
     )
 
 
+@register_stage("docs")
+def _stage_docs(store: GraphStore, ctx: IngestContext, config: dict):
+    """Documents → dedup-graph module (Document nodes + DUPLICATE_OF
+    edges) — the second intel module, composable with 'kg'."""
+    from cartography_ray.pipelines.docs import run_docs_pipeline
+
+    return run_docs_pipeline(
+        config["documents"], store, ctx, cleanup=config.get("cleanup", True)
+    )
+
+
 @register_stage("analysis")
 def _stage_analysis(store: GraphStore, ctx: IngestContext, config: dict):
     """Drop-in JSON analysis-job directory stage (runs LAST by

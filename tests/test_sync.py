@@ -256,3 +256,41 @@ def test_config_driven_specs(tmp_path):
     rel = spec.other_relationships[0]
     assert rel.rel_label == "RUNS_ON" and rel.direction.value == "INWARD"
     assert rel.target_node_matcher.as_dict()["name"].ignore_case is True
+
+
+def test_three_stage_sync_with_docs_module(ray_session, tmp_path):
+    """kg + docs modules compose in one sync over one store (the
+    reference's multi-module graph); Document nodes + DUPLICATE_OF edges
+    land beside the KG tables with the same lineage tags."""
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.sources.transcripts import synth_transcripts_table
+    from cartography_ray.sync import build_sync
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["same  text", "same text", "unique one", "SAME TEXT"],
+        }
+    )
+    store = GraphStore(str(tmp_path / "store"), num_buckets=4)
+    ctx = IngestContext.make(update_tag=700)
+    results = build_sync("kg,docs").run(
+        store,
+        ctx,
+        {
+            "transcripts": ray.data.from_arrow(synth_transcripts_table(200)),
+            "documents": ray.data.from_arrow(docs),
+            "work_dir": str(tmp_path / "work"),
+        },
+    )
+    assert results["kg"]["nodes"]["Turn"] > 0
+    assert results["docs"]["nodes"]["Document"] == 4
+    d = store.read_nodes("Document").to_pandas()
+    assert set(d["lastupdated"]) == {700}
+    e = store.read_edges("DUPLICATE_OF").to_pandas()
+    # docs 1 and 3 normalize to doc 0's text → keeper is doc:0
+    assert set(zip(e["src_id"], e["dst_id"])) == {("doc:1", "doc:0"), ("doc:3", "doc:0")}
+    # both modules share the store: KG tables still present
+    assert store.read_nodes("Turn") is not None
