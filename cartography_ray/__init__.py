@@ -25,3 +25,14 @@ Nothing here imports from or depends on the reference at runtime.
 __version__ = "0.1.0"
 
 MODULE_NAME = "cartography_ray"
+
+# Applied at import time (not just configure()) so Ray shuffle workers —
+# which import this package when they deserialize our map_batches UDFs —
+# also emit hashable (metadata-free) block schemas. See runtime.py.
+try:
+    from cartography_ray.runtime import patch_pandas_block_metadata as _patch
+
+    _patch()
+    del _patch
+except Exception:  # pragma: no cover — ray absent (pure-spec tooling)
+    pass

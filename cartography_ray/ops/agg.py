@@ -14,9 +14,22 @@ as explicit design (the reference is single-writer and never needed it).
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 
 _AGG_FINAL = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _to_clean_arrow(df: pd.DataFrame) -> pa.Table:
+    """pandas result → metadata-free Arrow block.
+
+    Emitting Arrow directly from a pandas-format UDF (legal in Ray Data)
+    keeps the 'pandas' schema-metadata dict out of the block stream —
+    pyarrow 16's ``Schema.__hash__`` chokes on it, which knocks every
+    downstream shuffle concat off the cheap identical-schema unify path
+    (and spams "Failed to hash the schemas" from every aggregator).
+    """
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def partial_groupby_agg(
@@ -49,21 +62,78 @@ def partial_groupby_agg(
         out_df = pd.DataFrame(cols).reset_index()
         h = pd.util.hash_pandas_object(out_df[keys], index=False).to_numpy()
         out_df["__gb"] = (h % num_buckets).astype("int64")
-        return out_df
+        return _to_clean_arrow(out_df)
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby(keys, sort=False, dropna=False)
         cols = {}
         for out, (_, fn) in aggs.items():
             cols[out] = getattr(g[out], _AGG_FINAL[fn])()
-        return pd.DataFrame(cols).reset_index()
+        return _to_clean_arrow(pd.DataFrame(cols).reset_index())
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    partials = drop_empty_blocks(ds.map_batches(partial, batch_format="pandas"))
+    # No barrier before the shuffle: the hash-shuffle map short-circuits
+    # zero-row (even schema-less) blocks before touching key columns. The
+    # OUTPUT is cleaned because empty aggregator partitions emit
+    # schema-less blocks that poison a later sort (e.g. topk) — that
+    # barrier is over the tiny post-aggregation result, not the input.
+    partials = ds.map_batches(partial, batch_format="pandas")
     return drop_empty_blocks(
         partials.groupby("__gb").map_groups(final, batch_format="pandas")
     )
+
+
+def bounded_groupby_agg(
+    ds, keys: list[str] | str, aggs: dict[str, tuple[str, str]], fold_every: int = 64
+):
+    """Two-phase grouped aggregation for PROVABLY BOUNDED key cardinality
+    (dimension keys: return flags ×6, nations ×25, languages ×~30).
+
+    Phase 1 is the same per-block partial combine as
+    ``partial_groupby_agg``; phase 2 skips the all-to-all shuffle entirely
+    and streams the tiny per-block partials (≤K rows each) through a
+    driver-side incremental fold. Driver memory is O(K × fold_every) —
+    independent of dataset size — so this holds at 100 TB: 1M blocks × 25
+    nations streams 25M tiny rows through the driver but never holds more
+    than one fold window. Use ``partial_groupby_agg`` when cardinality
+    scales with the data (user×hour keys etc.).
+
+    Returns a pyarrow.Table (the result is dimension-sized by contract).
+    """
+    import pyarrow as pa
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for out, (col, fn) in aggs.items():
+            if fn == "count":
+                cols[out] = g[col if col else keys[0]].size()
+            else:
+                cols[out] = getattr(g[col], fn)()
+        return _to_clean_arrow(pd.DataFrame(cols).reset_index())
+
+    def fold(acc: pd.DataFrame | None, window: list[pd.DataFrame]) -> pd.DataFrame:
+        frames = ([acc] if acc is not None else []) + window
+        merged = pd.concat(frames, ignore_index=True)
+        g = merged.groupby(keys, sort=False, dropna=False)
+        cols = {out: getattr(g[out], _AGG_FINAL[fn])() for out, (_, fn) in aggs.items()}
+        return pd.DataFrame(cols).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    acc: pd.DataFrame | None = None
+    window: list[pd.DataFrame] = []
+    for b in partials.iter_batches(batch_format="pandas", batch_size=None):
+        if len(b):
+            window.append(b)
+        if len(window) >= fold_every:
+            acc = fold(acc, window)
+            window = []
+    if window or acc is None:
+        acc = fold(acc, window)
+    return _to_clean_arrow(acc)
 
 
 def topk(ds, by: str, k: int, descending: bool = True):

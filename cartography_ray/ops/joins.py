@@ -58,22 +58,25 @@ def broadcast_join(
     )
     small_ref = ray.put(small)
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+    def merge(batch: pd.DataFrame) -> pa.Table:
         rhs = ray.get(small_ref)
         # NULL join keys never match (SQL semantics) — pd.merge pairs NaNs
         rhs = rhs.dropna(subset=right_on)
         if how == "inner":
             batch = batch.dropna(subset=left_on)
-            return batch.merge(
+            out = batch.merge(
                 rhs, left_on=left_on, right_on=right_on, how=how, suffixes=("", suffix)
             )
-        nullk = batch[left_on].isna().any(axis=1)
-        out = batch[~nullk].merge(
-            rhs, left_on=left_on, right_on=right_on, how=how, suffixes=("", suffix)
-        )
-        if nullk.any():
-            out = pd.concat([out, batch[nullk]], ignore_index=True)
-        return out
+        else:
+            nullk = batch[left_on].isna().any(axis=1)
+            out = batch[~nullk].merge(
+                rhs, left_on=left_on, right_on=right_on, how=how, suffixes=("", suffix)
+            )
+            if nullk.any():
+                out = pd.concat([out, batch[nullk]], ignore_index=True)
+        # emit metadata-free Arrow so downstream shuffles keep hashable
+        # schemas (pyarrow 16 Schema.__hash__ rejects pandas metadata)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(merge, batch_format="pandas")
 
@@ -218,11 +221,15 @@ def hash_join(
                 parts.append(rhs_all[rhs_nullk])
             out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else out
             out = out.reindex(columns=all_cols)
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        # replace_schema_metadata: from_pandas attaches a 'pandas' metadata
+        # dict that makes the schema unhashable under pyarrow 16 (breaks
+        # Ray's cheap identical-schema unify path downstream)
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
-    from cartography_ray.runtime import drop_empty_blocks
-
-    # Empty input blocks (typed or schema-less) bypass the prep UDF and
-    # would reach the groupby without a __bucket column — strip them.
-    tagged = drop_empty_blocks(lp.union(rp))
+    # Empty input blocks (schema-less after a skipped UDF) are safe here:
+    # the hash-shuffle map short-circuits zero-row blocks before touching
+    # key columns, so no materialize barrier is needed before the groupby.
+    tagged = lp.union(rp)
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")

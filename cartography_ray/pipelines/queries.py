@@ -57,7 +57,7 @@ def _cents(col, factor: float = 100.0) -> pa.Array:
 def q_pricing_summary(sf_dir: str):
     """Grouped aggregation with two-phase partial agg (TPC-H Q1 shape)."""
     rd = _rd()
-    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.agg import bounded_groupby_agg
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -78,7 +78,9 @@ def q_pricing_summary(sf_dir: str):
         )
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
-    out = partial_groupby_agg(
+    # flag×status is ≤ 6 groups — dimension-bounded, so the final phase is
+    # a streamed driver fold (no shuffle); see bounded_groupby_agg.
+    return bounded_groupby_agg(
         prepped,
         ["l_returnflag", "l_linestatus"],
         {
@@ -88,7 +90,6 @@ def q_pricing_summary(sf_dir: str):
             "count_order": (None, "count"),
         },
     )
-    return out
 
 
 SQL_PRICING = """
@@ -115,7 +116,7 @@ def q_revenue_by_nation(sf_dir: str):
     rd = _rd()
     import pyarrow.parquet as pq
 
-    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.agg import bounded_groupby_agg
     from cartography_ray.ops.joins import broadcast_join, hash_join
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
@@ -138,7 +139,9 @@ def q_revenue_by_nation(sf_dir: str):
         right_on="o_orderkey",
     )
     joined = broadcast_join(fact, dim, left_on="o_custkey", right_on="c_custkey")
-    return partial_groupby_agg(
+    # 25 nations — dimension-bounded final, streamed driver fold (no
+    # second shuffle); the only all-to-all is the fact⋈fact hash_join.
+    return bounded_groupby_agg(
         joined.select_columns(["n_name", "revenue_cents"]),
         "n_name",
         {"revenue_cents": ("revenue_cents", "sum"), "n_items": (None, "count")},
@@ -172,7 +175,7 @@ def q_top_orders(sf_dir: str):
 
     pruned = ds.map_batches(prep, batch_format="pyarrow").map_batches(local, batch_format="pandas")
     final = pruned.to_pandas().sort_values(["total_cents", "o_orderkey"], ascending=[False, True]).head(10)
-    return pa.Table.from_pandas(final.reset_index(drop=True), preserve_index=False)
+    return pa.Table.from_pandas(final.reset_index(drop=True), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_TOP_ORDERS = """
@@ -1171,7 +1174,7 @@ def q_kg_co_mentions(sf_dir: str):
         ).to_pandas().drop_duplicates()
         h = pd.util.hash_array(pdf["turn_uid"].to_numpy(), categorize=False)
         pdf["__kb"] = (h % 64).astype("int64")
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
 
     def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["turn_uid", "entity_id"])[["turn_uid", "entity_id"]]

@@ -44,11 +44,40 @@ def _stub_fsspec_http() -> None:
     sys.modules["fsspec.implementations.http"] = mod
 
 
+def patch_pandas_block_metadata() -> None:
+    """Make every block schema hashable by stripping pandas metadata.
+
+    pyarrow 16's ``Schema.__hash__`` raises ``unhashable type: 'dict'`` on
+    any schema carrying the ``b'pandas'`` metadata blob, so Ray's
+    identical-schema early-exit in ``unify_schemas`` never fires for blocks
+    that passed through a pandas conversion — every shuffle worker falls
+    back to the expensive field-by-field unify and logs "Failed to hash
+    the schemas (for deduplication)" per concat. Ray's own pandas→Arrow
+    block conversion (``PandasBlockAccessor.to_arrow``) attaches that
+    metadata, so strip it at the conversion boundary. Idempotent; applied
+    at package import time so shuffle workers that deserialize our UDFs
+    (and therefore import this package) are patched too.
+    """
+    from ray.data._internal.pandas_block import PandasBlockAccessor
+
+    if getattr(PandasBlockAccessor, "_graft_meta_stripped", False):
+        return
+    orig = PandasBlockAccessor.to_arrow
+
+    def to_arrow(self):
+        t = orig(self)
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    PandasBlockAccessor.to_arrow = to_arrow
+    PandasBlockAccessor._graft_meta_stripped = True
+
+
 def configure(quiet: bool = True) -> None:
     import ray
     from ray.data.context import DataContext, ShuffleStrategy
 
     _stub_fsspec_http()
+    patch_pandas_block_metadata()
 
     ctx = DataContext.get_current()
     if quiet:

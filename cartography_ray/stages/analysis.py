@@ -258,7 +258,7 @@ def _analysis_task():
                 props += p
                 if p:
                     tmp = part + f".tmp.{os.getpid()}"
-                    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+                    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None), tmp)
                     os.replace(tmp, part)
             return matched, props
 
@@ -297,7 +297,7 @@ def _rel_prop_task():
                 pdf.loc[mask, side] = tag
                 pdf.loc[mask, "lastupdated"] = tag
                 tmp = part + f".tmp.{os.getpid()}"
-                pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+                pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None), tmp)
                 os.replace(tmp, part)
                 n_set += n
             return n_set
@@ -334,7 +334,7 @@ def _eff_clean_task():
                     touched = True
                 if touched:
                     tmp = part + f".tmp.{os.getpid()}"
-                    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+                    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None), tmp)
                     os.replace(tmp, part)
             return cleaned
 

@@ -208,7 +208,7 @@ def _lazy_compact_many_task():
                 new = pd.concat([prev, new], ignore_index=True)
             merged = _upsert_pdf(new, key_cols)
             tmp = part + f".tmp.{os.getpid()}"
-            pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+            pq.write_table(pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None), tmp)
             os.replace(tmp, part)
             manifest = {
                 "kind": kind, "label": label, "bucket": bucket,
@@ -344,7 +344,7 @@ class GraphStore:
                 new = pd.concat([prev, new], ignore_index=True)
             merged = _upsert_pdf(new, key_cols)
             tmp = part + f".tmp.{os.getpid()}"
-            pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+            pq.write_table(pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None), tmp)
             os.replace(tmp, part)
             manifest = {
                 "kind": kind,
