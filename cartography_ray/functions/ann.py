@@ -290,3 +290,100 @@ def knn_lsh_indexed(
         seed=seed,
     )
     return out, stats
+
+
+def cosine_neardup_pairs(
+    ds,
+    threshold: float,
+    num_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """EXACT embedding-cosine near-duplicate pairs (the last member of the
+    dedup family — exact / MinHash / SimHash / Jaccard / embedding-cosine).
+
+    Distributed triangle block-pair join: each row is assigned a block
+    ``p = id % P`` and replicated to every unordered block pair
+    ``(min(p,q), max(p,q))``; a groupby on the pair key then runs one
+    float64 GEMM per block pair and emits pairs with
+    ``round(cos, 6) >= threshold`` and ``id_a < id_b``.
+
+    Scale posture: communication is O(n·P) rows and each group holds
+    ~2n/P rows, so P is chosen so a block pair fits a worker's heap
+    (P ≈ n / block_target); compute is the unavoidable exact O(n²/2)
+    but spread over P(P+1)/2 independent GEMM tasks — no driver
+    materialization, no broadcast of the corpus. For corpora where exact
+    all-pairs is too hot, ``knn_lsh_indexed`` is the approximate path.
+
+    Rounding convention matches the rest of the catalogue: cosine is
+    computed in float64, rounded to 6dp, and BOTH the filter and the
+    emitted ``sim6`` use the rounded value (oracle-stable).
+    """
+    import pandas as pd
+
+    P = int(num_blocks)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        mat = _matrix_of(batch, vec_col)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "__pk": pa.array([], pa.int64()),
+                    "__blk": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        blk = ids % P
+        # one replica per unordered pair (min(p,q), max(p,q)), q = 0..P-1
+        reps_pk, reps_i = [], []
+        for q in range(P):
+            i, j = np.minimum(blk, q), np.maximum(blk, q)
+            reps_pk.append(i * P + j)
+            reps_i.append(np.arange(n))
+        pk = np.concatenate(reps_pk)
+        idx = np.concatenate(reps_i)
+        rep = np.ascontiguousarray(mat[idx])
+        vecs = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep.ravel(), pa.float64()), rep.shape[1]
+        )
+        return pa.table(
+            {
+                "__pk": pa.array(pk, pa.int64()),
+                "__blk": pa.array(blk[idx], pa.int64()),
+                id_col: pa.array(ids[idx], pa.int64()),
+                vec_col: vecs,
+            }
+        )
+
+    def gemm_pair(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim6": []})
+        pk = int(group["__pk"].iloc[0])
+        bi, bj = divmod(pk, P)
+        g = group.drop_duplicates(id_col)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        mat = _normalize(np.stack(g[vec_col].to_numpy()))
+        if bi == bj:
+            sims = np.round(mat @ mat.T, 6)
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            id_a, id_b = ids[ia], ids[ib]
+            s = sims[ia, ib]
+        else:
+            li = (ids % P) == bi
+            ids_i, ids_j = ids[li], ids[~li]
+            sims = np.round(mat[li] @ mat[~li].T, 6)
+            ia, ib = np.nonzero(sims >= threshold)
+            id_a, id_b = ids_i[ia], ids_j[ib]
+            s = sims[ia, ib]
+        lo, hi = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim6": s})
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = ds.map_batches(replicate, batch_format="pyarrow")
+    return drop_empty_blocks(
+        tagged.groupby("__pk").map_groups(gemm_pair, batch_format="pandas")
+    )

@@ -536,6 +536,35 @@ def q_emb_knn_lsh(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+EMB_NEARDUP_TAU = 0.4
+
+
+def q_emb_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs — EXACT, distributed.
+
+    Completes the dedup family (exact / MinHash / SimHash / Jaccard /
+    embedding-cosine) with an oracle-checkable member: a triangle
+    block-pair join (see functions/ann.py:cosine_neardup_pairs) spreads
+    the O(n²) cosine matrix over P(P+1)/2 independent GEMM tasks with
+    O(n·P) replication — no corpus broadcast, no driver materialization.
+    """
+    rd = _rd()
+    from cartography_ray.functions.ann import cosine_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, threshold=EMB_NEARDUP_TAU, num_blocks=8)
+
+
+SQL_EMB_NEARDUP = f"""
+WITH p AS (
+  SELECT least(a.vec_id, b.vec_id) AS id_a, greatest(a.vec_id, b.vec_id) AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim6
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim6 FROM p WHERE sim6 >= {EMB_NEARDUP_TAU}
+"""
+
+
 MATERIAL_WORDS = ("ring", "widget", "bolt", "gear", "gizmo")
 
 
@@ -1235,6 +1264,7 @@ QUERIES: dict[str, Callable] = {
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "emb_knn": q_emb_knn,
     "emb_knn_lsh": q_emb_knn_lsh,
+    "emb_neardup": q_emb_neardup,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "one_to_many_part_words": q_one_to_many_part_words,
     "events_props_k": q_events_props_k,
@@ -1270,6 +1300,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_dup_edges": SQL_DOCS_DUP_EDGES,
         "docs_jaccard_pairs": SQL_DOCS_JACCARD,
         "emb_knn": SQL_EMB_KNN,
+        "emb_neardup": SQL_EMB_NEARDUP,
         "fuzzy_match_parts": SQL_FUZZY_PARTS,
         "one_to_many_part_words": SQL_ONE_TO_MANY_WORDS,
         "events_props_k": SQL_EVENTS_PROPS,

@@ -196,3 +196,42 @@ def test_knn_lsh_indexed_partition_pruning(ray_session, tmp_path):
     assert indexed.equals(full)                       # same candidates/ranks
     assert 0 < stats["rows_scanned"] < total          # pruning is real
     assert stats["partitions_read"] < stats["partitions_total"]
+
+
+def test_cosine_neardup_exact_vs_bruteforce(ray_session):
+    """Triangle block-pair join must equal the O(n²) numpy baseline —
+    every pair above threshold, exact sims, no dupes across block pairs."""
+    import ray.data
+
+    from cartography_ray.functions.ann import cosine_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    n, d = 200, 16
+    base = rng.standard_normal((n // 2, d))
+    # half the corpus = jittered copies → guaranteed near-dups
+    mat = np.vstack([base, base + rng.standard_normal((n // 2, d)) * 0.05])
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.astype("float64").ravel()), d
+            ),
+        }
+    )
+    tau = 0.9
+    got = (
+        cosine_neardup_pairs(
+            ray.data.from_arrow(tbl).repartition(5), tau, num_blocks=4
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(norm @ norm.T, 6)
+    ia, ib = np.nonzero(np.triu(sims >= tau, k=1))
+    assert len(got) == len(ia) > 0
+    assert (got["id_a"].to_numpy() == ia).all()
+    assert (got["id_b"].to_numpy() == ib).all()
+    assert np.allclose(got["sim6"].to_numpy(), sims[ia, ib])
