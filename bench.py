@@ -105,6 +105,7 @@ def run_queries(sf_dir: str) -> dict:
         "docs_stats",
         "docs_minhash_pairs",
         "emb_knn",
+        "emb_neardup",
     ]
     out = {}
     for name in names:
