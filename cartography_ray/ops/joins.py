@@ -139,16 +139,27 @@ def hash_join(
     Arrow with the constant output schema. Right columns colliding with
     left non-key columns are renamed with ``right_prefix``.
 
-    ``how``: inner | left | outer.
+    ``how``: inner | left | outer | semi | anti. Semi keeps left rows
+    with a match (no right columns in the output); anti keeps left rows
+    WITHOUT a match — the distributed cleanup primitive (neither side is
+    ever driver-resident, unlike ``broadcast_semi_anti``). Null left keys
+    never match: dropped for semi, kept for anti (same semantics as the
+    broadcast variant's fill_null(False) mask).
     """
     left_on = [left_on] if isinstance(left_on, str) else list(left_on)
     right_on = left_on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
+    filter_only = how in ("semi", "anti")
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
     lcols = list(lschema.names)
-    rcols = list(rschema.names)
+    rcols = list(rschema.names) if not filter_only else list(right_on)
+    if filter_only:
+        rschema = pa.schema(
+            [(c, _arrow_schema(right).field(c).type) for c in rcols]
+        )
+        right = right.select_columns(rcols)
     # rename right keys to left key names; prefix right value collisions
     r_out = []
     for c in rcols:
@@ -200,11 +211,25 @@ def hash_join(
     rp = right.map_batches(prep(1, rcols, r_out), batch_format="pyarrow")
 
     l_value = [c for c in lcols if c not in left_on]
-    pd_how = {"inner": "inner", "left": "left", "outer": "outer"}[how]
+    pd_how = {"inner": "inner", "left": "left", "outer": "outer",
+              "semi": "semi", "anti": "anti"}[how]
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         pdf = group.to_pandas()
         lhs = pdf[pdf["__side"] == 0][left_on + l_value]
+        if pd_how in ("semi", "anti"):
+            rhs_keys = pdf[pdf["__side"] == 1][left_on].dropna().drop_duplicates()
+            nullk = lhs[left_on].isna().any(axis=1)
+            flagged = lhs[~nullk].merge(
+                rhs_keys, on=left_on, how="left", indicator="__m"
+            )
+            want = "both" if pd_how == "semi" else "left_only"
+            out = flagged[flagged["__m"] == want][all_cols]
+            if pd_how == "anti" and nullk.any():
+                out = pd.concat([out, lhs[nullk]], ignore_index=True)
+            return pa.Table.from_pandas(
+                out, schema=out_schema, preserve_index=False
+            ).replace_schema_metadata(None)
         # NULL join keys never match (SQL semantics) — pd.merge pairs NaNs
         rhs_all = pdf[pdf["__side"] == 1][left_on + r_value]
         rhs_nullk = rhs_all[left_on].isna().any(axis=1)

@@ -235,39 +235,30 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount >= 0.05
 
 
 def q_customers_without_orders(sf_dir: str):
-    """Anti-join via broadcast key set (the cleanup primitive): customers
-    with no order above 300k.
+    """Distributed anti-join (the cleanup primitive): customers with no
+    order above 300k.
 
-    Scale posture: the key set is DISTINCT-aggregated distributedly
-    (per-batch unique, then a hash-bucketed groupby distinct) BEFORE
-    anything reaches the driver — the driver holds at most the distinct
-    customer keys (bounded by the dimension), never the fact rows.
+    Scale posture: ``hash_join(how="anti")`` — both sides shuffled once by
+    key hash, the anti filter applied inside each bucket. NO key list ever
+    reaches the driver (VERDICT r02 item 3 replaced the broadcast key-set
+    variant); a per-batch unique combiner still shrinks the fact side
+    before the shuffle.
     """
     rd = _rd()
-    from cartography_ray.ops.joins import broadcast_semi_anti
+    from cartography_ray.ops.joins import hash_join
     from cartography_ray.runtime import drop_empty_blocks
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     def local_distinct(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t.column("o_totalprice"), pa.scalar(300000.0)))
-        keys = pc.unique(pc.cast(t.column("o_custkey"), pa.string()))
-        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False), categorize=False)
-        return pa.table(
-            {"key": keys, "__kb": pa.array((h % 64).astype(np.int64), pa.int64())}
-        )
+        return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
 
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates("key")[["key"]]
-
-    distinct = drop_empty_blocks(
-        drop_empty_blocks(orders.map_batches(local_distinct, batch_format="pyarrow"))
-        .groupby("__kb")
-        .map_groups(bucket_distinct, batch_format="pandas")
-    )
-    keys = [r["key"] for r in distinct.take_all()]
+    keys_ds = orders.map_batches(local_distinct, batch_format="pyarrow")
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    return broadcast_semi_anti(ds, keys, on="c_custkey", anti=True)
+    return drop_empty_blocks(
+        hash_join(ds, keys_ds, left_on="c_custkey", right_on="o_custkey", how="anti")
+    )
 
 
 SQL_CUST_NO_ORDERS = """

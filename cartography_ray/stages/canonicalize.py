@@ -186,21 +186,24 @@ def connected_components(
             lmap_ref = ray.put(lmap)
 
             def messages(batch: pa.Table) -> pa.Table:
+                # vectorized: map both endpoints through the label dict with
+                # identity fallback, take the elementwise min, then a local
+                # per-node min combiner — no Python row loop
                 m = ray.get(lmap_ref)
-                a = batch.column("a").to_pylist()
-                b = batch.column("b").to_pylist()
-                best: dict[str, str] = {}
-                for x, y in zip(a, b):
-                    lx = m.get(x, x)
-                    ly = m.get(y, y)
-                    cur = best.get(x)
-                    cand = lx if lx < ly else ly
-                    if cur is None or cand < cur:
-                        best[x] = cand
+                a = pd.Series(batch.column("a").to_numpy(zero_copy_only=False))
+                b = pd.Series(batch.column("b").to_numpy(zero_copy_only=False))
+                la = a.map(m).fillna(a)
+                lb = b.map(m).fillna(b)
+                cand = la.where(la < lb, lb)
+                best = (
+                    pd.DataFrame({"node": a, "label": cand})
+                    .groupby("node", sort=False)["label"]
+                    .min()
+                )
                 return pa.table(
                     {
-                        "node": pa.array(list(best.keys()), pa.string()),
-                        "label": pa.array(list(best.values()), pa.string()),
+                        "node": pa.array(best.index.to_numpy(), pa.string()),
+                        "label": pa.array(best.to_numpy(), pa.string()),
                     }
                 )
 
@@ -287,17 +290,68 @@ def connected_components(
     return labels
 
 
-def resolve_keys(ds, labels, key_col: str = "entity_key", out_col: str = "entity_id"):
+def resolve_keys(
+    ds,
+    labels,
+    key_col: str = "entity_key",
+    out_col: str = "entity_id",
+    strategy: str = "auto",
+    broadcast_limit: int = BROADCAST_LABEL_LIMIT,
+):
     """Map candidate keys to canonical roots (identity for unaliased keys).
 
-    The component map is the SMALL side (distinct aliased keys ≪ mentions):
-    broadcast once via ``ray.put`` and looked up per batch — no shuffle of
-    the mention stream. For component maps too large to broadcast, swap in
-    ops.joins.hash_join with the same (left-outer + coalesce) semantics.
+    Two strategies (``strategy`` = auto | broadcast | join):
+
+    - ``broadcast`` — the component map is usually the SMALL side
+      (distinct aliased keys ≪ mentions): ``ray.put`` once, looked up per
+      batch with a vectorized pandas map — no shuffle of the mention
+      stream.
+    - ``join`` — the scale fallback when the component map exceeds
+      ``broadcast_limit`` rows: a distributed left-outer ``hash_join``
+      against the label Dataset plus a coalesce-to-identity projection.
+      Nothing is ever driver-resident.
+
+    ``auto`` picks join when the label row count exceeds the limit.
     """
     import ray
+    import ray.data
 
-    if hasattr(labels, "to_arrow_refs"):
+    is_ds = hasattr(labels, "to_arrow_refs")
+    if strategy == "auto":
+        n_labels = labels.count() if is_ds else labels.num_rows
+        strategy = "join" if n_labels > broadcast_limit else "broadcast"
+
+    if strategy == "join":
+        from cartography_ray.ops.joins import hash_join
+        from cartography_ray.runtime import drop_empty_blocks
+
+        labels_ds = labels if is_ds else ray.data.from_arrow(labels)
+        # rename to collision-proof temp names so the join never clashes
+        # with the mention stream's own columns
+        skinny = labels_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "__cc_node": pc.cast(t.column("node"), pa.string()),
+                    "__cc_root": pc.cast(t.column("label"), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            ds, skinny, left_on=key_col, right_on="__cc_node", how="left"
+        )
+
+        def coalesce(batch: pa.Table) -> pa.Table:
+            root = batch.column("__cc_root")
+            key = pc.cast(batch.column(key_col), pa.string())
+            resolved = pc.coalesce(root, key)  # identity for unaliased keys
+            return batch.drop_columns(["__cc_root"]).append_column(
+                out_col, pc.cast(resolved, pa.string())
+            )
+
+        return drop_empty_blocks(joined).map_batches(coalesce, batch_format="pyarrow")
+
+    if is_ds:
         blocks = ray.get(labels.to_arrow_refs())
         # drop schema-less empty placeholder blocks Ray's groupby can emit
         blocks = [b for b in blocks if b.num_columns > 0]

@@ -183,6 +183,38 @@ def test_canonicalization_transitive(ray_session):
     assert labels["user:zz"] == "name:zz"
 
 
+def test_resolve_keys_join_strategy_matches_broadcast(ray_session):
+    """The scale fallback (distributed hash_join resolve, VERDICT r02 item
+    1) must produce byte-identical resolution to the broadcast path."""
+    import ray.data
+
+    from cartography_ray.stages.canonicalize import connected_components, resolve_keys
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": ["name:u1", "user:u1", "user:alt1", "name:zz"],
+                "b": ["user:u1", "user:alt1", "user:aaa1", "user:zz"],
+            }
+        )
+    )
+    labels = connected_components(edges, num_partitions=4).materialize()
+    keys = ["user:alt1", "user:aaa1", "user:zz", "user:unaliased", "name:u1"]
+    ds = ray.data.from_arrow(
+        pa.table({"entity_key": pa.array(keys, pa.string()), "i": list(range(len(keys)))})
+    )
+
+    def run(strategy):
+        rows = resolve_keys(ds, labels, strategy=strategy).take_all()
+        return {r["i"]: r["entity_id"] for r in rows}
+
+    broadcast = run("broadcast")
+    joined = run("join")
+    assert broadcast == joined
+    assert broadcast[3] == "user:unaliased"  # identity for unaliased keys
+    assert broadcast[0] == broadcast[1] == broadcast[4] == "name:u1"
+
+
 def test_partial_resync_preserves_shared_nodes(ray_session, tmp_root):
     """ADVICE regression: re-syncing a SUBSET of conversations must not
     delete Conversation/Entity nodes other conversations still reference
