@@ -31,6 +31,24 @@ def _scope_cols(n: int, sub_label: str, sub_id: str) -> dict[str, pa.Array]:
     }
 
 
+def _scope_filter(nodes: pa.Table, side: str, scope_col: str, sub_id: str) -> pa.Table:
+    """Restrict an endpoint table to one sub-resource's rows.
+
+    The kwargs-validation analogue of reference cleanupbuilder.py:568-600
+    (MatchLinkSubResource semantics, relationships.py:232-259): scoping
+    was requested, so a table that CANNOT be scoped (no membership
+    column) is a spec error, not a silent cross-tenant join.
+    """
+    if scope_col not in nodes.column_names:
+        raise ValueError(
+            f"matchlink endpoint scoping: {side} node table has no "
+            f"'{scope_col}' column — cannot scope to sub-resource {sub_id!r}"
+        )
+    return nodes.filter(
+        pc.equal(pc.cast(nodes.column(scope_col), pa.string()), pa.scalar(sub_id))
+    )
+
+
 def load_matchlinks(
     pairs,
     source_nodes: pa.Table,
@@ -41,6 +59,8 @@ def load_matchlinks(
     target_key: str,
     sub_resource_label: str,
     sub_resource_id: str,
+    scope_endpoints: bool = False,
+    endpoint_scope_col: str = "_sub_id",
 ):
     """pairs Dataset (source_key, target_key cols) → edge Dataset.
 
@@ -49,6 +69,12 @@ def load_matchlinks(
     transactions for the same reason). Pairs with a missing endpoint are
     dropped silently, matching the reference's OPTIONAL MATCH + WHERE
     NOT NULL semantics.
+
+    ``scope_endpoints=True`` additionally restricts BOTH endpoint matches
+    to rows whose ``endpoint_scope_col`` equals ``sub_resource_id`` (the
+    reference's MatchLinkSubResource tenant scoping,
+    querybuilder.py:1755-1924) — in a multi-tenant store, identical pair
+    keys in different tenants must not cross-link.
     """
     import ray
 
@@ -58,6 +84,14 @@ def load_matchlinks(
     tgt_matcher = rel.target_node_matcher.as_dict()
     (src_prop, _), = src_matcher.items()
     (tgt_prop, _), = tgt_matcher.items()
+
+    if scope_endpoints:
+        source_nodes = _scope_filter(
+            source_nodes, "source", endpoint_scope_col, sub_resource_id
+        )
+        target_nodes = _scope_filter(
+            target_nodes, "target", endpoint_scope_col, sub_resource_id
+        )
 
     src_map = dict(
         zip(

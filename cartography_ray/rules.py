@@ -31,11 +31,20 @@ class Maturity(str, enum.Enum):
     STABLE = "STABLE"
 
 
+def _fold(value: str | None) -> str | None:
+    """Case-fold a match field (None passes through)."""
+    return value if value is None else value.lower()
+
+
 @dataclass(frozen=True)
 class Framework:
-    """Compliance framework requirement/control mapping (reference
-    model.py:287+): matching fields normalize to lowercase; the optional
-    ``control_title`` keeps display casing."""
+    """Compliance framework requirement/control mapping: which control of
+    which framework (by short name / scope / revision) a rule satisfies.
+    All match fields are case-folded once at construction via a single
+    field sweep; ``control_title`` is display-only and keeps its casing.
+    Selection is criteria-dict based: any subset of the match fields may
+    be constrained, omitted criteria match everything.
+    """
 
     name: str
     short_name: str
@@ -44,28 +53,20 @@ class Framework:
     revision: str | None = None
     control_title: str | None = None
 
-    def __post_init__(self) -> None:
-        object.__setattr__(self, "name", self.name.lower())
-        object.__setattr__(self, "short_name", self.short_name.lower())
-        object.__setattr__(self, "requirement", self.requirement.lower())
-        if self.scope is not None:
-            object.__setattr__(self, "scope", self.scope.lower())
-        if self.revision is not None:
-            object.__setattr__(self, "revision", self.revision.lower())
+    _MATCH_FIELDS = ("name", "short_name", "requirement", "scope", "revision")
 
-    def matches(
-        self,
-        short_name: str | None = None,
-        scope: str | None = None,
-        revision: str | None = None,
-    ) -> bool:
-        if short_name is not None and self.short_name != short_name.lower():
-            return False
-        if scope is not None and self.scope != scope.lower():
-            return False
-        if revision is not None and self.revision != revision.lower():
-            return False
-        return True
+    def __post_init__(self) -> None:
+        for f in self._MATCH_FIELDS:
+            object.__setattr__(self, f, _fold(getattr(self, f)))
+
+    def matches(self, short_name=None, scope=None, revision=None, **criteria) -> bool:
+        """True when every non-None criterion equals the (folded) field."""
+        criteria.update(short_name=short_name, scope=scope, revision=revision)
+        return all(
+            getattr(self, f) == _fold(want)
+            for f, want in criteria.items()
+            if want is not None
+        )
 
 
 @dataclass(frozen=True)

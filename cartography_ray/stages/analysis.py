@@ -47,6 +47,7 @@ from typing import Callable
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from cartography_ray.core.context import IngestContext
@@ -122,6 +123,10 @@ class AnalysisStatement:
     match: Callable[[pd.DataFrame], pd.Series] | None  # row mask; None = all
     effects: tuple = field(default=())
     scope: ScopeById | None = None
+    # incremental gating (reference graph/analysis.py IncrementalMatch):
+    # restrict the match to rows touched THIS run (lastupdated == tag) so
+    # re-running an analysis never rewrites rows an earlier sync produced
+    incremental_on: bool = False
 
 
 @dataclass(frozen=True)
@@ -165,7 +170,7 @@ def _append_set(cell, values: list):
     return base
 
 
-def _mask_of(stmt: AnalysisStatement, pdf: pd.DataFrame) -> pd.Series:
+def _mask_of(stmt: AnalysisStatement, pdf: pd.DataFrame, tag: int | None = None) -> pd.Series:
     mask = stmt.match(pdf) if stmt.match is not None else pd.Series(True, index=pdf.index)
     if mask.dtype != bool:
         mask = mask.fillna(False).astype(bool)
@@ -174,13 +179,17 @@ def _mask_of(stmt: AnalysisStatement, pdf: pd.DataFrame) -> pd.Series:
         if col not in pdf.columns:
             return pd.Series(False, index=pdf.index)
         mask = mask & (pdf[col] == stmt.scope.value)
+    if stmt.incremental_on and tag is not None:
+        if "lastupdated" not in pdf.columns:
+            return pd.Series(False, index=pdf.index)
+        mask = mask & (pdf["lastupdated"] == tag)
     return mask
 
 
 def _apply_node_effects_pdf(pdf: pd.DataFrame, stmt: AnalysisStatement, tag: int):
     """Apply the statement's node-level Set*/AddToSet effects in place.
     Returns (matched, props_set)."""
-    mask = _mask_of(stmt, pdf)
+    mask = _mask_of(stmt, pdf, tag)
     matched = int(mask.sum())
     props_set = 0
     touched = False
@@ -348,19 +357,31 @@ def _store_parts(store: GraphStore, kind: str, label: str) -> list[str]:
     )
 
 
-def run_analysis_job(job: AnalysisJob, store: GraphStore, ctx: IngestContext) -> dict:
+ANALYSIS_BROADCAST_LIMIT = 500_000
+
+
+def run_analysis_job(
+    job: AnalysisJob,
+    store: GraphStore,
+    ctx: IngestContext,
+    broadcast_limit: int = ANALYSIS_BROADCAST_LIMIT,
+) -> dict:
     """Apply every statement; returns per-statement counters (the analogue
     of the reference's result-summary counters, statement.py:285-299).
 
     Node-property effects rewrite bucket files in parallel Ray tasks;
     AddRelationship streams the source label's node table through a
-    distributed filter + broadcast join (target side is dimension-sized
-    by matchlink convention) into the normal edge materialize path.
+    distributed filter + join into the normal edge materialize path.
+    Target tables up to ``broadcast_limit`` rows are broadcast
+    (dimension-sized, the matchlink convention); larger targets go
+    through a distributed reduce-side ``hash_join`` so a fact-sized
+    target label never lands on the driver (VERDICT r02 item 2).
     """
     import ray
 
     from cartography_ray.core.compile import edge_batch
-    from cartography_ray.ops.joins import broadcast_join
+    from cartography_ray.ops.joins import broadcast_join, hash_join
+    from cartography_ray.runtime import drop_empty_blocks
     from cartography_ray.spec import PropertyRef, RelSpec, TargetNodeMatcher
 
     metrics: dict[str, int] = {}
@@ -390,27 +411,53 @@ def run_analysis_job(job: AnalysisJob, store: GraphStore, ctx: IngestContext) ->
             # match count without rewriting (rel-only statements)
             for part in parts:
                 pdf = pq.read_table(part).to_pandas()
-                matched += int(_mask_of(stmt, pdf).sum())
+                matched += int(_mask_of(stmt, pdf, tag).sum())
         metrics[f"{job.name}.{si}.matched"] = matched
 
         for eff in add_rels:
-            tgt = store.read_nodes(eff.target_label)
-            if tgt is None:
+            tgt_ds = store.read_nodes_ds(eff.target_label)
+            if tgt_ds is None:
                 metrics[f"{job.name}.{si}.rels_added"] = 0
                 continue
-            tgt_pdf = tgt.to_pandas()[[eff.target_key, "id"]].rename(columns={"id": "__dst"})
             src_ds = store.read_nodes_ds(stmt.node_label)
 
-            def pick(pdf: pd.DataFrame, _stmt=stmt, _eff=eff) -> pd.DataFrame:
-                m = _mask_of(_stmt, pdf)
+            def pick(pdf: pd.DataFrame, _stmt=stmt, _eff=eff, _tag=tag) -> pd.DataFrame:
+                m = _mask_of(_stmt, pdf, _tag)
                 return pdf.loc[m, ["id", _eff.source_key]]
 
-            joined = broadcast_join(
-                src_ds.map_batches(pick, batch_format="pandas"),
-                tgt_pdf,
-                left_on=eff.source_key,
-                right_on=eff.target_key,
-            ).materialize()
+            picked = src_ds.map_batches(pick, batch_format="pandas")
+            if tgt_ds.count() > broadcast_limit:
+                # fact-sized target: distributed reduce-side join — the
+                # target table never materializes on the driver
+                def skinny_fn(t: pa.Table, _eff=eff) -> pa.Table:
+                    return pa.table(
+                        {
+                            _eff.target_key: t.column(_eff.target_key),
+                            "__dst": pc.cast(t.column("id"), pa.string()),
+                        }
+                    )
+
+                joined = drop_empty_blocks(
+                    hash_join(
+                        picked,
+                        tgt_ds.map_batches(skinny_fn, batch_format="pyarrow"),
+                        left_on=eff.source_key,
+                        right_on=eff.target_key,
+                        how="inner",
+                    )
+                )
+            else:
+                tgt_pdf = (
+                    store.read_nodes(eff.target_label)
+                    .to_pandas()[[eff.target_key, "id"]]
+                    .rename(columns={"id": "__dst"})
+                )
+                joined = broadcast_join(
+                    picked,
+                    tgt_pdf,
+                    left_on=eff.source_key,
+                    right_on=eff.target_key,
+                ).materialize()
             n_joined = joined.count()
             rel = RelSpec(
                 rel_label=eff.rel_label,
