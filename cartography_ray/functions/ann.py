@@ -189,12 +189,15 @@ def build_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    input_fingerprint: str | None = None,
 ) -> str:
     """Write the corpus ONCE partitioned by LSH bucket (one Hive
     directory per sign-pattern bucket) — the scale path VERDICT asked
     for: queries then read ONLY matching partitions instead of scanning
     every batch and filtering. Returns the index dir. A ``meta.json``
-    records (planes, seed, dim) so query-side tagging matches."""
+    records (planes, seed, dim, input_fingerprint) so query-side tagging
+    matches and callers can detect a stale index when the source corpus
+    is regenerated in place (ADVICE r02)."""
     import glob as _glob
     import json
     import os
@@ -214,11 +217,18 @@ def build_lsh_index(
     ds.map_batches(tag, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["lsh_bucket"]
     )
-    sample = sorted(_glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True))[0]
-    first = pq.read_table(sample, columns=[vec_col]).column(vec_col)
-    dim = len(first[0]) if len(first) else 0
+    parts = sorted(_glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True))
+    if parts:
+        first = pq.read_table(parts[0], columns=[vec_col]).column(vec_col)
+        dim = len(first[0]) if len(first) else 0
+    else:
+        dim = 0  # empty corpus: meta still written so readers get a clean empty
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump({"planes": planes, "seed": seed, "dim": dim}, f)
+        json.dump(
+            {"planes": planes, "seed": seed, "dim": dim,
+             "input_fingerprint": input_fingerprint},
+            f,
+        )
     return index_dir
 
 
@@ -246,6 +256,21 @@ def knn_lsh_indexed(
 
     meta = json.load(open(os.path.join(index_dir, "meta.json")))
     planes, seed = int(meta["planes"]), int(meta["seed"])
+    if int(meta["dim"]) == 0:  # empty corpus indexed — clean empty result
+        import pyarrow as _pa
+        import ray.data
+
+        empty = _pa.table(
+            {
+                "query_id": _pa.array([], _pa.int64()),
+                "neighbor_id": _pa.array([], _pa.int64()),
+                "rank": _pa.array([], _pa.int64()),
+                "sim6": _pa.array([], _pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(empty), {
+            "partitions_read": 0, "partitions_total": 0, "rows_scanned": 0,
+        }
     tagger = _LshTag(int(meta["dim"]), planes, seed)
     qids = sorted(queries)
     qmat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids]))

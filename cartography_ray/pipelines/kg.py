@@ -85,6 +85,31 @@ def _dedup_batch(batch: pa.Table, cols: list[str]) -> pa.Table:
     return batch.take(pa.array(idx))
 
 
+def _dir_lock(path: str):
+    """Advisory exclusive lock for a checkpoint directory (ADVICE r02:
+    fingerprint-keyed work dirs are SHARED between concurrent processes
+    syncing the same input — without a lock, one process can rmtree a
+    directory the other is writing). flock releases on process death, so
+    a crashed holder never wedges the next run. Single-host semantics;
+    on a shared filesystem without flock, point work_dir at per-process
+    paths instead."""
+    import fcntl
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _lock():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fh = open(path + ".lock", "w")
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+            fh.close()
+
+    return _lock()
+
+
 def _checkpoint(ds, path: str, token: str = "ok") -> str:
     """Execute a stage ONCE into a Parquet directory; skip if already done.
 
@@ -92,20 +117,28 @@ def _checkpoint(ds, path: str, token: str = "ok") -> str:
     atomic-enough for rerun-after-kill: a partial directory (no marker) is
     discarded and rewritten. The marker records an input ``token``
     (fingerprint): a checkpoint left by a DIFFERENT input is discarded
-    instead of silently reused.
+    instead of silently reused. The write lands in a per-process temp
+    dir renamed into place, and the check-discard-rename sequence runs
+    under ``_dir_lock`` so two processes sharing a fingerprint-keyed
+    work dir serialize instead of clobbering each other.
     """
     import shutil
 
-    marker = os.path.join(path, "_SUCCESS")
     if _checkpoint_valid(path, token):
         return path
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
-    # bound file count: downstream consumers pay one task chain per file
-    ds.write_parquet(path, min_rows_per_file=65536)
-    with open(marker, "w") as f:
-        f.write(token)
+    with _dir_lock(path):
+        if _checkpoint_valid(path, token):  # the other process built it
+            return path
+        tmp = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        # bound file count: downstream consumers pay one task chain per file
+        ds.write_parquet(tmp, min_rows_per_file=65536)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write(token)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
     return path
 
 
@@ -128,8 +161,9 @@ def _input_fingerprint(transcripts) -> str:
     """Cheap input-identity token for checkpoint reuse.
 
     File-backed Datasets fingerprint deterministically on (sorted file
-    list, sizes) — resumable across processes. In-memory Datasets get a
-    unique per-call token (no reuse — their identity is unknowable, and
+    list, sizes, mtimes) — resumable across processes, and a same-size
+    in-place edit still invalidates (ADVICE r02). In-memory Datasets get
+    a unique per-call token (no reuse — their identity is unknowable, and
     ``id()`` can be recycled after GC)."""
     import hashlib
 
@@ -142,7 +176,8 @@ def _input_fingerprint(transcripts) -> str:
         h = hashlib.md5()
         for f in files:
             try:
-                h.update(f"{f}:{os.path.getsize(f)}".encode())
+                st = os.stat(f)
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
             except OSError:
                 h.update(f.encode())
         return h.hexdigest()[:12]

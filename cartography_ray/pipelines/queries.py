@@ -398,15 +398,39 @@ GROUP BY fp
 """
 
 
+DUP_SEED_MAX = 8
+DUP_SEED_OFFSET = 10_000_000
+
+
 def q_docs_dup_edges(sf_dir: str):
     """(member)-[DUPLICATE_OF]->(keeper) edges from exact-duplicate
-    clusters (the documents module's graph output; pipelines/docs.py)."""
+    clusters (the documents module's graph output; pipelines/docs.py).
+
+    The bench corpus has no exact duplicates, which made this oracle
+    check vacuous (ADVICE r02) — so the query corpus is the documents
+    table UNION a deterministic re-id'd copy of its first
+    ``DUP_SEED_MAX`` docs (same derivation in the SQL oracle), making
+    keeper selection and edge direction actually comparable."""
     rd = _rd()
     from cartography_ray.pipelines.docs import duplicate_edges
 
     ctx = IngestContext.make(update_tag=QUERY_TAG)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = duplicate_edges(ds, ctx)
+
+    def seed_copies(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t.column("doc_id"), pa.scalar(DUP_SEED_MAX)))
+        return pa.table(
+            {
+                "doc_id": pc.add(
+                    pc.cast(sel.column("doc_id"), pa.int64()),
+                    pa.scalar(DUP_SEED_OFFSET, pa.int64()),
+                ),
+                "text": sel.column("text"),
+            }
+        )
+
+    corpus = ds.union(ds.map_batches(seed_copies, batch_format="pyarrow"))
+    out = duplicate_edges(corpus, ctx)
     if out.count() == 0:
         # all-empty shuffle output loses its schema in Ray 2.49 — return
         # a typed empty so the driver's schema compare still matches
@@ -414,9 +438,15 @@ def q_docs_dup_edges(sf_dir: str):
     return out.select_columns(["src_id", "dst_id"])
 
 
-SQL_DOCS_DUP_EDGES = r"""
-WITH fp AS (
-  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f FROM documents
+SQL_DOCS_DUP_EDGES = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_SEED_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id < {DUP_SEED_MAX}
+),
+fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f FROM corpus
 ),
 k AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f)
 SELECT 'doc:' || fp.doc_id AS src_id, 'doc:' || k.keeper AS dst_id
@@ -530,13 +560,29 @@ def q_emb_knn_lsh(sf_dir: str):
     matching partitions — scan volume < corpus (the scale path VERDICT
     r01 item 10 asked for). The index is built once per sf dir."""
     rd = _rd()
+    import hashlib
+    import json
+
     from cartography_ray.functions.ann import build_lsh_index, knn_lsh_indexed
 
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    fp = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
     name = os.path.basename(os.path.normpath(sf_dir))
     index_dir = f"/tmp/graft_kg/lsh_index/{name}"
-    if not os.path.exists(os.path.join(index_dir, "meta.json")):
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        build_lsh_index(ds, index_dir, planes=4)
+    meta_path = os.path.join(index_dir, "meta.json")
+    fresh = False
+    if os.path.exists(meta_path):
+        try:
+            fresh = json.load(open(meta_path)).get("input_fingerprint") == fp
+        except (OSError, ValueError):
+            fresh = False
+    if not fresh:  # absent OR stale (corpus regenerated in place) → rebuild
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+        build_lsh_index(ds, index_dir, planes=4, input_fingerprint=fp)
     out, _stats = knn_lsh_indexed(index_dir, _knn_queries(sf_dir), k=KNN_K, probe_hamming=1)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
