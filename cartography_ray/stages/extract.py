@@ -54,8 +54,28 @@ def turn_uid_array(conv_id: pa.Array, turn_idx: pa.Array) -> pa.Array:
     )
 
 
+_WS_CHARS = " \t\n\r\x0b\x0c"  # regex \s (ASCII)
+
+
 class MentionDetector:
-    """Actor-pool batch extractor. Compile once, scan per batch."""
+    """Actor-pool batch extractor. Compile once, scan per batch.
+
+    The per-batch scan is a **megastring pass**: all texts of the batch
+    are joined with ``"\\n"`` separators (prefixed with one ``"\\n"`` so
+    every row head is preceded by ``\\s``) and each pattern runs ONE
+    C-level ``finditer`` over the joined string instead of a Python loop
+    of per-row calls; match positions map back to rows with a vectorized
+    ``searchsorted`` over the row-start offsets. Equivalent because no
+    pattern can match across ``\\n`` (no pattern's character classes
+    admit a newline) and ``(^|\\s)`` heads match the separator exactly
+    like a row start. The two alias patterns don't get scans at all:
+    both require the literal ``" (aka @"``, so a memchr-speed
+    ``str.find`` locates candidate sites and an anchored ``match`` at
+    the preceding whitespace confirms — aliases are sparse, full scans
+    aren't. Measured 1.55× the per-row loop (84k vs 54k turns/s/core,
+    BASELINE.md); byte-identical output on the full synth corpus plus
+    adversarial edge strings (tests/test_extract.py).
+    """
 
     def __init__(self) -> None:
         self._pats = {
@@ -64,60 +84,94 @@ class MentionDetector:
         self._alias_name = re.compile(ALIAS_NAME_PATTERN)
         self._alias_handle = re.compile(ALIAS_HANDLE_PATTERN)
 
+    def _alias_hits(self, mega: str):
+        """(pos, a, b) alias hits via literal-site probing.
+
+        ``finditer`` equivalence: an alias match's token head sits right
+        after the nearest whitespace before the ``" (aka @"`` site (the
+        token classes admit no whitespace), and no second site can start
+        inside a consumed span with a valid token head — so probing each
+        site independently finds exactly the finditer match set.
+        """
+        name_hits: list[tuple[int, str, str]] = []
+        handle_hits: list[tuple[int, str, str]] = []
+        idx = mega.find(" (aka @")
+        while idx != -1:
+            ws = max(mega.rfind(c, 0, idx) for c in _WS_CHARS)
+            if ws >= 0:
+                m = self._alias_name.match(mega, ws)
+                if m:
+                    name_hits.append((m.start(2), m.group(2), m.group(3)))
+                else:
+                    m = self._alias_handle.match(mega, ws)
+                    if m:
+                        handle_hits.append((m.start(2), m.group(2), m.group(3)))
+            idx = mega.find(" (aka @", idx + 1)
+        return name_hits, handle_hits
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        conv = batch.column("conv_id").to_pylist()
-        tidx = batch.column("turn_idx").to_pylist()
+        parts = [t or "" for t in texts]
+        mega = "\n" + "\n".join(parts)
+        lens = np.fromiter(map(len, parts), dtype=np.int64, count=len(parts))
+        starts = np.empty(len(parts), dtype=np.int64)
+        if len(parts):
+            starts[0] = 1
+            np.cumsum(lens[:-1] + 1, out=starts[1:])
+            starts[1:] += 1
+        conv_np = np.asarray(batch.column("conv_id").to_pandas(), dtype=object)
+        tidx_np = batch.column("turn_idx").to_numpy(zero_copy_only=False)
 
-        out_conv: list[str] = []
-        out_tidx: list[int] = []
-        out_kind: list[str] = []
-        out_form: list[str] = []
-        out_alias_a: list[str | None] = []
-        out_alias_b: list[str | None] = []
+        row_chunks: list[np.ndarray] = []
+        form_chunks: list[list] = []
+        kind_chunks: list[np.ndarray] = []
+        a_chunks: list[np.ndarray] = []
+        b_chunks: list[np.ndarray] = []
+
+        def emit(hits, kind: str, with_alias: bool) -> None:
+            if not hits:
+                return
+            if with_alias:
+                pos, fa, fb = zip(*hits)
+            else:
+                pos, fa = zip(*hits)
+                fb = None
+            rows = np.searchsorted(starts, np.asarray(pos, dtype=np.int64), side="right") - 1
+            row_chunks.append(rows)
+            form_chunks.append(list(fa))
+            kind_chunks.append(np.full(len(rows), kind, dtype=object))
+            a_chunks.append(
+                np.asarray(fa, dtype=object) if with_alias else np.full(len(rows), None, dtype=object)
+            )
+            b_chunks.append(
+                np.asarray(fb, dtype=object) if with_alias else np.full(len(rows), None, dtype=object)
+            )
 
         for kind, (pat, grp) in self._pats.items():
-            for i, text in enumerate(texts):
-                if not text:
-                    continue
-                for m in pat.finditer(text):
-                    out_conv.append(conv[i])
-                    out_tidx.append(tidx[i])
-                    out_kind.append(kind)
-                    out_form.append(m.group(grp))
-                    out_alias_a.append(None)
-                    out_alias_b.append(None)
-        # alias declarations (≤1 per turn by corpus construction; we still
-        # scan all matches — correctness does not depend on the bound)
-        for pat, a_grp, b_grp, a_kind in (
-            (self._alias_name, 2, 3, "name"),
-            (self._alias_handle, 2, 3, "handle"),
-        ):
-            for i, text in enumerate(texts):
-                if not text:
-                    continue
-                for m in pat.finditer(text):
-                    out_conv.append(conv[i])
-                    out_tidx.append(tidx[i])
-                    out_kind.append("alias")
-                    out_form.append(m.group(a_grp))
-                    out_alias_a.append(m.group(a_grp))
-                    out_alias_b.append(m.group(b_grp))
+            emit([(m.start(grp), m.group(grp)) for m in pat.finditer(mega)], kind, False)
+        for hits in self._alias_hits(mega):
+            emit(hits, "alias", True)
 
-        n = len(out_kind)
-        conv_arr = pa.array(out_conv, pa.string())
-        tidx_arr = pa.array(out_tidx, pa.int32())
+        if not row_chunks:
+            e = pa.array([], pa.string())
+            return pa.table(
+                {
+                    "conv_id": e, "turn_idx": pa.array([], pa.int32()), "turn_uid": e,
+                    "kind": e, "form": e, "alias_a": e, "alias_b": e,
+                }
+            )
+        all_rows = np.concatenate(row_chunks)
+        conv_arr = pa.array(conv_np[all_rows], pa.string())
+        tidx_arr = pa.array(tidx_np[all_rows], pa.int32())
         return pa.table(
             {
                 "conv_id": conv_arr,
                 "turn_idx": tidx_arr,
-                "turn_uid": turn_uid_array(conv_arr, tidx_arr)
-                if n
-                else pa.array([], pa.string()),
-                "kind": pa.array(out_kind, pa.string()),
-                "form": pa.array(out_form, pa.string()),
-                "alias_a": pa.array(out_alias_a, pa.string()),
-                "alias_b": pa.array(out_alias_b, pa.string()),
+                "turn_uid": turn_uid_array(conv_arr, tidx_arr),
+                "kind": pa.array(np.concatenate(kind_chunks), pa.string()),
+                "form": pa.array([f for ch in form_chunks for f in ch], pa.string()),
+                "alias_a": pa.array(np.concatenate(a_chunks), pa.string()),
+                "alias_b": pa.array(np.concatenate(b_chunks), pa.string()),
             }
         )
 
