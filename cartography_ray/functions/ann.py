@@ -96,8 +96,12 @@ def knn_brute(
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
         return g[["query_id", "neighbor_id", "rank", "sim6"]]
 
+    # candidate stream is #queries × k per block — size the merge shuffle
+    # to the (tiny) query count, not the session default
     merged = drop_empty_blocks(
-        cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+        cand.groupby("query_id", num_partitions=max(1, min(len(qids), 16))).map_groups(
+            merge, batch_format="pandas"
+        )
     )
     return merged
 
@@ -176,7 +180,11 @@ def knn_lsh(
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
         return g[["query_id", "neighbor_id", "rank", "sim6"]]
 
-    return drop_empty_blocks(cand.groupby("query_id").map_groups(merge, batch_format="pandas"))
+    return drop_empty_blocks(
+        cand.groupby("query_id", num_partitions=max(1, min(len(qids), 16))).map_groups(
+            merge, batch_format="pandas"
+        )
+    )
 
 
 # ------------------------------------------------------------------ indexed
@@ -408,7 +416,11 @@ def cosine_neardup_pairs(
 
     from cartography_ray.runtime import drop_empty_blocks
 
+    # exactly P(P+1)/2 groups — size the shuffle to the group count
     tagged = ds.map_batches(replicate, batch_format="pyarrow")
+    n_groups = P * (P + 1) // 2
     return drop_empty_blocks(
-        tagged.groupby("__pk").map_groups(gemm_pair, batch_format="pandas")
+        tagged.groupby("__pk", num_partitions=max(1, min(n_groups, 64))).map_groups(
+            gemm_pair, batch_format="pandas"
+        )
     )

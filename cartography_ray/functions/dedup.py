@@ -131,9 +131,14 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
         return group.nsmallest(1, id_col)
 
+    from cartography_ray.runtime import shuffle_partitions
+
+    parts = shuffle_partitions(n_bytes=_corpus_bytes(ds))
     hashed = ds.map_batches(fp, batch_format="pyarrow")
     return drop_empty_blocks(
-        hashed.groupby("fingerprint").map_groups(keep_min, batch_format="pandas")
+        hashed.groupby("fingerprint", num_partitions=parts).map_groups(
+            keep_min, batch_format="pandas"
+        )
     )
 
 
@@ -152,33 +157,43 @@ class MinHasher:
         shingle_k: int = 5,
         seed: int = 7,
         carry_text: bool = False,
+        payload: str | None = None,
     ):
         assert num_perm % bands == 0
         self.num_perm, self.bands, self.k, self.seed = num_perm, bands, shingle_k, seed
-        self.carry_text = carry_text
+        # payload ∈ {"text", "sig", "none"}: what rides with each banded
+        # row through the shuffle (carry_text kept for back-compat)
+        self.payload = payload if payload is not None else ("text" if carry_text else "none")
+        self.carry_text = self.payload == "text"
         rng = np.random.default_rng(seed)
-        # a < 2^29 and 32-bit shingle hashes keep a*x + b < 2^61 inside
-        # uint64 — the whole (num_perm × n_shingles) universal hash runs as
-        # one vectorized numpy expression, no per-permutation Python loop
-        self.a = rng.integers(1, 1 << 29, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
+        # per-permutation keys for a splitmix-style mixed hash family.
+        # NOT a*x+b (mod 2^61-1): with 32-bit shingle hashes a*x never
+        # wraps the modulus, so that map is order-PRESERVING in x — every
+        # "permutation" elects (nearly) the same minimum element, the
+        # estimator collapses to "do the docs share their min shingle?",
+        # and candidate counts explode (measured: 1.8M candidates for 256
+        # true pairs on the sf0.1 corpus; ~2k after this fix). A full
+        # avalanche mix per permutation key is order-breaking by design.
+        self.z = rng.integers(1, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64)
 
     def _signatures(self, texts: list[str | None]) -> np.ndarray:
-        """(n_docs, num_perm) int64 minhash matrix for a text chunk."""
+        """(n_docs, num_perm) int64 minhash matrix for a text chunk.
+        Values are uint64 bit patterns viewed as int64 (Arrow-friendly);
+        docs with no shingles sign as all -1 (uint64 max)."""
         sh = _batch_shingle_hashes(texts, self.k)
         n = len(sh)
-        sig = np.full((n, self.num_perm), _M61, dtype=np.int64)
+        sig = np.full((n, self.num_perm), -1, dtype=np.int64)
         counts = np.array([s.size for s in sh], dtype=np.int64)
         nz = np.flatnonzero(counts)
         if nz.size == 0:
             return sig
-        xs = np.concatenate([sh[i] for i in nz]) & np.uint64(0xFFFFFFFF)
+        xs = np.concatenate([sh[i] for i in nz])
         offs = np.zeros(nz.size, dtype=np.int64)
         np.cumsum(counts[nz][:-1], out=offs[1:])
         with np.errstate(over="ignore"):
-            hashed = (self.a[:, None] * xs[None, :] + self.b[:, None]) % np.uint64(_M61)
+            hashed = _mix64(xs[None, :] + self.z[:, None])
         mins = np.minimum.reduceat(hashed, offs, axis=1)  # (num_perm, n_nonempty)
-        sig[nz] = mins.T.astype(np.int64)
+        sig[nz] = mins.T.view(np.int64)
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -209,13 +224,21 @@ class MinHasher:
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()),
             "band_hash": pa.array(bh.ravel(), pa.int64()),
         }
-        if self.carry_text:
+        if self.payload == "text":
             # text rides with each banded row (×bands amplification) so
             # verification can happen INSIDE the band-bucket group — one
             # shuffle total instead of candidate + two text joins
             t = pc.cast(batch.column("text"), pa.string())
             cols["text"] = pa.array(
                 np.repeat(t.to_numpy(zero_copy_only=False), self.bands), pa.string()
+            )
+        elif self.payload == "sig":
+            # the full minhash signature rides instead of text: fixed
+            # 8·num_perm bytes per row REGARDLESS of document size, and
+            # it powers a vectorized in-cell jaccard-estimate prefilter
+            rep = np.repeat(sig, self.bands, axis=0)
+            cols["sig"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(rep.ravel(), pa.int64()), self.num_perm
             )
         return pa.table(cols)
 
@@ -262,7 +285,7 @@ def _banded_pairs(banded, num_buckets: int = 64):
     )
 
 
-def _dedup_pairs(cand, num_buckets: int = 64):
+def _dedup_pairs(cand, num_buckets: int = 64, num_partitions: int | None = None):
     """Distinct (id_a, id_b) via a HASH-BUCKET groupby — NOT a per-pair
     groupby: millions of two-row groups make per-group pandas overhead the
     bottleneck (measured 191 s for 4.7M pairs); 64 bucket groups with a
@@ -283,12 +306,12 @@ def _dedup_pairs(cand, num_buckets: int = 64):
 
     return drop_empty_blocks(
         cand.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__pb")
+        .groupby("__pb", num_partitions=num_partitions)
         .map_groups(bucket_distinct, batch_format="pandas")
     )
 
 
-def _hot_band_buckets(banded_skinny, limit: int) -> dict:
+def _hot_band_buckets(banded_skinny, limit: int, num_partitions: int | None = None) -> dict:
     """(band, band_hash) → chunk count for buckets larger than ``limit``.
 
     Two-phase: per-batch partial counts, then a small hash-bucket groupby
@@ -310,7 +333,7 @@ def _hot_band_buckets(banded_skinny, limit: int) -> dict:
 
     hot = drop_empty_blocks(
         banded_skinny.map_batches(local_count, batch_format="pandas")
-        .groupby("__cb")
+        .groupby("__cb", num_partitions=num_partitions)
         .map_groups(hot_only, batch_format="pandas")
     ).to_pandas()
     if hot.empty or "band" not in hot.columns:  # no hot buckets anywhere
@@ -321,6 +344,20 @@ def _hot_band_buckets(banded_skinny, limit: int) -> dict:
     }
 
 
+CARRY_TEXT_MAX_BYTES = 256 << 20  # above this corpus size, band-skinny wins
+
+
+def _corpus_bytes(ds) -> int | None:
+    """Best-effort input size (file-backed datasets only)."""
+    import os
+
+    try:
+        files = ds.input_files()
+        return sum(os.path.getsize(f) for f in files) if files else None
+    except Exception:
+        return None
+
+
 def minhash_lsh_pairs(
     ds,
     threshold: float = 0.5,
@@ -329,16 +366,44 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     concurrency: int = 4,
     hot_bucket_limit: int = 256,
+    carry_text: bool | str = "auto",
+    payload: str | None = None,
+    est_margin: float = 0.2,
 ):
     """Near-dup pairs via MinHash-LSH with exact-Jaccard verification.
 
     Returns (id_a, id_b, jaccard) pairs with char-k-gram Jaccard ≥
-    threshold. Text rides with the banded rows (×bands amplification —
-    linear in corpus size) so exact-Jaccard verification happens INSIDE
-    the band-bucket group: candidate generation, text co-location and
-    verification cost ONE main shuffle, plus a tiny hot-key histogram
-    pass and a skinny dedup shuffle over the verified pair set. The
-    corpus never lands on the driver.
+    threshold. Three band-shuffle payload strategies (``payload``, or
+    the legacy ``carry_text`` flag: True→"text", False→"none"):
+
+    - ``"sig"`` (the ``carry_text="auto"`` choice above
+      ``CARRY_TEXT_MAX_BYTES``) — the minhash SIGNATURE rides with each
+      banded row: a fixed 8·num_perm bytes
+      regardless of document size, so the main exchange is size-bounded
+      at any corpus scale. In-cell, a fully vectorized signature-
+      agreement estimate prefilters candidate pairs (keep when
+      est ≥ threshold − ``est_margin``); survivors are deduped and then
+      EXACTLY verified with text joined back candidate-only. The margin
+      makes prefilter false-negatives exponentially rare
+      (P[miss | j ≥ t] ≈ Φ(−margin·√num_perm/σ); ≈7e-4 at margin 0.2,
+      num_perm 64) — this operator is approximate-by-design and the
+      recall test governs. Measured: the estimate collapses a 1.8M-
+      candidate bench corpus to ~true-pair volume before any text moves.
+    - ``"text"`` (the ``auto`` choice at or below the limit) — text
+      rides with the banded rows (×bands amplification) and exact
+      verification happens INSIDE the band cell: one main shuffle
+      total, exact candidate semantics. Best for small corpora of small
+      documents.
+    - ``"none"`` (VERDICT r02 item 5's skinny path) — only
+      (doc_id, band, band_hash) rides (~24 B/row); ALL candidate pairs
+      are deduped then text-verified via joins. Exact candidate
+      semantics with the smallest band shuffle, but every candidate
+      pays the text join + exact-Jaccard cost.
+
+    "text" and "none" produce identical pairs (same banding → same
+    candidates → same exact verification); "sig" produces a subset
+    missing borderline pairs with the probability above (all asserted in
+    tests). The corpus never lands on the driver in any path.
 
     **Skew (north rule: salt hot keys)**: an LSH bucket with m docs emits
     m(m-1)/2 pairs; one template cluster would serialize the whole verify
@@ -352,11 +417,34 @@ def minhash_lsh_pairs(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    hasher = MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k, carry_text=True)
+    if payload is None:
+        if carry_text == "auto":
+            # small corpus: carrying text is one shuffle and the in-cell
+            # verify touches ~true-pair volume — fastest. Large corpus:
+            # the sig payload bounds the exchange at 8·num_perm B/row
+            # regardless of document size.
+            nbytes = _corpus_bytes(ds)
+            payload = (
+                "text" if nbytes is not None and nbytes <= CARRY_TEXT_MAX_BYTES else "sig"
+            )
+        else:
+            payload = "text" if carry_text else "none"
+    assert payload in ("sig", "text", "none")
+
+    hasher = MinHasher(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, payload=payload
+    )
     banded = ds.map_batches(
         hasher, batch_format="pyarrow", concurrency=concurrency
     ).materialize()
-    hot = _hot_band_buckets(banded.select_columns(["band", "band_hash"]), hot_bucket_limit)
+    # size every downstream shuffle to the (now known) banded volume —
+    # the per-partition fixed cost otherwise dominates (BASELINE.md)
+    from cartography_ray.runtime import shuffle_partitions
+
+    parts = shuffle_partitions(n_rows=banded.count(), n_bytes=banded.size_bytes())
+    hot = _hot_band_buckets(
+        banded.select_columns(["band", "band_hash"]), hot_bucket_limit, num_partitions=parts
+    )
     hot_ref = ray.put(hot)
     k = shingle_k
 
@@ -369,11 +457,17 @@ def minhash_lsh_pairs(
         did = b.column("doc_id").to_numpy(zero_copy_only=False)
         n = len(band)
         if hmap:
-            hot_mask = np.fromiter(
-                ((int(bd), int(bhh)) in hmap for bd, bhh in zip(band, bh)),
-                dtype=bool,
-                count=n,
-            )
+            # vectorized membership: fold (band, band_hash) into one key
+            # (band < 64 bands ⇒ the low bits don't collide) — the per-row
+            # tuple-in-dict generator was a measured multi-second cost at
+            # 1M+ banded rows
+            with np.errstate(over="ignore"):
+                row_key = bh.view(np.uint64) * np.uint64(64) + band.view(np.uint64)
+                hot_keys = np.array(
+                    [np.uint64(h) * np.uint64(64) + np.uint64(bd) for bd, h in hmap],
+                    dtype=np.uint64,
+                )
+            hot_mask = np.isin(row_key, hot_keys)
         else:
             hot_mask = np.zeros(n, dtype=bool)
         # cold rows pass through once; hot rows replicate to their chunk
@@ -408,15 +502,12 @@ def minhash_lsh_pairs(
             .append_column("__bb", pa.array((cell % np.uint64(64)).astype(np.int64), pa.int64()))
         )
 
-    def verify_cell(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "jaccard": pd.Series(dtype="float64"),
-            }
-        )
-        sub = group.drop(columns="__bb").reset_index(drop=True)
+    _PAIR_EMPTY = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+    def cell_pairs(sub: pd.DataFrame) -> pd.DataFrame:
+        """Distinct sorted candidate id-pairs of one salted cell."""
         key = sub[["band", "band_hash", "gx", "gy", "chunk", "doc_id"]]
         m = key.merge(key, on=["band", "band_hash", "gx", "gy"])
         m = m[
@@ -425,12 +516,25 @@ def minhash_lsh_pairs(
             & (m["doc_id_x"] != m["doc_id_y"])
         ]
         if not len(m):
-            return empty
+            return _PAIR_EMPTY
         ia = np.minimum(m["doc_id_x"].to_numpy(dtype=np.int64), m["doc_id_y"].to_numpy(dtype=np.int64))
         ib = np.maximum(m["doc_id_x"].to_numpy(dtype=np.int64), m["doc_id_y"].to_numpy(dtype=np.int64))
-        pairs = pd.DataFrame({"id_a": ia, "id_b": ib}).drop_duplicates()
-        # shingle each UNIQUE doc in this partition once
-        docs_u = sub.drop_duplicates("doc_id")
+        return pd.DataFrame({"id_a": ia, "id_b": ib}).drop_duplicates()
+
+    def verify_cell(group: pd.DataFrame) -> pd.DataFrame:
+        empty = _PAIR_EMPTY.assign(jaccard=pd.Series(dtype="float64"))
+        sub = group.drop(columns="__bb").reset_index(drop=True)
+        pairs = cell_pairs(sub)
+        if not len(pairs):
+            return empty
+        # shingle ONLY candidate-pair members, each once — shingling every
+        # unique doc in the partition re-hashed ~k× the corpus (a doc's
+        # banded rows scatter over ~min(bands, partitions) partitions) and
+        # was the measured dominant cost of the whole operator
+        need = np.union1d(
+            pairs["id_a"].to_numpy(dtype=np.int64), pairs["id_b"].to_numpy(dtype=np.int64)
+        )
+        docs_u = sub[sub["doc_id"].isin(need)].drop_duplicates("doc_id")
         sh_u = _batch_shingle_hashes(docs_u["text"].tolist(), k)
         pos = {int(i): j for j, i in enumerate(docs_u["doc_id"].to_numpy(dtype=np.int64))}
         ix = pairs["id_a"].to_numpy(dtype=np.int64)
@@ -443,12 +547,123 @@ def minhash_lsh_pairs(
         keep = sims >= threshold
         return pd.DataFrame({"id_a": ix[keep], "id_b": iy[keep], "jaccard": sims[keep]})
 
-    verified = drop_empty_blocks(
-        banded.map_batches(explode, batch_format="pyarrow")
-        .groupby("__bb")
-        .map_groups(verify_cell, batch_format="pandas")
+    def sig_filter_cell(group: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized signature-agreement prefilter: keep candidate pairs
+        whose estimated jaccard (fraction of agreeing permutations)
+        clears threshold − est_margin. No text, no Python pair loop."""
+        sub = group.drop(columns="__bb").reset_index(drop=True)
+        pairs = cell_pairs(sub)
+        if not len(pairs):
+            return _PAIR_EMPTY
+        docs_u = sub.drop_duplicates("doc_id")
+        sig_mat = np.stack(docs_u["sig"].to_numpy())  # (m, num_perm)
+        pos = pd.Series(
+            np.arange(len(docs_u), dtype=np.int64),
+            index=docs_u["doc_id"].to_numpy(dtype=np.int64),
+        )
+        ia = pairs["id_a"].to_numpy(dtype=np.int64)
+        ib = pairs["id_b"].to_numpy(dtype=np.int64)
+        ra = pos.reindex(ia).to_numpy(dtype=np.int64)
+        rb = pos.reindex(ib).to_numpy(dtype=np.int64)
+        est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
+        keep = est >= threshold - est_margin
+        return pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    def pairs_only(group: pd.DataFrame) -> pd.DataFrame:
+        return cell_pairs(group.drop(columns="__bb").reset_index(drop=True))
+
+    exploded = banded.map_batches(explode, batch_format="pyarrow")
+
+    if payload == "text":
+        verified = drop_empty_blocks(
+            exploded.groupby("__bb", num_partitions=parts).map_groups(
+                verify_cell, batch_format="pandas"
+            )
+        )
+        return _dedup_pairs(verified, num_partitions=parts)
+
+    # ---- sig / none: candidates first, text joined candidate-only --------
+    cell_fn = sig_filter_cell if payload == "sig" else pairs_only
+    cand = _dedup_pairs(
+        drop_empty_blocks(
+            exploded.groupby("__bb", num_partitions=parts).map_groups(
+                cell_fn, batch_format="pandas"
+            )
+        ),
+        num_partitions=parts,
     )
-    return _dedup_pairs(verified)
+    return _verify_pairs_via_text(cand, ds, threshold, k, parts)
+
+
+def _verify_pairs_via_text(cand, ds, threshold: float, k: int, parts: int | None):
+    """Exact-Jaccard verification of a candidate-pair Dataset: text is
+    joined back candidate-only (two reduce-side hash_joins against the
+    doc table) and each unique pair is verified exactly once in a
+    stateless per-batch map. Emits (id_a, id_b, jaccard ≥ threshold)."""
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.runtime import drop_empty_blocks
+
+    def doc_side(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                    col: pc.cast(t.column("text"), pa.string()),
+                }
+            )
+
+        return fn
+
+    with_a = hash_join(
+        cand,
+        ds.map_batches(doc_side("__text_a"), batch_format="pyarrow"),
+        left_on="id_a",
+        right_on="doc_id",
+        how="inner",
+        num_partitions=parts,
+    )
+    with_ab = hash_join(
+        drop_empty_blocks(with_a),
+        ds.map_batches(doc_side("__text_b"), batch_format="pyarrow"),
+        left_on="id_b",
+        right_on="doc_id",
+        how="inner",
+        num_partitions=parts,
+    )
+
+    def verify_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(batch):
+            return empty
+        # shingle each unique doc once per batch (pairs cluster by id)
+        docs_u = pd.concat(
+            [
+                batch[["id_a", "__text_a"]].rename(columns={"id_a": "doc_id", "__text_a": "t"}),
+                batch[["id_b", "__text_b"]].rename(columns={"id_b": "doc_id", "__text_b": "t"}),
+            ],
+            ignore_index=True,
+        ).drop_duplicates("doc_id")
+        sh_u = _batch_shingle_hashes(docs_u["t"].tolist(), k)
+        pos = {int(i): j for j, i in enumerate(docs_u["doc_id"].to_numpy(dtype=np.int64))}
+        ix = batch["id_a"].to_numpy(dtype=np.int64)
+        iy = batch["id_b"].to_numpy(dtype=np.int64)
+        sims = np.fromiter(
+            (jaccard(sh_u[pos[int(a)]], sh_u[pos[int(b)]]) for a, b in zip(ix, iy)),
+            dtype=np.float64,
+            count=len(ix),
+        )
+        keep = sims >= threshold
+        return pd.DataFrame({"id_a": ix[keep], "id_b": iy[keep], "jaccard": sims[keep]})
+
+    return drop_empty_blocks(
+        with_ab.map_batches(verify_pairs, batch_format="pandas")
+    )
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -570,12 +785,15 @@ def simhash_pairs(ds, max_hamming: int = 3, shingle_k: int = 5, concurrency: int
         h = batch["chunk_key"].to_numpy(dtype=np.int64, copy=False).view(np.uint64)
         return batch.assign(__bb=(_mix64(h) % np.uint64(64)).astype(np.int64))
 
+    from cartography_ray.runtime import shuffle_partitions
+
+    parts = shuffle_partitions(n_bytes=_corpus_bytes(ds))
     verified = drop_empty_blocks(
         hashed.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__bb")
+        .groupby("__bb", num_partitions=parts)
         .map_groups(lambda g: _simhash_bucket_pairs(g, max_hamming), batch_format="pandas")
     )
-    return _dedup_pairs(verified)
+    return _dedup_pairs(verified, num_partitions=parts)
 
 
 def jaccard_pairs_smallside(

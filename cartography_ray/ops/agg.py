@@ -33,7 +33,11 @@ def _to_clean_arrow(df: pd.DataFrame) -> pa.Table:
 
 
 def partial_groupby_agg(
-    ds, keys: list[str] | str, aggs: dict[str, tuple[str, str]], num_buckets: int = 64
+    ds,
+    keys: list[str] | str,
+    aggs: dict[str, tuple[str, str]],
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
 ):
     """Two-phase grouped aggregation.
 
@@ -80,7 +84,9 @@ def partial_groupby_agg(
     # barrier is over the tiny post-aggregation result, not the input.
     partials = ds.map_batches(partial, batch_format="pandas")
     return drop_empty_blocks(
-        partials.groupby("__gb").map_groups(final, batch_format="pandas")
+        partials.groupby("__gb", num_partitions=num_partitions).map_groups(
+            final, batch_format="pandas"
+        )
     )
 
 

@@ -130,6 +130,7 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = 64,
     right_prefix: str = "",
+    num_partitions: int | None = None,
 ):
     """Reduce-side hash join of two Datasets (both sides shuffled once).
 
@@ -256,5 +257,10 @@ def hash_join(
     # Empty input blocks (schema-less after a skipped UDF) are safe here:
     # the hash-shuffle map short-circuits zero-row blocks before touching
     # key columns, so no materialize barrier is needed before the groupby.
+    # num_partitions: callers with an input-size hint shrink the shuffle
+    # below the session default (see runtime.shuffle_partitions) — the
+    # fixed per-partition cost dominates small joins otherwise
     tagged = lp.union(rp)
-    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+    return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
+        merge_bucket, batch_format="pyarrow"
+    )

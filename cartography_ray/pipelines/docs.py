@@ -103,11 +103,17 @@ def duplicate_edges(ds, ctx: IngestContext, num_buckets: int = 64):
             ctx,
         )
 
+    from cartography_ray.functions.dedup import _corpus_bytes
+    from cartography_ray.runtime import shuffle_partitions
+
+    parts = shuffle_partitions(n_bytes=_corpus_bytes(ds))
     prepped = ds.map_batches(_prep, batch_format="pyarrow").map_batches(
         add_bucket, batch_format="pandas"
     )
     return drop_empty_blocks(
-        drop_empty_blocks(prepped).groupby("__fb").map_groups(emit, batch_format="pandas")
+        drop_empty_blocks(prepped)
+        .groupby("__fb", num_partitions=parts)
+        .map_groups(emit, batch_format="pandas")
     )
 
 

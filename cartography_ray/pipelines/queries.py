@@ -49,6 +49,17 @@ def _cents(col, factor: float = 100.0) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(factor)), 0, **_ROUND), pa.int64())
 
 
+def _parts_for(*paths: str) -> int | None:
+    """Shuffle-partition hint from input file sizes (the per-partition
+    fixed cost otherwise dominates small shuffles; runtime.shuffle_partitions)."""
+    from cartography_ray.runtime import shuffle_partitions
+
+    try:
+        return shuffle_partitions(n_bytes=sum(os.path.getsize(p) for p in paths))
+    except OSError:
+        return None
+
+
 # --------------------------------------------------------------------------
 # Relational operator family (TPC-H-ish; strong oracles over driver views)
 # --------------------------------------------------------------------------
@@ -151,6 +162,9 @@ def q_revenue_by_nation(sf_dir: str):
         orders,
         left_on="l_orderkey",
         right_on="o_orderkey",
+        num_partitions=_parts_for(
+            f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        ),
     )
     joined = broadcast_join(fact, dim, left_on="o_custkey", right_on="c_custkey")
     # 25 nations — dimension-bounded final, streamed driver fold (no
@@ -257,7 +271,12 @@ def q_customers_without_orders(sf_dir: str):
     keys_ds = orders.map_batches(local_distinct, batch_format="pyarrow")
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     return drop_empty_blocks(
-        hash_join(ds, keys_ds, left_on="c_custkey", right_on="o_custkey", how="anti")
+        hash_join(
+            ds, keys_ds, left_on="c_custkey", right_on="o_custkey", how="anti",
+            num_partitions=_parts_for(
+                f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet"
+            ),
+        )
     )
 
 
@@ -289,6 +308,7 @@ def q_events_hourly(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow"),
         ["user_id", "hour_bucket"],
         {"n_events": (None, "count"), "sum_value_micros": ("value_micros", "sum")},
+        num_partitions=_parts_for(f"{sf_dir}/events.parquet"),
     )
 
 
@@ -308,7 +328,8 @@ def q_events_first(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "event_id"])
     return partial_groupby_agg(
-        ds, ["user_id", "event_type"], {"first_event_id": ("event_id", "min")}
+        ds, ["user_id", "event_type"], {"first_event_id": ("event_id", "min")},
+        num_partitions=_parts_for(f"{sf_dir}/events.parquet"),
     )
 
 

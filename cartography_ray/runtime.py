@@ -99,8 +99,48 @@ def configure(quiet: bool = True) -> None:
     # scale with the session CPUs or shuffles flatline (observed: a fixed
     # 4-aggregator cap made 8→32 CPUs a no-op for groupby stages)
     ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
-    ctx.default_hash_shuffle_parallelism = max(16, 2 * ncpu)
+    # 1×CPUs, not 2×: every shuffle pays ~60 ms/partition of fixed cost
+    # (measured, BASELINE.md), so the default parallelism is the per-op
+    # tax floor; data-sized call sites pass groupby(num_partitions=...)
+    # via runtime.shuffle_partitions instead
+    ctx.default_hash_shuffle_parallelism = max(16, ncpu)
     ctx.min_hash_shuffle_aggregator_wait_time_in_s = 60
+
+
+def shuffle_partitions(
+    n_rows: int | None = None,
+    n_bytes: int | None = None,
+    floor: int = 8,
+    rows_per_partition: int = 200_000,
+    bytes_per_partition: int = 32 << 20,
+) -> int | None:
+    """Partition count for a hash shuffle, sized to the DATA, capped by
+    the CLUSTER.
+
+    Ray 2.49's hash shuffle pays a fixed per-partition cost (~60 ms/
+    partition + ~1.5 s pool setup measured on this box), and the session
+    default (2×CPUs) charges a 64-partition tax to every shuffle no
+    matter how small — the dominant cost of the whole dedup catalogue at
+    bench scale. Callers that KNOW an input-size hint (a materialized
+    stage, an input file size) should pass it and forward the result as
+    ``groupby(..., num_partitions=...)``; unhinted call sites keep the
+    session default, which still scales with cluster size at 100 TB.
+    Returns None when no hint is given (caller keeps the default).
+    """
+    import ray
+
+    if n_rows is None and n_bytes is None:
+        return None
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8))
+    else:
+        ncpu = os.cpu_count() or 8
+    cap = max(16, 2 * ncpu)
+    need = [
+        -(-n_rows // rows_per_partition) if n_rows is not None else 0,
+        -(-n_bytes // bytes_per_partition) if n_bytes is not None else 0,
+    ]
+    return int(min(cap, max(floor, *need)))
 
 
 def drop_empty_blocks(ds):

@@ -47,6 +47,28 @@ def test_minhash_recall_vs_exact(ray_session):
         assert recall >= 0.8, f"minhash recall too low: {recall}"
 
 
+def test_minhash_skinny_path_equals_carry(ray_session):
+    """The band-skinny + candidate-text-join path (the 100-TB shuffle
+    posture, VERDICT r02 item 5) must produce the exact same verified
+    pairs as the carry-text path: same banding → same candidates → same
+    exact-Jaccard verification."""
+    from cartography_ray.functions.dedup import minhash_lsh_pairs
+
+    kw = dict(threshold=0.25, num_perm=32, bands=32)
+    carry = minhash_lsh_pairs(_docs_ds(), payload="text", **kw).to_pandas()
+    skinny = minhash_lsh_pairs(_docs_ds(), payload="none", **kw).to_pandas()
+    cp = sorted(zip(carry["id_a"], carry["id_b"], carry["jaccard"].round(9)))
+    sp = sorted(zip(skinny["id_a"], skinny["id_b"], skinny["jaccard"].round(9)))
+    assert cp == sp and len(cp) > 0
+
+    # the sig-prefilter path yields a subset (borderline-miss prob only),
+    # and every surviving pair carries the same exact jaccard
+    sig = minhash_lsh_pairs(_docs_ds(), payload="sig", **kw).to_pandas()
+    gp = sorted(zip(sig["id_a"], sig["id_b"], sig["jaccard"].round(9)))
+    assert set(gp) <= set(cp)
+    assert len(gp) >= 0.8 * len(cp)
+
+
 def test_simhash_identical_docs(ray_session):
     import ray.data
 
