@@ -333,6 +333,45 @@ def test_drift_detection(tmp_path):
     assert ("b", "2") not in drift["new"] and ("b", "2") not in drift["missing"]
 
 
+def test_drift_registry_lifecycle(tmp_path):
+    """Multi-state directory flow (reference get_states walk +
+    add_shortcut + archive): register → capture_all → shortcuts →
+    detect via aliases → archive drops the state and its aliases."""
+    from cartography_ray.functions.drift import DriftRegistry
+
+    reg = DriftRegistry(str(tmp_path / "drift"))
+    reg.register_query("exposed_ports", ["id", "port"])
+    reg.register_query("admin_users", ["id"])
+    assert reg.queries() == ["admin_users", "exposed_ports"]
+
+    data1 = {
+        "exposed_ports": pd.DataFrame({"id": ["a", "b"], "port": [22, 443]}),
+        "admin_users": pd.DataFrame({"id": ["u1"]}),
+    }
+    cap1 = reg.capture_all(lambda tpl: data1[tpl["name"]], filename="t1.json")
+    assert cap1 == {"admin_users": "t1.json", "exposed_ports": "t1.json"}
+    reg.add_shortcut("exposed_ports", "baseline", "most-recent")  # alias→alias resolves
+
+    data2 = {
+        "exposed_ports": pd.DataFrame({"id": ["b", "c"], "port": [443, 8080]}),
+        "admin_users": pd.DataFrame({"id": ["u1", "u2"]}),
+    }
+    reg.capture_all(lambda tpl: data2[tpl["name"]], filename="t2.json")
+    assert reg.states("exposed_ports") == ["t1.json", "t2.json"]
+
+    drift = reg.detect("exposed_ports", start="baseline")  # end=most-recent
+    assert ("a", "22") in drift["missing"]
+    assert ("c", "8080") in drift["new"]
+    assert reg.detect("admin_users", start="t1.json", end="t2.json")["new"] == [("u2",)]
+
+    # archive the old state: gone from states(), aliases dropped
+    reg.archive("exposed_ports", "baseline")
+    assert reg.states("exposed_ports") == ["t2.json"]
+    with pytest.raises(FileNotFoundError):
+        reg.resolve("exposed_ports", "baseline")
+    assert reg.detect("exposed_ports", "most-recent", "most-recent")["new"] == []
+
+
 def test_rules_fact_validation():
     from cartography_ray.rules import Fact, Rule, run_fact, run_rules
 
