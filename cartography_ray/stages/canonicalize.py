@@ -85,6 +85,11 @@ def _hashsum(ds) -> int:
 
 
 BROADCAST_LABEL_LIMIT = 2_000_000
+# below this deduped-edge count the whole alias graph fits trivially in
+# driver memory and per-round Ray task overhead dominates any distributed
+# strategy (measured: 4.6 s of round orchestration for a 19k-edge graph
+# whose driver-local propagation takes ~30 ms)
+DRIVER_CC_LIMIT = 200_000
 
 _MIN_REDUCE = None
 
@@ -157,6 +162,16 @@ def connected_components(
     # duplicate edges, so the global distinct groupby would buy nothing but
     # an extra all-to-all. The combiner still collapses hot-entity repeats.
     edges = edges_ds.map_batches(_dedup_batch_ab, batch_format="pyarrow")
+
+    if strategy in ("auto", "local"):
+        # tiny alias graphs (the common case — distinct aliased keys ≪
+        # corpus) propagate driver-locally: one distributed combiner pass,
+        # then pure pandas rounds. Zero per-round task orchestration.
+        mat = edges.materialize()
+        if strategy == "local" or mat.count() <= DRIVER_CC_LIMIT:
+            return _cc_driver_local(mat)
+        edges = mat
+
     swapped = edges.map_batches(
         lambda t: pa.table({"a": t.column("b"), "b": t.column("a")}),
         batch_format="pyarrow",
@@ -288,6 +303,48 @@ def connected_components(
             break
         prev_fp = fp
     return labels
+
+
+def _cc_driver_local(edges_mat, max_rounds: int = 50):
+    """Driver-local min-label propagation over a (small, materialized,
+    locally-deduped) edge Dataset. Same fixed point as the distributed
+    strategies; vectorized pandas rounds, O(diameter) iterations."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    blocks = [b for b in ray.get(edges_mat.to_arrow_refs()) if b.num_columns and b.num_rows]
+    if not blocks:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
+        )
+    tbl = pa.concat_tables(blocks)
+    a = tbl.column("a").to_numpy(zero_copy_only=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = pd.unique(src)
+    lab = pd.Series(nodes, index=nodes)  # identity labels
+    for _ in range(max_rounds):
+        ls = lab.reindex(src).to_numpy()
+        ld = lab.reindex(dst).to_numpy()
+        cand = np.where(ls < ld, ls, ld)
+        best = pd.DataFrame({"n": src, "c": cand}).groupby("n", sort=False)["c"].min()
+        new = lab.copy()
+        upd = best.reindex(new.index)
+        mask = upd.notna() & (upd < new)
+        new[mask] = upd[mask]
+        if new.equals(lab):
+            break
+        lab = new
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(lab.index.to_numpy(), pa.string()),
+                "label": pa.array(lab.to_numpy(), pa.string()),
+            }
+        )
+    )
 
 
 def resolve_keys(
