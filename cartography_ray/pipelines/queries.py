@@ -1192,17 +1192,22 @@ def q_kg_triples(sf_dir: str):
         )
 
     def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates()
+        # per-batch combiner + bucket key: a per-triple groupby would pay
+        # per-group pandas overhead at 60k+ keys; 64 hash buckets with a
+        # vectorized drop_duplicates inside do the same distinct
+        out = b.drop_duplicates()
+        h = pd.util.hash_pandas_object(out[["subj", "pred", "obj"]], index=False)
+        return out.assign(__tb=(h.to_numpy() % 64).astype("int64"))
 
-    def head1(gr: pd.DataFrame) -> pd.DataFrame:
-        return gr.head(1)
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["subj", "pred", "obj"])[["subj", "pred", "obj"]]
 
     renamed = uni.map_batches(rename, batch_format="pyarrow").map_batches(
         local_dedup, batch_format="pandas"
     )
     return drop_empty_blocks(
-        drop_empty_blocks(renamed).groupby(["subj", "pred", "obj"]).map_groups(
-            head1, batch_format="pandas"
+        drop_empty_blocks(renamed).groupby("__tb").map_groups(
+            bucket_distinct, batch_format="pandas"
         )
     )
 
