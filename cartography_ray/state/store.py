@@ -361,8 +361,10 @@ class GraphStore:
                 {"bucket": [bucket], "rows": [len(merged)], "update_tag": [tag]}
             )
 
+        # shuffle partitions = bucket count (≤ session default): groups
+        # are exactly the buckets, so extra partitions are pure fixed cost
         stats = (
-            bucketed.groupby("bucket")
+            bucketed.groupby("bucket", num_partitions=max(1, min(num_buckets, 64)))
             .map_groups(merge_write, batch_format="pandas")
             .to_pandas()
         )
