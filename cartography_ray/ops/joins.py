@@ -257,10 +257,54 @@ def hash_join(
     # Empty input blocks (schema-less after a skipped UDF) are safe here:
     # the hash-shuffle map short-circuits zero-row blocks before touching
     # key columns, so no materialize barrier is needed before the groupby.
+    def _nonempty(prepped):
+        """Zero-row input blocks skip the prep UDF (Ray 2.49) and arrive
+        at the shuffle as schema-less zero-column blocks, which crash the
+        hash aggregator's finalize sort on ``__bucket`` — and a fully
+        empty groupby input crashes finalize even with a TYPED empty
+        block (both found by the join property test: any EMPTY side — an
+        empty filter epoch, a no-alias resolve — poisoned the join).
+        Strip empty blocks and report whether anything is left."""
+        import ray
+        import ray.data
+
+        mat = prepped.materialize()
+        refs = [
+            blk
+            for bundle in mat.iter_internal_ref_bundles()
+            for blk, meta in zip(bundle.block_refs, bundle.metadata)
+            if (meta.num_rows or 0) > 0
+        ]
+        return (ray.data.from_arrow_refs(refs) if refs else None)
+
+    def _empty_result():
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], f.type) for f in out_schema], schema=out_schema
+            )
+        )
+
+    def _project_out(side):
+        # prepped rows already carry every output column (the other
+        # side's fields are typed nulls) — drop the shuffle bookkeeping
+        return side.map_batches(
+            lambda t: t.select(all_cols), batch_format="pyarrow"
+        )
+
+    lp2, rp2 = _nonempty(lp), _nonempty(rp)
+    if lp2 is None and rp2 is None:
+        return _empty_result()
+    if lp2 is None:  # only outer keeps unmatched right rows
+        return _project_out(rp2) if how == "outer" else _empty_result()
+    if rp2 is None:  # anti/left/outer keep every left row unmatched
+        return _empty_result() if how in ("inner", "semi") else _project_out(lp2)
+
     # num_partitions: callers with an input-size hint shrink the shuffle
     # below the session default (see runtime.shuffle_partitions) — the
     # fixed per-partition cost dominates small joins otherwise
-    tagged = lp.union(rp)
+    tagged = lp2.union(rp2)
     return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
         merge_bucket, batch_format="pyarrow"
     )

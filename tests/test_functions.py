@@ -169,6 +169,56 @@ def test_hash_join_matches_pandas(ray_session):
     assert out.equals(expected)
 
 
+def test_hash_join_property_vs_pandas(ray_session):
+    """Property test: every join mode matches the pandas reference on
+    randomized small frames (dup keys, nulls, disjoint keys, empties)."""
+    import pandas as pd
+    import ray.data
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.runtime import drop_empty_blocks
+
+    keys = st.lists(st.one_of(st.integers(0, 5).map(float), st.none()), min_size=0, max_size=8)
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(lk=keys, rk=keys, how=st.sampled_from(["inner", "left", "semi", "anti"]))
+    def check(lk, rk, how):
+        left = pd.DataFrame({"k": pd.Series(lk, dtype="float64"),
+                             "x": [f"l{i}" for i in range(len(lk))]})
+        right = pd.DataFrame({"k": pd.Series(rk, dtype="float64"),
+                              "y": [f"r{i}" for i in range(len(rk))]})
+        got = drop_empty_blocks(
+            hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                      left_on="k", how=how, num_buckets=4, num_partitions=4)
+        ).to_pandas()
+        if how in ("semi", "anti"):
+            nn = left.dropna(subset=["k"])
+            hit = nn["k"].isin(right["k"].dropna())
+            want = nn[hit] if how == "semi" else pd.concat(
+                [nn[~hit], left[left["k"].isna()]]
+            )
+            assert sorted(got["x"]) == sorted(want["x"])
+            assert list(got.columns) == ["k", "x"]
+        else:
+            # SQL null semantics (hash_join's contract): null keys never
+            # match — unlike pandas merge, which pairs NaN with NaN
+            rnn = right.dropna(subset=["k"])
+            if how == "inner":
+                want = left.dropna(subset=["k"]).merge(rnn, on="k", how="inner")
+            else:  # left: null-key left rows survive unmatched
+                lnn = left.dropna(subset=["k"])
+                want = pd.concat(
+                    [lnn.merge(rnn, on="k", how="left"), left[left["k"].isna()]]
+                )
+            a = got.fillna("~").sort_values(list(got.columns)).reset_index(drop=True)
+            b = want.fillna("~").sort_values(list(got.columns)).reset_index(drop=True)
+            assert a.equals(b[a.columns]), f"{how}\n{a}\nvs\n{b}"
+
+    check()
+
+
 def test_hash_join_semi_anti(ray_session):
     """Distributed semi/anti (VERDICT r02 item 3): left-only output
     columns, null left keys kept by anti / dropped by semi, duplicate
