@@ -101,9 +101,12 @@ def run_queries(sf_dir: str) -> dict:
         "pricing_summary",
         "revenue_by_nation",
         "filter_project",
+        "customers_without_orders",
         "events_hourly",
         "docs_stats",
+        "docs_exact_dedup",
         "docs_minhash_pairs",
+        "docs_simhash_pairs",
         "emb_knn",
         "emb_neardup",
     ]
