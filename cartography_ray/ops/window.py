@@ -1,0 +1,141 @@
+"""Windowed operators over ordered partitions: gap sessionization and
+per-group top-k (rank).
+
+Ray Data has no window functions; both operators are realized as the
+custom-operator composition the scale brief prescribes: an optional
+per-batch combiner → ONE hash shuffle on the partition key → a
+vectorized per-bucket kernel (pandas sort + numpy cumsum / cumcount, no
+per-row Python).
+
+Partitioning assumption (documented per the brief): all rows of one
+partition key (a user, a customer) land in one shuffle bucket, so a
+single key's row volume must fit one reducer. That holds for
+activity-bounded keys; a corpus-sized key would need salting plus a
+boundary-merge pass, which these operators do not implement.
+
+- ``sessionize`` shuffles the full event stream once (inherent — session
+  boundaries need every row of a key), then splits each key's timeline
+  where the gap to the previous event exceeds ``gap_us``.
+- ``grouped_topk`` prunes FIRST: each input batch keeps at most k rows
+  per group, so the shuffle moves O(k × groups-per-batch) rows, not the
+  fact table. The final kernel re-ranks the surviving candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from cartography_ray.ops.agg import _to_clean_arrow
+
+
+def _with_bucket(df: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.DataFrame:
+    h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+    df = df.copy()
+    df["__gb"] = (h % num_buckets).astype("int64")
+    return df
+
+
+def sessionize(
+    ds,
+    key: str,
+    ts_col: str,
+    gap_us: int,
+    order_cols: list[str] | None = None,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Gap-based sessionization: one output row per (key, session).
+
+    Output columns: ``key``, ``session_seq`` (1-based per key),
+    ``n_events``, ``session_start_us``, ``session_end_us`` (epoch
+    microseconds — int64 on purpose, so oracle value-hashes are
+    dtype-stable). ``order_cols`` breaks timestamp ties deterministically
+    (pass a unique id column).
+    """
+    order_cols = list(order_cols or [])
+
+    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = group.sort_values([key, ts_col, *order_cols], kind="mergesort")
+        ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        keys_np = pdf[key].to_numpy()
+        new_key = np.empty(len(pdf), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        gap_break = np.empty(len(pdf), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        new_session = new_key | gap_break
+        # global cumsum, then rebase each key to 1 at its first row
+        seq = np.cumsum(new_session)
+        key_start = np.flatnonzero(new_key)
+        base = np.repeat(seq[key_start] - 1, np.diff(np.append(key_start, len(pdf))))
+        pdf = pd.DataFrame(
+            {key: keys_np, "session_seq": seq - base, "__ts_us": ts_us}
+        )
+        g = pdf.groupby([key, "session_seq"], sort=False)
+        out = pd.DataFrame(
+            {
+                "n_events": g["__ts_us"].size(),
+                "session_start_us": g["__ts_us"].min(),
+                "session_end_us": g["__ts_us"].max(),
+            }
+        ).reset_index()
+        return _to_clean_arrow(out)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )
+
+
+def grouped_topk(
+    ds,
+    group_keys: list[str] | str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: list[str] | None = None,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Top-k rows per group with a dense 1-based rank column ``rn``
+    (ROW_NUMBER semantics: ordered by ``order_col`` then ``tiebreak``).
+
+    Per-batch combiner first: a batch contributes at most k rows per
+    group to the shuffle (the global per-group top-k is a subset of the
+    union of per-batch top-ks), so shuffle volume is candidate-sized.
+    """
+    group_keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    tiebreak = list(tiebreak or [])
+    sort_cols = group_keys + [order_col] + tiebreak
+    ascending = [True] * len(group_keys) + [not descending] + [True] * len(tiebreak)
+
+    def prune(batch: pd.DataFrame) -> "pd.DataFrame":
+        s = batch.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        s = s.groupby(group_keys, sort=False).head(k)
+        return _to_clean_arrow(_with_bucket(s, group_keys, num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        s = group.drop(columns="__gb").sort_values(
+            sort_cols, ascending=ascending, kind="mergesort"
+        )
+        s = s.groupby(group_keys, sort=False).head(k).copy()
+        s["rn"] = s.groupby(group_keys, sort=False).cumcount() + 1
+        return _to_clean_arrow(s)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return drop_empty_blocks(
+        pruned.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )

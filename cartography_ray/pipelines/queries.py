@@ -338,6 +338,78 @@ SELECT user_id, event_type, MIN(event_id) AS first_event_id
 FROM events GROUP BY 1, 2
 """
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (windowed operator family: the Ray
+    analogue of LAG + SUM OVER PARTITION; ops/window.py)."""
+    rd = _rd()
+    from cartography_ray.ops.window import sessionize
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["user_id", "ts", "event_id"])
+    return sessionize(
+        ds, key="user_id", ts_col="ts", gap_us=SESSION_GAP_US,
+        order_cols=["event_id"], num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH f AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+              OR ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT)
+           AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """Per-group top-k with rank (ROW_NUMBER analogue; combiner-pruned
+    shuffle — see ops/window.py grouped_topk)."""
+    rd = _rd()
+    from cartography_ray.ops.window import grouped_topk
+
+    path = f"{sf_dir}/orders.parquet"
+    ds = rd.read_parquet(path, columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    top = grouped_topk(
+        ds, "o_custkey", "o_totalprice", k=2, descending=True,
+        tiebreak=["o_orderkey"], num_partitions=_parts_for(path),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "price_cents": _cents(t.column("o_totalprice")),
+                "rn": t.column("rn"),
+            }
+        )
+
+    return top.map_batches(project, batch_format="pyarrow")
+
+
+SQL_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey, o_orderkey, price_cents, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
 
 # --------------------------------------------------------------------------
 # Training-data operator family (documents / embeddings)
@@ -1331,6 +1403,8 @@ QUERIES: dict[str, Callable] = {
     "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
     "events_first": q_events_first,
+    "events_sessions": q_events_sessions,
+    "top_orders_per_cust": q_top_orders_per_cust,
     "docs_stats": q_docs_stats,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
@@ -1370,6 +1444,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "customers_without_orders": SQL_CUST_NO_ORDERS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_first": SQL_EVENTS_FIRST,
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,

@@ -167,3 +167,25 @@ def drop_empty_blocks(ds):
     if not refs:
         return mat
     return ray.data.from_arrow_refs(refs)
+
+
+def to_pandas_typed(ds):
+    """``Dataset.to_pandas`` that keeps the schema when the dataset is
+    empty.
+
+    Ray 2.49's ``to_pandas`` concatenates zero record batches for an
+    all-empty dataset and hands back a column-less DataFrame even though
+    ``ds.schema()`` is fully typed (e.g. a join of two empty epochs).
+    Fall back to an empty typed frame built from the dataset schema so
+    downstream column access doesn't KeyError on legitimately-empty
+    results.
+    """
+    import pyarrow as pa
+
+    df = ds.to_pandas()
+    if df.shape[1] == 0:
+        schema = ds.schema(fetch_if_missing=True)
+        base = getattr(schema, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base.empty_table().to_pandas()
+    return df

@@ -178,7 +178,7 @@ def test_hash_join_property_vs_pandas(ray_session):
     from hypothesis import strategies as st
 
     from cartography_ray.ops.joins import hash_join
-    from cartography_ray.runtime import drop_empty_blocks
+    from cartography_ray.runtime import drop_empty_blocks, to_pandas_typed
 
     keys = st.lists(st.one_of(st.integers(0, 5).map(float), st.none()), min_size=0, max_size=8)
 
@@ -189,10 +189,10 @@ def test_hash_join_property_vs_pandas(ray_session):
                              "x": [f"l{i}" for i in range(len(lk))]})
         right = pd.DataFrame({"k": pd.Series(rk, dtype="float64"),
                               "y": [f"r{i}" for i in range(len(rk))]})
-        got = drop_empty_blocks(
+        got = to_pandas_typed(drop_empty_blocks(
             hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
                       left_on="k", how=how, num_buckets=4, num_partitions=4)
-        ).to_pandas()
+        ))
         if how in ("semi", "anti"):
             nn = left.dropna(subset=["k"])
             hit = nn["k"].isin(right["k"].dropna())

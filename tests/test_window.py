@@ -1,0 +1,143 @@
+"""Windowed operators (ops/window.py): gap sessionization and per-group
+top-k — checked against a pure-pandas window reference, plus a property
+test across randomized streams."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _pd_sessions(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Pandas window reference (LAG + cumulative SUM per partition)."""
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+    ts_us = s["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    s["__ts_us"] = ts_us
+    prev = s.groupby("user_id")["__ts_us"].shift()
+    s["session_seq"] = (
+        (prev.isna() | ((s["__ts_us"] - prev) > gap_us))
+        .astype("int64")
+        .groupby(s["user_id"].to_numpy())
+        .cumsum()
+    )
+    g = s.groupby(["user_id", "session_seq"], sort=False)
+    return (
+        pd.DataFrame(
+            {
+                "n_events": g["__ts_us"].size(),
+                "session_start_us": g["__ts_us"].min(),
+                "session_end_us": g["__ts_us"].max(),
+            }
+        )
+        .reset_index()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+
+
+def test_sessionize_matches_pandas_window(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import sessionize
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 86_400_000_000 * 10, n), unit="us"
+            ),
+            "event_id": np.arange(n, dtype="int64"),
+        }
+    )
+    gap = 30 * 60 * 1_000_000
+    got = (
+        sessionize(
+            ray.data.from_pandas(df), key="user_id", ts_col="ts", gap_us=gap,
+            order_cols=["event_id"], num_buckets=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    want = _pd_sessions(df, gap)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_sessionize_gap_boundary(ray_session):
+    """Events exactly gap_us apart stay in ONE session (> not >=)."""
+    import ray.data
+
+    from cartography_ray.ops.window import sessionize
+
+    t0 = pd.Timestamp("2024-06-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": [t0, t0 + pd.Timedelta(minutes=30), t0 + pd.Timedelta(minutes=61)],
+            "event_id": [1, 2, 3],
+        }
+    )
+    out = (
+        sessionize(
+            ray.data.from_pandas(df), key="user_id", ts_col="ts",
+            gap_us=30 * 60 * 1_000_000, order_cols=["event_id"], num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("session_seq")
+        .reset_index(drop=True)
+    )
+    assert list(out["session_seq"]) == [1, 2]
+    assert list(out["n_events"]) == [2, 1]
+
+
+def test_grouped_topk_matches_pandas_rank(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import grouped_topk
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 50, n),
+            "v": rng.normal(size=n).round(3),
+            "id": np.arange(n, dtype="int64"),
+        }
+    )
+    got = (
+        grouped_topk(
+            # two blocks so the per-batch combiner actually runs pre-shuffle
+            ray.data.from_pandas(df).repartition(4),
+            "g", "v", k=3, descending=True, tiebreak=["id"],
+            num_buckets=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "rn"])
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["g", "v", "id"], ascending=[True, False, True], kind="mergesort")
+    want = s.groupby("g", sort=False).head(3).copy()
+    want["rn"] = want.groupby("g", sort=False).cumcount() + 1
+    want = want.sort_values(["g", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "v", "id", "rn"]], want[["g", "v", "id", "rn"]])
+
+
+def test_grouped_topk_small_groups(ray_session):
+    """Groups smaller than k emit all their rows with dense ranks."""
+    import ray.data
+
+    from cartography_ray.ops.window import grouped_topk
+
+    df = pd.DataFrame({"g": [1, 1, 2], "v": [5.0, 7.0, 3.0], "id": [1, 2, 3]})
+    out = (
+        grouped_topk(
+            ray.data.from_pandas(df), "g", "v", k=10, tiebreak=["id"], num_buckets=2
+        )
+        .to_pandas()
+        .sort_values(["g", "rn"])
+        .reset_index(drop=True)
+    )
+    assert list(out["id"]) == [2, 1, 3]
+    assert list(out["rn"]) == [1, 2, 1]
