@@ -103,6 +103,36 @@ def _typed_nulls(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, type=typ)
 
 
+def _nonempty_or_none(prepped):
+    """Zero-row input blocks skip the prep UDF (Ray 2.49) and arrive at
+    the shuffle as schema-less blocks, which crash the hash aggregator's
+    finalize sort on ``__bucket`` — and a fully empty groupby input
+    crashes finalize even with a TYPED empty block. Strip empty blocks;
+    return None when nothing is left (block data never leaves the object
+    store — only metadata is inspected)."""
+    import ray
+    import ray.data
+
+    mat = prepped.materialize()
+    refs = [
+        blk
+        for bundle in mat.iter_internal_ref_bundles()
+        for blk, meta in zip(bundle.block_refs, bundle.metadata)
+        if (meta.num_rows or 0) > 0
+    ]
+    return ray.data.from_arrow_refs(refs) if refs else None
+
+
+def _empty_table_ds(out_schema: pa.Schema):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([], f.type) for f in out_schema], schema=out_schema
+        )
+    )
+
+
 def _arrow_schema(ds) -> pa.Schema:
     """Arrow schema of a Dataset, tolerating pandas-block datasets."""
     sch = ds.schema()
@@ -307,4 +337,128 @@ def hash_join(
     tagged = lp2.union(rp2)
     return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
         merge_bucket, batch_format="pyarrow"
+    )
+
+
+def asof_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    right_prefix: str = "r_",
+    how: str = "inner",
+    tolerance_us: int | None = None,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Distributed as-of join: each left row picks the LATEST right row of
+    the same ``by`` key with ``right.on <= left.on`` (backward direction,
+    exact matches allowed) — the time-series attribution primitive the
+    custom-operator brief names (no Ray Data analogue).
+
+    Same shape as ``hash_join``: tag both sides, bucket on ``hash(by)``,
+    ONE groupby shuffle, then a per-bucket ``pandas.merge_asof`` over the
+    ``on``-sorted sides. Partitioning assumption (documented per the
+    brief): all rows of one ``by`` key land in one bucket, so a single
+    key's row volume must fit one reducer — keys are users/entities with
+    bounded activity, not corpus-sized.
+
+    ``on`` must be a timestamp/numeric column present on BOTH sides with
+    the same dtype. Right value columns are renamed ``right_prefix+col``
+    (``on`` becomes ``right_prefix+on`` so the caller can compute lags).
+    ``how="inner"`` drops left rows with no match; ``"left"`` keeps them
+    with nulls. ``tolerance_us`` bounds the lookback window (microseconds,
+    for timestamp ``on``).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be inner|left, got {how!r}")
+    lcols = list(_arrow_schema(left).names)
+    rschema = _arrow_schema(right)
+    rcols = list(rschema.names)
+    if by not in lcols or by not in rcols or on not in lcols or on not in rcols:
+        raise ValueError(f"asof_join: '{by}'/'{on}' must exist on both sides")
+    r_renamed = {c: (c if c == by else right_prefix + c) for c in rcols}
+    clash = [r_renamed[c] for c in rcols if r_renamed[c] in lcols and c != by]
+    if clash:
+        raise ValueError(f"asof_join: renamed right columns collide with left: {clash}")
+
+    # One constant work schema for BOTH sides (typed nulls for the other
+    # side's fields) — heterogeneous-schema blocks poison the hash shuffle
+    # (same reason hash_join aligns its sides).
+    out_on = right_prefix + on
+    r_value = [r_renamed[c] for c in rcols if c != by]
+    lschema = _arrow_schema(left)
+    types: dict[str, pa.DataType] = {c: lschema.field(c).type for c in lcols}
+    for c in rcols:
+        types.setdefault(r_renamed[c], rschema.field(c).type)
+    all_cols = lcols + r_value
+    out_schema = pa.schema([(c, types[c]) for c in all_cols])
+    work_schema = pa.schema(
+        [("__bucket", pa.int64()), ("__side", pa.int8())]
+        + [(c, types[c]) for c in all_cols]
+    )
+
+    def tag(side: int, rename: dict[str, str] | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            if rename:
+                batch = batch.rename_columns([rename.get(c, c) for c in batch.column_names])
+            n = batch.num_rows
+            bucket = _bucket_of(
+                pd.Series(batch.column(by).to_numpy(zero_copy_only=False)), num_buckets
+            )
+            cols = [pa.array(bucket, pa.int64()), pa.array(np.full(n, side, dtype=np.int8))]
+            for c in all_cols:
+                if c in batch.column_names:
+                    col = batch.column(c)
+                    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    cols.append(col.cast(types[c]))
+                else:
+                    cols.append(_typed_nulls(n, types[c]))
+            return pa.Table.from_arrays(cols, schema=work_schema)
+
+        return fn
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        # split + project in Arrow BEFORE to_pandas, so the other side's
+        # typed-null fills never float an int column
+        lhs = group.filter(pc.equal(side, 0)).select(lcols).to_pandas().sort_values(
+            on, kind="mergesort"
+        )
+        rhs = group.filter(pc.equal(side, 1)).select([by] + r_value).to_pandas().sort_values(
+            out_on, kind="mergesort"
+        )
+        kwargs = {}
+        if tolerance_us is not None:
+            kwargs["tolerance"] = (
+                pd.Timedelta(tolerance_us, "us")
+                if np.issubdtype(lhs[on].dtype, np.datetime64)
+                else tolerance_us
+            )
+        merged = pd.merge_asof(
+            lhs, rhs, left_on=on, right_on=out_on, by=by,
+            direction="backward", allow_exact_matches=True, **kwargs,
+        )
+        if how == "inner":
+            merged = merged.dropna(subset=[out_on])
+        return pa.Table.from_pandas(
+            merged[all_cols], schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    lp = _nonempty_or_none(left.map_batches(tag(0, None), batch_format="pyarrow"))
+    rp = _nonempty_or_none(right.map_batches(tag(1, r_renamed), batch_format="pyarrow"))
+    if lp is None:
+        return _empty_table_ds(out_schema)
+    if rp is None:
+        if how == "inner":
+            return _empty_table_ds(out_schema)
+        # left rows survive unmatched; prepped rows already carry typed
+        # nulls for the right fields
+        return lp.map_batches(lambda t: t.select(all_cols), batch_format="pyarrow")
+    return drop_empty_blocks(
+        lp.union(rp).groupby("__bucket", num_partitions=num_partitions).map_groups(
+            merge_bucket, batch_format="pyarrow"
+        )
     )

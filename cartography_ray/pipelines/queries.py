@@ -411,6 +411,54 @@ SELECT o_custkey, o_orderkey, price_cents, rn FROM (
 """
 
 
+def q_events_attribution(sf_dir: str):
+    """Purchase→click attribution: each purchase matched to the user's
+    most recent preceding click (distributed as-of join, ops/joins.py)."""
+    rd = _rd()
+    from cartography_ray.ops.joins import asof_join
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["user_id", "event_type", "ts", "event_id"])
+
+    def only(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)).drop_columns(
+                ["event_type"]
+            )
+
+        return fn
+
+    purchases = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")
+    joined = asof_join(
+        purchases, clicks, by="user_id", on="ts", right_prefix="click_",
+        how="inner", num_partitions=_parts_for(path),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.int64())
+        click_us = pc.cast(t.column("click_ts"), pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "click_event_id": t.column("click_event_id"),
+                "lag_us": pc.subtract(ts_us, click_us),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data operator family (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -1405,6 +1453,7 @@ QUERIES: dict[str, Callable] = {
     "events_first": q_events_first,
     "events_sessions": q_events_sessions,
     "top_orders_per_cust": q_top_orders_per_cust,
+    "events_attribution": q_events_attribution,
     "docs_stats": q_docs_stats,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
@@ -1446,6 +1495,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_first": SQL_EVENTS_FIRST,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
+        "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,

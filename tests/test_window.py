@@ -141,3 +141,135 @@ def test_grouped_topk_small_groups(ray_session):
     )
     assert list(out["id"]) == [2, 1, 3]
     assert list(out["rn"]) == [1, 2, 1]
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.joins import asof_join
+
+    rng = np.random.default_rng(3)
+    n, m = 2000, 500
+    left = pd.DataFrame(
+        {
+            "u": rng.integers(0, 30, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s").astype("datetime64[us]"),
+            "eid": np.arange(n, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "u": rng.integers(0, 30, m),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, m), unit="s").astype("datetime64[us]"),
+            "rid": np.arange(m, dtype="int64"),
+        }
+    )
+    for how in ("inner", "left"):
+        got = (
+            asof_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(3),
+                by="u", on="ts", how=how, num_buckets=8, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values("ts", kind="mergesort").rename(
+                columns={"ts": "r_ts", "rid": "r_rid"}
+            ),
+            left_on="ts", right_on="r_ts", by="u", direction="backward",
+        )
+        if how == "inner":
+            want = want.dropna(subset=["r_ts"])
+            want["r_rid"] = want["r_rid"].astype("int64")
+        want = want.sort_values("eid").reset_index(drop=True)[got.columns]
+        pd.testing.assert_frame_equal(
+            got.drop(columns="r_rid"), want.drop(columns="r_rid")
+        )
+        assert (
+            got["r_rid"].fillna(-1).to_numpy() == want["r_rid"].fillna(-1).to_numpy()
+        ).all()
+
+
+def test_asof_join_tolerance_and_empty_right(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.joins import asof_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "u": [1, 1],
+            "ts": pd.Series([t0 + pd.Timedelta(hours=1), t0 + pd.Timedelta(hours=5)]).astype("datetime64[us]"),
+            "eid": [1, 2],
+        }
+    )
+    right = pd.DataFrame(
+        {"u": [1], "ts": pd.Series([t0]).astype("datetime64[us]"), "rid": [10]}
+    )
+    # 2h lookback: only the first left row still sees the right row
+    out = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="u", on="ts", how="inner", tolerance_us=2 * 3600 * 1_000_000, num_buckets=2,
+    ).to_pandas()
+    assert list(out["eid"]) == [1]
+    # empty right side: inner drops everything but keeps the schema
+    from cartography_ray.runtime import to_pandas_typed
+
+    empty = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right.iloc[0:0]),
+        by="u", on="ts", how="inner", num_buckets=2,
+    )
+    pdf = to_pandas_typed(empty)
+    assert len(pdf) == 0 and "r_rid" in pdf.columns
+
+
+def test_asof_join_both_sides_empty(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.joins import asof_join
+    from cartography_ray.runtime import to_pandas_typed
+
+    empty_l = pd.DataFrame(
+        {
+            "u": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "eid": pd.Series([], dtype="int64"),
+        }
+    )
+    empty_r = empty_l.rename(columns={"eid": "rid"})
+    for how in ("inner", "left"):
+        out = asof_join(
+            ray.data.from_pandas(empty_l), ray.data.from_pandas(empty_r),
+            by="u", on="ts", how=how, num_buckets=2,
+        )
+        pdf = to_pandas_typed(out)
+        assert len(pdf) == 0
+        assert list(pdf.columns) == ["u", "ts", "eid", "r_ts", "r_rid"]
+
+
+def test_asof_join_empty_left_nonempty_right(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.joins import asof_join
+    from cartography_ray.runtime import to_pandas_typed
+
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "u": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "eid": pd.Series([], dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {"u": [1], "ts": pd.Series([t0]).astype("datetime64[us]"), "rid": [10]}
+    )
+    out = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="u", on="ts", how="left", num_buckets=2,
+    )
+    assert len(to_pandas_typed(out)) == 0
