@@ -459,6 +459,38 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_events_quantiles(sf_dir: str):
+    """Exact per-group quantiles (quantile_cont analogue). Values are
+    integer cents on both sides so the linear interpolation is exact in
+    doubles (see ops/quantiles.py; the histogram sketch is the scale
+    path, recall-tested in tests/)."""
+    rd = _rd()
+    from cartography_ray.ops.quantiles import grouped_quantiles
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t.column("event_type"), "value_cents": _cents(t.column("value"))}
+        )
+
+    return grouped_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_type", "value_cents", [0.25, 0.5, 0.75],
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type, COUNT(*) AS n,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.50) AS p50,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS p75
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data operator family (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -1454,6 +1486,7 @@ QUERIES: dict[str, Callable] = {
     "events_sessions": q_events_sessions,
     "top_orders_per_cust": q_top_orders_per_cust,
     "events_attribution": q_events_attribution,
+    "events_quantiles": q_events_quantiles,
     "docs_stats": q_docs_stats,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
@@ -1496,6 +1529,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
+        "events_quantiles": SQL_EVENTS_QUANTILES,
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,

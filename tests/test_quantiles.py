@@ -1,0 +1,83 @@
+"""Grouped quantiles (ops/quantiles.py): exact vs numpy, and the
+mergeable histogram sketch's error bound vs the exact values."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _frame(n=8000, groups=5, seed=13):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, groups, n).astype("int64"),
+            # mixed-scale heavy-tail values so bins actually matter
+            "v": np.round(rng.lognormal(3.0, 1.2, n), 2),
+        }
+    )
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.quantiles import grouped_quantiles
+
+    df = _frame()
+    got = (
+        grouped_quantiles(
+            ray.data.from_pandas(df).repartition(4), "g", "v", [0.25, 0.5, 0.75],
+            num_buckets=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        v = df[df["g"] == row["g"]]["v"].to_numpy()
+        assert row["n"] == len(v)
+        want = np.quantile(v, [0.25, 0.5, 0.75], method="linear")
+        assert np.allclose([row["p25"], row["p50"], row["p75"]], want, rtol=0, atol=0)
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.quantiles import (
+        grouped_quantile_sketch,
+        grouped_quantiles,
+    )
+
+    df = _frame()
+    num_bins = 512
+    qs = [0.25, 0.5, 0.75]
+    ds = ray.data.from_pandas(df).repartition(4)
+    exact = grouped_quantiles(ds, "g", "v", qs, num_buckets=8).to_pandas()
+    sketch = grouped_quantile_sketch(ds, "g", "v", qs, num_bins=num_bins).to_pandas()
+    merged = exact.merge(sketch, on="g", suffixes=("", "_s"))
+    assert (merged["n"] == merged["n_s"]).all()
+    for _, row in merged.iterrows():
+        v = df[df["g"] == row["g"]]["v"].to_numpy()
+        bin_width = (v.max() - v.min()) / num_bins
+        for c in ("p25", "p50", "p75"):
+            assert abs(row[c] - row[f"{c}_s"]) <= bin_width + 1e-9, (
+                row["g"], c, row[c], row[f"{c}_s"], bin_width,
+            )
+
+
+def test_quantile_sketch_deterministic(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.quantiles import grouped_quantile_sketch
+
+    df = _frame(n=2000)
+    outs = []
+    for _ in range(2):
+        outs.append(
+            grouped_quantile_sketch(
+                ray.data.from_pandas(df).repartition(3), "g", "v", [0.5], num_bins=256
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
