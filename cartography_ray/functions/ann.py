@@ -424,3 +424,228 @@ def cosine_neardup_pairs(
             gemm_pair, batch_format="pandas"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file / k-means-partitioned) ANN — the second scale path
+# --------------------------------------------------------------------------
+
+
+def _hashmin_sample(ds, n: int, id_col: str, vec_col: str):
+    """Deterministic n-row sample independent of block order: the rows
+    whose md5-style id hash is smallest. Per-batch local winners (n rows
+    each) stream to a driver merge that never holds more than ~n × blocks
+    candidate rows — a seed-selection pass, not a data gather."""
+    import pandas as pd
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return batch
+        h = pd.util.hash_array(ids, categorize=False)
+        keep = np.argsort(h, kind="stable")[:n]
+        return batch.take(pa.array(np.sort(keep)))
+
+    winners = []
+    for b in ds.map_batches(local, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        if b.num_rows:
+            winners.append(b)
+    if not winners:
+        return np.zeros((0, 0)), np.array([], dtype=np.int64)
+    all_w = pa.concat_tables(winners)
+    ids = pc.cast(all_w.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+    import pandas as pd
+
+    h = pd.util.hash_array(ids, categorize=False)
+    order = np.argsort(h, kind="stable")[:n]
+    mat = _matrix_of(all_w, vec_col)
+    return mat[order], ids[order]
+
+
+def train_kmeans_ivf(
+    ds,
+    n_centroids: int,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd iterations over normalized vectors (spherical
+    k-means — cosine assignment is then a GEMM argmax).
+
+    Each iteration is one streaming pass: per-batch assignment against
+    the broadcast centroids plus per-batch partial (sum, count) rows per
+    centroid — mergeable by addition, folded on the driver
+    (centroid-count-bounded, like bounded_groupby_agg). NOT
+    bit-deterministic across block orders (float sums commute only
+    approximately); callers needing exact reproducibility should persist
+    the index, which is what build_ivf_index does.
+    """
+    import ray
+
+    cent, _ = _hashmin_sample(ds, n_centroids, id_col, vec_col)
+    if cent.size == 0:
+        return cent
+    cent = _normalize(cent)
+    kc = cent.shape[0]
+
+    for _ in range(iters):
+        c_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            mat = _normalize(_matrix_of(batch, vec_col))
+            c = ray.get(c_ref)
+            if mat.size == 0:
+                return pa.table(
+                    {
+                        "cid": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            assign = np.argmax(mat @ c.T, axis=1)
+            cids = np.unique(assign)
+            sums = np.zeros((len(cids), mat.shape[1]))
+            cnts = np.zeros(len(cids), dtype=np.int64)
+            for i, cid in enumerate(cids):
+                sel = assign == cid
+                sums[i] = mat[sel].sum(axis=0)
+                cnts[i] = int(sel.sum())
+            return pa.table(
+                {
+                    "cid": pa.array(cids.astype(np.int64), pa.int64()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.ravel(), pa.float64()), sums.shape[1]
+                    ),
+                }
+            )
+
+        acc_sum = np.zeros_like(cent)
+        acc_cnt = np.zeros(kc, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            if not b.num_rows:
+                continue
+            cids = b.column("cid").to_numpy(zero_copy_only=False)
+            cnts = b.column("cnt").to_numpy(zero_copy_only=False)
+            vs = _matrix_of(b, "vsum")
+            acc_sum[cids] += vs
+            acc_cnt[cids] += cnts
+        nonempty = acc_cnt > 0
+        cent = cent.copy()
+        cent[nonempty] = _normalize(acc_sum[nonempty] / acc_cnt[nonempty, None])
+    return cent
+
+
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    n_centroids: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    input_fingerprint: str | None = None,
+) -> str:
+    """Write the corpus ONCE partitioned by nearest-centroid list (one
+    Hive directory per inverted list) — the IVF counterpart of
+    build_lsh_index: queries read only the nprobe closest lists.
+    ``meta.json`` persists the trained centroids (so query-side
+    assignment is exact and stable) plus dim and the input fingerprint
+    for staleness detection."""
+    import json
+    import os
+
+    import ray
+
+    cent = train_kmeans_ivf(ds, n_centroids, iters=iters, id_col=id_col, vec_col=vec_col)
+    os.makedirs(index_dir, exist_ok=True)
+    if cent.size == 0:
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump(
+                {"dim": 0, "centroids": [], "input_fingerprint": input_fingerprint}, f
+            )
+        return index_dir
+    c_ref = ray.put(cent)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix_of(batch, vec_col))
+        if mat.size == 0:
+            return batch.append_column("ivf_list", pa.array([], pa.int64()))
+        assign = np.argmax(mat @ ray.get(c_ref).T, axis=1)
+        return batch.append_column(
+            "ivf_list", pa.array(assign.astype(np.int64), pa.int64())
+        )
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["ivf_list"]
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "dim": int(cent.shape[1]),
+                "centroids": cent.tolist(),
+                "input_fingerprint": input_fingerprint,
+            },
+            f,
+        )
+    return index_dir
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate top-k over a ``build_ivf_index`` directory: each query
+    probes its ``nprobe`` closest centroids and only those inverted-list
+    partitions are READ; the candidate subset then goes through the
+    exact ``knn_brute`` kernel (same output schema / determinism rules).
+
+    Returns (result_dataset, stats) with stats = {"partitions_read",
+    "partitions_total", "rows_scanned"}.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    import ray.data
+
+    meta = json.load(open(os.path.join(index_dir, "meta.json")))
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "sim6": pa.array([], pa.float64()),
+        }
+    )
+    if int(meta["dim"]) == 0:
+        return ray.data.from_arrow(empty), {
+            "partitions_read": 0, "partitions_total": 0, "rows_scanned": 0,
+        }
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    qids = sorted(queries)
+    qmat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids]))
+    sims = qmat @ cent.T
+    nearest = np.argsort(-sims, axis=1, kind="stable")[:, : int(nprobe)]
+    probe = set(int(c) for c in np.unique(nearest))
+    all_parts = sorted(_glob.glob(os.path.join(index_dir, "ivf_list=*")))
+    hit_dirs = [
+        d for d in all_parts if int(os.path.basename(d).split("=", 1)[1]) in probe
+    ]
+    stats = {"partitions_read": len(hit_dirs), "partitions_total": len(all_parts)}
+    if not hit_dirs:
+        stats["rows_scanned"] = 0
+        return ray.data.from_arrow(empty), stats
+    hit_files = sorted(
+        f for d in hit_dirs for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    sub = ray.data.read_parquet(hit_files, columns=[id_col, vec_col])
+    stats["rows_scanned"] = sub.count()
+    return knn_brute(sub, queries, k=k, id_col=id_col, vec_col=vec_col), stats

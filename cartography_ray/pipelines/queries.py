@@ -760,6 +760,40 @@ def q_emb_knn_lsh(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_emb_knn_ivf(sf_dir: str):
+    """Approximate ANN over a WRITE-ONCE IVF (k-means-partitioned) index
+    (rows-only; recall asserted in tests): the corpus is written
+    partitioned by nearest-centroid inverted list and each query reads
+    only its nprobe closest lists — the second scale path next to the
+    LSH index. Built once per sf dir, fingerprint-invalidated."""
+    rd = _rd()
+    import hashlib
+    import json
+
+    from cartography_ray.functions.ann import build_ivf_index, knn_ivf_indexed
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    fp = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/graft_kg/ivf_index/{name}"
+    meta_path = os.path.join(index_dir, "meta.json")
+    fresh = False
+    if os.path.exists(meta_path):
+        try:
+            fresh = json.load(open(meta_path)).get("input_fingerprint") == fp
+        except (OSError, ValueError):
+            fresh = False
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+        build_ivf_index(ds, index_dir, n_centroids=16, iters=4, input_fingerprint=fp)
+    out, _stats = knn_ivf_indexed(index_dir, _knn_queries(sf_dir), k=KNN_K, nprobe=4)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 EMB_NEARDUP_TAU = 0.4
 
 
@@ -1497,6 +1531,7 @@ QUERIES: dict[str, Callable] = {
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "emb_knn": q_emb_knn,
     "emb_knn_lsh": q_emb_knn_lsh,
+    "emb_knn_ivf": q_emb_knn_ivf,
     "emb_neardup": q_emb_neardup,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "one_to_many_part_words": q_one_to_many_part_words,
