@@ -284,57 +284,20 @@ def hash_join(
             out, schema=out_schema, preserve_index=False
         ).replace_schema_metadata(None)
 
-    # Empty input blocks (schema-less after a skipped UDF) are safe here:
-    # the hash-shuffle map short-circuits zero-row blocks before touching
-    # key columns, so no materialize barrier is needed before the groupby.
-    def _nonempty(prepped):
-        """Zero-row input blocks skip the prep UDF (Ray 2.49) and arrive
-        at the shuffle as schema-less zero-column blocks, which crash the
-        hash aggregator's finalize sort on ``__bucket`` — and a fully
-        empty groupby input crashes finalize even with a TYPED empty
-        block (both found by the join property test: any EMPTY side — an
-        empty filter epoch, a no-alias resolve — poisoned the join).
-        Strip empty blocks and report whether anything is left."""
-        import ray
-        import ray.data
-
-        mat = prepped.materialize()
-        refs = [
-            blk
-            for bundle in mat.iter_internal_ref_bundles()
-            for blk, meta in zip(bundle.block_refs, bundle.metadata)
-            if (meta.num_rows or 0) > 0
-        ]
-        return (ray.data.from_arrow_refs(refs) if refs else None)
-
-    def _empty_result():
-        import ray.data
-
-        return ray.data.from_arrow(
-            pa.Table.from_arrays(
-                [pa.array([], f.type) for f in out_schema], schema=out_schema
-            )
-        )
-
-    def _project_out(side):
-        # prepped rows already carry every output column (the other
-        # side's fields are typed nulls) — drop the shuffle bookkeeping
-        return side.map_batches(
-            lambda t: t.select(all_cols), batch_format="pyarrow"
-        )
-
-    lp2, rp2 = _nonempty(lp), _nonempty(rp)
-    if lp2 is None and rp2 is None:
-        return _empty_result()
-    if lp2 is None:  # only outer keeps unmatched right rows
-        return _project_out(rp2) if how == "outer" else _empty_result()
-    if rp2 is None:  # anti/left/outer keep every left row unmatched
-        return _empty_result() if how in ("inner", "semi") else _project_out(lp2)
+    # ONE materialize barrier over the union of both prepped sides (the
+    # sides execute concurrently inside it) instead of two serialized
+    # per-side barriers. One-side-empty BUCKETS are the kernel's normal
+    # case (keys hash apart), so a dataset-level empty side needs no
+    # special path — only the fully-empty union does (finalize crash;
+    # empty-side hazards documented on _nonempty_or_none, found by the
+    # join property test).
+    tagged = _nonempty_or_none(lp.union(rp))
+    if tagged is None:
+        return _empty_table_ds(out_schema)
 
     # num_partitions: callers with an input-size hint shrink the shuffle
     # below the session default (see runtime.shuffle_partitions) — the
     # fixed per-partition cost dominates small joins otherwise
-    tagged = lp2.union(rp2)
     return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
         merge_bucket, batch_format="pyarrow"
     )
@@ -447,18 +410,16 @@ def asof_join(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    lp = _nonempty_or_none(left.map_batches(tag(0, None), batch_format="pyarrow"))
-    rp = _nonempty_or_none(right.map_batches(tag(1, r_renamed), batch_format="pyarrow"))
-    if lp is None:
+    # single union-level barrier (see hash_join): one-side-empty buckets
+    # are merge_asof's normal case; only a fully-empty union needs the
+    # short-circuit
+    lp = left.map_batches(tag(0, None), batch_format="pyarrow")
+    rp = right.map_batches(tag(1, r_renamed), batch_format="pyarrow")
+    tagged = _nonempty_or_none(lp.union(rp))
+    if tagged is None:
         return _empty_table_ds(out_schema)
-    if rp is None:
-        if how == "inner":
-            return _empty_table_ds(out_schema)
-        # left rows survive unmatched; prepped rows already carry typed
-        # nulls for the right fields
-        return lp.map_batches(lambda t: t.select(all_cols), batch_format="pyarrow")
     return drop_empty_blocks(
-        lp.union(rp).groupby("__bucket", num_partitions=num_partitions).map_groups(
+        tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
             merge_bucket, batch_format="pyarrow"
         )
     )
