@@ -139,3 +139,51 @@ def grouped_topk(
             kernel, batch_format="pandas"
         )
     )
+
+
+def with_lag(
+    ds,
+    key: str,
+    order_cols: list[str],
+    cols: list[str],
+    lag: int = 1,
+    prefix: str = "prev_",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Generic per-partition LAG: append each row's ``lag``-back
+    predecessor values of ``cols`` within its ``key`` partition, ordered
+    by ``order_cols`` (SQL ``LAG(col, lag) OVER (PARTITION BY key ORDER
+    BY order_cols)``). Rows with no predecessor get nulls (lagged
+    integer columns therefore come back floaty from pandas — callers
+    wanting stable int output should coalesce+cast, as the catalogue
+    query does).
+
+    Same shape and partitioning assumption as ``sessionize``: one hash
+    shuffle on ``key``, vectorized shift per bucket.
+    """
+
+    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        kn = pdf[key].to_numpy()
+        same = np.zeros(len(pdf), dtype=bool)
+        same[lag:] = kn[lag:] == kn[:-lag]
+        for c in cols:
+            pdf[prefix + c] = pdf[c].shift(lag).where(same)
+        return _to_clean_arrow(pdf)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )

@@ -411,6 +411,46 @@ SELECT o_custkey, o_orderkey, price_cents, rn FROM (
 """
 
 
+def q_events_lag(sf_dir: str):
+    """Generic per-partition LAG (ops/window.with_lag): each event gets
+    its user's previous event id and the inter-event gap (-1 sentinel
+    for partition firsts so both engines emit stable int64)."""
+    rd = _rd()
+    from cartography_ray.ops.window import with_lag
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["user_id", "ts", "event_id"])
+    lagged = with_lag(
+        ds, key="user_id", order_cols=["ts", "event_id"], cols=["ts", "event_id"],
+        num_partitions=_parts_for(path),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.int64())
+        prev_us = pc.cast(pc.cast(t.column("prev_ts"), pa.timestamp("us")), pa.int64())
+        neg1 = pa.scalar(-1, pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "prev_event_id": pc.coalesce(
+                    pc.cast(pc.round(t.column("prev_event_id")), pa.int64()), neg1
+                ),
+                "gap_us": pc.coalesce(pc.subtract(ts_us, prev_us), neg1),
+            }
+        )
+
+    return lagged.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id,
+       COALESCE(LAG(event_id) OVER w, -1) AS prev_event_id,
+       COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) AS gap_us
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_events_attribution(sf_dir: str):
     """Purchase→click attribution: each purchase matched to the user's
     most recent preceding click (distributed as-of join, ops/joins.py)."""
@@ -1521,6 +1561,7 @@ QUERIES: dict[str, Callable] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "events_attribution": q_events_attribution,
     "events_quantiles": q_events_quantiles,
+    "events_lag": q_events_lag,
     "docs_stats": q_docs_stats,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
@@ -1565,6 +1606,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "events_quantiles": SQL_EVENTS_QUANTILES,
+        "events_lag": SQL_EVENTS_LAG,
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,

@@ -273,3 +273,47 @@ def test_asof_join_empty_left_nonempty_right(ray_session):
         by="u", on="ts", how="left", num_buckets=2,
     )
     assert len(to_pandas_typed(out)) == 0
+
+
+def test_with_lag_matches_pandas_shift(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import with_lag
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, n),
+            "o": rng.permutation(n).astype("int64"),
+            "v": rng.normal(size=n).round(4),
+        }
+    )
+    got = (
+        with_lag(
+            ray.data.from_pandas(df).repartition(4), key="k", order_cols=["o"],
+            cols=["v", "o"], num_buckets=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "o"], kind="mergesort").reset_index(drop=True)
+    want["prev_v"] = want.groupby("k")["v"].shift(1)
+    want["prev_o"] = want.groupby("k")["o"].shift(1)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_with_lag_lag2(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import with_lag
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "o": [1, 2, 3, 1], "v": [10.0, 20.0, 30.0, 40.0]})
+    out = (
+        with_lag(ray.data.from_pandas(df), key="k", order_cols=["o"], cols=["v"], lag=2, num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["prev_v"].fillna(-1).tolist() == [-1.0, -1.0, 10.0, -1.0]
