@@ -1,0 +1,266 @@
+"""Iterative graph analytics over edge Datasets: weighted PageRank.
+
+Third iterative-algorithm family in the engine (next to union-find in
+stages/canonicalize.py and the IVF k-means in functions/ann.py), and the
+same two-tier strategy split connected_components uses:
+
+- ``broadcast`` (default under ``broadcast_limit`` nodes): the node
+  vector lives on the driver; edges are pre-indexed ONCE into an
+  (src_idx, dst_idx, w_norm) integer Dataset, and each power iteration
+  is one streaming pass emitting per-batch (dst_idx, partial_sum) rows
+  folded into the rank vector — per-iteration driver state is O(nodes),
+  never O(edges).
+- ``join`` (the 100-TB path): ranks stay a Dataset; each iteration is
+  hash_join(edges, ranks on src) → per-batch contribution partials →
+  partial_groupby_agg(dst) → left join back onto the node table with the
+  teleport/dangling correction. Nothing node- or edge-sized ever lands
+  on the driver; cost is ~3 shuffles × iterations, which is what exact
+  distributed PageRank costs.
+
+Dangling nodes (no out-edges) redistribute their mass uniformly each
+iteration, so ranks sum to 1 in both strategies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cartography_ray.ops.agg import _to_clean_arrow
+
+BROADCAST_NODE_LIMIT = 2_000_000
+
+
+def _as_node_col(ds, col: str):
+    """select+rename via an explicit Arrow map — Dataset.rename_columns
+    fuses wrongly with downstream pandas-format UDFs in Ray 2.49 (the
+    fused chain hands the rename a pandas DataFrame)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        return pa.table({"node": c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _edge_norm_weights(edges, src: str, dst: str, weight: str | None, num_partitions):
+    """(src, dst, w) with w normalized by the src's total out-weight."""
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+
+    aggs = {"__outw": ((weight or src), "sum" if weight else "count")}
+    outw = partial_groupby_agg(edges, [src], aggs, num_partitions=num_partitions)
+    joined = hash_join(
+        edges, outw, left_on=src, right_prefix="__r_", num_partitions=num_partitions
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = (
+            pc.cast(t.column(weight), pa.float64())
+            if weight
+            else pa.array(np.ones(t.num_rows))
+        )
+        return pa.table(
+            {
+                src: t.column(src),
+                dst: t.column(dst),
+                "__w": pc.divide(w, pc.cast(t.column("__outw"), pa.float64())),
+            }
+        )
+
+    return joined.map_batches(norm, batch_format="pyarrow"), outw
+
+
+def pagerank(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 20,
+    strategy: str = "auto",
+    broadcast_limit: int = BROADCAST_NODE_LIMIT,
+    num_partitions: int | None = None,
+):
+    """Weighted PageRank over a directed edge Dataset. Returns a Dataset
+    ``(node, rank)`` with ranks summing to 1.
+
+    ``strategy``: ``broadcast`` | ``join`` | ``auto`` (broadcast while
+    the node count fits ``broadcast_limit``, else join).
+    """
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    # materialize once up front: the edge set is replayed by out-weight
+    # agg, node-set agg and the norm join anyway, and a fully-empty
+    # groupby input crashes Ray's hash-shuffle finalize (same hazard
+    # ops.joins guards) — early-out instead
+    edges = edges.materialize()
+    if edges.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())}
+            )
+        )
+    norm_edges, outw = _edge_norm_weights(edges, src, dst, weight, num_partitions)
+    # node table = distinct src ∪ dst
+    srcs = _as_node_col(outw, src)
+    dsts = partial_groupby_agg(
+        _as_node_col(edges, dst),
+        ["node"], {"__c": (None, "count")},
+        num_partitions=num_partitions,
+    ).select_columns(["node"])
+    from cartography_ray.runtime import drop_empty_blocks
+
+    nodes = partial_groupby_agg(
+        srcs.union(dsts), ["node"], {"__c": (None, "count")},
+        num_partitions=num_partitions,
+    ).select_columns(["node"])
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+        )
+    if strategy == "auto":
+        strategy = "broadcast" if n_nodes <= broadcast_limit else "join"
+    if strategy == "broadcast":
+        return _pagerank_broadcast(norm_edges, nodes, outw, src, dst, damping, iters, n_nodes)
+    return _pagerank_join(
+        norm_edges, nodes, outw, src, dst, damping, iters, n_nodes, num_partitions
+    )
+
+
+def _pagerank_broadcast(norm_edges, nodes, outw, src, dst, damping, iters, n_nodes):
+    import ray
+    import ray.data
+
+    node_pdf = nodes.to_pandas()  # bounded by broadcast_limit (contract)
+    node_ids = node_pdf["node"].to_numpy()
+    order = np.argsort(node_ids, kind="stable")
+    node_ids = node_ids[order]
+    idx_map = pd.Series(np.arange(len(node_ids)), index=node_ids)
+    has_out = np.zeros(len(node_ids), dtype=bool)
+    has_out[idx_map.reindex(outw.select_columns([src]).to_pandas()[src]).dropna().astype(int)] = True
+    map_ref = ray.put(idx_map)
+
+    # index the edges ONCE; iterations then stream ints only
+    def to_idx(batch: pd.DataFrame) -> pa.Table:
+        m = ray.get(map_ref)
+        out = pd.DataFrame(
+            {
+                "si": m.reindex(batch[src]).to_numpy(dtype="int64"),
+                "di": m.reindex(batch[dst]).to_numpy(dtype="int64"),
+                "w": batch["__w"].to_numpy(dtype="float64"),
+            }
+        )
+        return _to_clean_arrow(out)
+
+    indexed = norm_edges.map_batches(to_idx, batch_format="pandas").materialize()
+
+    n = len(node_ids)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r_ref = ray.put(rank)
+
+        def contrib(batch: pd.DataFrame) -> pa.Table:
+            r = ray.get(r_ref)
+            c = r[batch["si"].to_numpy()] * batch["w"].to_numpy()
+            di = batch["di"].to_numpy()
+            uniq, inv = np.unique(di, return_inverse=True)
+            sums = np.zeros(len(uniq))
+            np.add.at(sums, inv, c)
+            return _to_clean_arrow(pd.DataFrame({"di": uniq, "c": sums}))
+
+        acc = np.zeros(n)
+        for b in indexed.map_batches(contrib, batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=None
+        ):
+            if len(b):
+                np.add.at(acc, b["di"].to_numpy(), b["c"].to_numpy())
+        dangling = rank[~has_out].sum()
+        rank = (1.0 - damping) / n + damping * (acc + dangling / n)
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(node_ids), "rank": pa.array(rank, pa.float64())})
+    )
+
+
+def _pagerank_join(
+    norm_edges, nodes, outw, src, dst, damping, iters, n_nodes, num_partitions
+):
+    """Everything stays a Dataset; the only driver values are scalars
+    (node count, per-iteration dangling mass)."""
+    import pyarrow.compute as pc
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.runtime import drop_empty_blocks
+
+    norm_edges = norm_edges.materialize()  # reused every iteration
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank": pa.array(np.full(t.num_rows, 1.0 / n_nodes)),
+            }
+        )
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    src_set = _as_node_col(outw, src)
+
+    for _ in range(iters):
+        # dangling mass: ranks of nodes with no out-edges (anti semi-join)
+        no_out = hash_join(
+            ranks, src_set, left_on="node", how="anti", num_partitions=num_partitions
+        )
+        dangling = 0.0
+        for b in no_out.iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                dangling += float(pc.sum(b.column("rank")).as_py() or 0.0)
+
+        joined = hash_join(
+            norm_edges, ranks, left_on=src, right_on="node",
+            right_prefix="__r_", num_partitions=num_partitions,
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column(dst),
+                    "c": pc.multiply(t.column("rank"), t.column("__w")),
+                }
+            )
+
+        sums = partial_groupby_agg(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            ["node"], {"c": ("c", "sum")},
+            num_partitions=num_partitions,
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        merged = hash_join(
+            nodes, sums, left_on="node", how="left", num_partitions=num_partitions
+        )
+
+        def new_rank(t: pa.Table) -> pa.Table:
+            c = pc.coalesce(t.column("c"), pa.scalar(0.0, pa.float64()))
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "rank": pc.add(
+                        pa.scalar(base, pa.float64()),
+                        pc.multiply(pa.scalar(damping, pa.float64()), c),
+                    ),
+                }
+            )
+
+        ranks = drop_empty_blocks(
+            merged.map_batches(new_rank, batch_format="pyarrow")
+        ).materialize()
+    return ranks

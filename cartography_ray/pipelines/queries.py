@@ -1545,6 +1545,40 @@ GROUP BY 1, 2
 """
 
 
+def q_kg_pagerank(sf_dir: str):
+    """Weighted PageRank over the co-mention graph (rows-only: iterative
+    power method, not SQL-expressible; both strategies equal a numpy
+    reference to machine epsilon in tests/test_graph.py). Top 50 by rank."""
+    from cartography_ray.ops.agg import topk
+    from cartography_ray.ops.graph import pagerank
+
+    pairs = q_kg_co_mentions(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = t.column("entity_a"), t.column("entity_b")
+        w = pc.cast(t.column("n_turns"), pa.float64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([pc.cast(a, pa.string()).combine_chunks(), pc.cast(b, pa.string()).combine_chunks()]),
+                "dst": pa.concat_arrays([pc.cast(b, pa.string()).combine_chunks(), pc.cast(a, pa.string()).combine_chunks()]),
+                "w": pa.concat_arrays([w.combine_chunks(), w.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    pr = pagerank(edges, "src", "dst", weight="w", damping=0.85, iters=15)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank9": pc.round(t.column("rank"), 9),
+            }
+        )
+
+    return topk(pr.map_batches(proj, batch_format="pyarrow"), "rank9", 50)
+
+
 # --------------------------------------------------------------------------
 # Catalogue
 # --------------------------------------------------------------------------
@@ -1587,6 +1621,7 @@ QUERIES: dict[str, Callable] = {
     "kg_conversations": q_kg_conversations,
     "kg_triples": q_kg_triples,
     "kg_co_mentions": q_kg_co_mentions,
+    "kg_pagerank": q_kg_pagerank,
 }
 
 
