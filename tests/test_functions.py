@@ -130,7 +130,9 @@ def test_multimodal_stub_pipeline(ray_session):
     media = ray.data.from_arrow(synth_media_table(32))
     decoded = decode_pipeline(media, concurrency=2, batch_size=8, fake=True).to_pandas()
     assert len(decoded) == 32
-    assert set(decoded.columns) == {"media_id", "pixel_mean", "pixel_std", "content_digest"}
+    assert set(decoded.columns) == {
+        "media_id", "pixel_mean", "pixel_std", "decoded_w", "decoded_h", "content_digest",
+    }
     # deterministic digests across two runs
     decoded2 = decode_pipeline(
         ray.data.from_arrow(synth_media_table(32)), concurrency=2, batch_size=8, fake=True
@@ -388,3 +390,113 @@ def test_ivf_index_empty_corpus(ray_session, tmp_path):
     idx = build_ivf_index(ray.data.from_arrow(empty), str(tmp_path / "ivf_empty"))
     out, stats = knn_ivf_indexed(idx, {1: np.ones(4)}, k=3)
     assert out.count() == 0 and stats["partitions_total"] == 0
+
+
+def test_ppm_decode_roundtrip_and_features(ray_session):
+    """REAL netpbm decode: encode→decode roundtrip is exact, and the
+    actor-pool decode stage reports true pixel stats and dimensions."""
+    import ray.data
+
+    from cartography_ray.functions.multimodal import (
+        PPM_MIME,
+        decode_pipeline,
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+        synth_media_table,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header with comment + multi-whitespace still parses
+    weird = b"P6 # comment\n # another\n 23\t17\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(weird), img)
+
+    media = ray.data.from_arrow(synth_media_table(16, real=True))
+    feats = (
+        decode_pipeline(media, concurrency=2, batch_size=4, fake=False)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    src = synth_media_table(16, real=True)
+    for i in range(16):
+        img = decode_ppm(src.column("payload")[i].as_py())
+        assert feats.loc[i, "pixel_mean"] == img.mean()
+        assert feats.loc[i, "decoded_h"] == img.shape[0]
+        assert feats.loc[i, "decoded_w"] == img.shape[1]
+
+    # real nearest-neighbor resize: exact on a 2x downscale of a gradient
+    grad = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    small = resize_nearest(grad, 8, 8)
+    assert small.shape == (8, 8, 3)
+    assert np.array_equal(small, grad[::2, ::2])
+
+
+def test_image_resizer_stage(ray_session):
+    import ray.data
+
+    from cartography_ray.functions.multimodal import (
+        ImageResizer,
+        decode_ppm,
+        synth_media_table,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(8, real=True))
+    out = media.map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas()
+    assert len(out) == 8
+    for p in out["payload"]:
+        assert decode_ppm(p).shape == (8, 8, 3)
+
+
+def test_wav_decode_features(ray_session):
+    """REAL PCM WAV decode: a pure sine's RMS is amp/sqrt(2) and its
+    zero-crossing rate tracks 2f/sr."""
+    import ray.data
+
+    from cartography_ray.functions.multimodal import (
+        audio_pipeline,
+        decode_wav,
+        encode_wav,
+    )
+
+    sr, f, amp, dur = 8000, 440.0, 0.5, 0.5
+    t = np.arange(int(sr * dur)) / sr
+    sig = amp * np.sin(2 * np.pi * f * t)
+    wav = encode_wav(sig, sr)
+    samples, got_sr = decode_wav(wav)
+    assert got_sr == sr and samples.shape == (len(t), 1)
+    assert abs(samples[:, 0] - sig).max() < 1e-3  # 16-bit quantization
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([wav], pa.binary()),
+            "mime": pa.array(["audio/wav"], pa.string()),
+        }
+    )
+    feats = audio_pipeline(ray.data.from_arrow(tbl), concurrency=1, batch_size=1).to_pandas()
+    assert abs(feats.loc[0, "duration_s"] - dur) < 1e-6
+    assert abs(feats.loc[0, "rms"] - amp / np.sqrt(2)) < 1e-3
+    assert abs(feats.loc[0, "zero_cross_rate"] - 2 * f / sr) < 0.01
+
+
+def test_synth_audio_corpus(ray_session):
+    import ray.data
+
+    from cartography_ray.functions.multimodal import audio_pipeline, synth_audio_table
+
+    feats = audio_pipeline(
+        ray.data.from_arrow(synth_audio_table(24)), concurrency=2, batch_size=8
+    ).to_pandas()
+    assert len(feats) == 24
+    assert (feats["duration_s"] > 0).all() and (feats["rms"] > 0).all()
+    # deterministic corpus → deterministic features
+    feats2 = audio_pipeline(
+        ray.data.from_arrow(synth_audio_table(24)), concurrency=2, batch_size=8
+    ).to_pandas()
+    assert feats.sort_values("media_id")["rms"].tolist() == feats2.sort_values("media_id")["rms"].tolist()
