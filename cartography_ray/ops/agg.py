@@ -151,3 +151,53 @@ def topk(ds, by: str, k: int, descending: bool = True):
 
     pruned = ds.map_batches(local, batch_format="pandas")
     return pruned.sort(by, descending=descending).limit(k)
+
+
+def pivot_groupby_sum(
+    ds,
+    keys: list[str] | str,
+    pivot_col: str,
+    pivot_values: list[str],
+    value_col: str,
+    suffix: str = "",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """PIVOT as pure composition: widen each batch into one conditional
+    column per pivot value (``value if pivot_col == v else 0``), then run
+    the existing two-phase partial aggregation — no new shuffle
+    machinery, and hot keys still collapse per batch before the exchange.
+
+    ``pivot_values`` must be the closed category list (SQL PIVOT has the
+    same requirement); rows with other values contribute zeros.
+    Output: keys + one ``{value}{suffix}`` int64/float column per
+    category.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {}
+        for k in keys:
+            c = t.column(k)
+            cols[k] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        val = t.column(value_col)
+        zero = pa.scalar(0, val.type if not isinstance(val, pa.ChunkedArray) else val.type)
+        for v in pivot_values:
+            mask = pc.equal(t.column(pivot_col), v)
+            arr = pc.if_else(mask, val, zero)
+            cols[f"{v}{suffix}"] = (
+                arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            )
+        return pa.table(cols)
+
+    wide = ds.map_batches(widen, batch_format="pyarrow")
+    return partial_groupby_agg(
+        wide,
+        keys,
+        {f"{v}{suffix}": (f"{v}{suffix}", "sum") for v in pivot_values},
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+    )

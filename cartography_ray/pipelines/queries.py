@@ -411,6 +411,46 @@ SELECT o_custkey, o_orderkey, price_cents, rn FROM (
 """
 
 
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT / conditional aggregation: per-user value-cents by event
+    type as wide columns (ops/agg.pivot_groupby_sum — widen + the
+    existing two-phase partial agg, no new shuffle machinery)."""
+    rd = _rd()
+    from cartography_ray.ops.agg import pivot_groupby_sum
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["user_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    return pivot_groupby_sum(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "user_id", "event_type", EVENT_TYPES, "value_cents",
+        suffix="_cents", num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_cents,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS view_cents,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS signup_cents,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS error_cents
+FROM events GROUP BY 1
+"""
+
+
 def q_events_lag(sf_dir: str):
     """Generic per-partition LAG (ops/window.with_lag): each event gets
     its user's previous event id and the inter-event gap (-1 sentinel
@@ -1596,6 +1636,7 @@ QUERIES: dict[str, Callable] = {
     "events_attribution": q_events_attribution,
     "events_quantiles": q_events_quantiles,
     "events_lag": q_events_lag,
+    "events_pivot": q_events_pivot,
     "docs_stats": q_docs_stats,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
@@ -1642,6 +1683,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "events_lag": SQL_EVENTS_LAG,
+        "events_pivot": SQL_EVENTS_PIVOT,
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,

@@ -81,3 +81,34 @@ def test_quantile_sketch_deterministic(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_pivot_groupby_sum_matches_pandas(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.agg import pivot_groupby_sum
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    cats = ["a", "b", "c"]
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, n).astype("int64"),
+            "cat": rng.choice(cats + ["other"], n),
+            "v": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+    got = (
+        pivot_groupby_sum(
+            ray.data.from_pandas(df).repartition(4), "k", "cat", cats, "v",
+            suffix="_sum", num_buckets=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({"k": sorted(df["k"].unique())})
+    for c in cats:
+        s = df[df["cat"] == c].groupby("k")["v"].sum()
+        want[f"{c}_sum"] = want["k"].map(s).fillna(0).astype("int64")
+    pd.testing.assert_frame_equal(got[want.columns], want)
