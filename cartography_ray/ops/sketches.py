@@ -1,0 +1,158 @@
+"""Cardinality sketches: exact grouped distinct-count and HyperLogLog.
+
+Exact COUNT(DISTINCT) needs every distinct (group, value) pair to meet
+one reducer — ``grouped_distinct_count`` does that with a per-batch
+dedup combiner (a hot group contributes each value once per input block,
+not once per row) and one hash shuffle.
+
+``grouped_hll`` is the 100-TB path: per-batch HyperLogLog registers per
+group, mergeable by elementwise max — a group's shuffle footprint is a
+fixed ``2^p`` bytes per input block regardless of row count, and the
+estimate's relative standard error is ~1.04/sqrt(2^p). Register
+construction is vectorized numpy (hash → bucket / leading-zero rank via
+log2) and the estimator applies the standard small-range (linear
+counting) and large-range corrections.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cartography_ray.ops.agg import _to_clean_arrow
+
+
+def grouped_distinct_count(
+    ds,
+    keys: list[str] | str,
+    value_col: str,
+    out_col: str = "n_distinct",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Exact distinct ``value_col`` count per group. Output: keys + out_col."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def local_dedup(batch: pd.DataFrame) -> pa.Table:
+        d = batch[keys + [value_col]].drop_duplicates()
+        h = pd.util.hash_pandas_object(d[keys], index=False).to_numpy()
+        d = d.copy()
+        d["__gb"] = (h % num_buckets).astype("int64")
+        return _to_clean_arrow(d)
+
+    def count(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.drop_duplicates(keys + [value_col])
+            .groupby(keys, sort=False)[value_col]
+            .size()
+            .rename(out_col)
+            .reset_index()
+        )
+        out[out_col] = out[out_col].astype("int64")
+        return _to_clean_arrow(out)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    deduped = ds.map_batches(local_dedup, batch_format="pandas")
+    return drop_empty_blocks(
+        deduped.groupby("__gb", num_partitions=num_partitions).map_groups(
+            count, batch_format="pandas"
+        )
+    )
+
+
+def _hll_registers(values: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """values (uint64 hashes) → (bucket index, rank) arrays."""
+    m = 1 << p
+    bucket = (values & np.uint64(m - 1)).astype(np.int64)
+    rest = values >> np.uint64(p)
+    # rank = leading position of first 1-bit in the remaining 64-p bits,
+    # counted from 1; all-zero rest gets the max rank
+    width = 64 - p
+    nz = rest != 0
+    # number of trailing zero bits via float log2 on (rest & -rest)
+    low = (rest & (~rest + np.uint64(1))).astype(np.float64)
+    tz = np.zeros(len(rest), dtype=np.int64)
+    tz[nz] = np.log2(low[nz]).astype(np.int64)
+    rank = np.where(nz, tz + 1, width + 1).astype(np.int64)
+    return bucket, rank
+
+
+def _hash64(series: pd.Series) -> np.ndarray:
+    return pd.util.hash_array(series.to_numpy(), categorize=False).astype(np.uint64)
+
+
+def _hll_estimate(reg: np.ndarray) -> float:
+    m = len(reg)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((reg == 0).sum())
+        if zeros:
+            return m * np.log(m / zeros)  # linear counting
+    two64 = 2.0**64
+    if est > two64 / 30.0:
+        return -two64 * np.log(1.0 - est / two64)
+    return float(est)
+
+
+def grouped_hll(
+    ds,
+    keys: list[str] | str,
+    value_col: str,
+    p: int = 12,
+    out_col: str = "n_distinct_est",
+    num_partitions: int | None = None,
+):
+    """Approximate distinct count per group via HyperLogLog registers
+    (relative standard error ≈ 1.04 / sqrt(2^p); p=12 → ~1.6%).
+
+    Per-batch partial: one ``2^p``-byte register row per group present in
+    the block (mergeable by max). The merge streams partials through a
+    driver fold like ``bounded_groupby_agg`` — driver memory is
+    O(groups × 2^p), independent of data size; group CARDINALITY must be
+    bounded, group row volume is not.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    m = 1 << p
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        out_keys, out_regs = [], []
+        for gk, sub in batch.groupby(keys, sort=False):
+            gk = gk if isinstance(gk, tuple) else (gk,)
+            bucket, rank = _hll_registers(_hash64(sub[value_col]), p)
+            reg = np.zeros(m, dtype=np.int8)
+            np.maximum.at(reg, bucket, rank.astype(np.int8))
+            out_keys.append(gk)
+            out_regs.append(reg.tobytes())
+        if not out_keys:  # typed empty (pa.table would infer null columns)
+            base = pa.Table.from_pandas(batch[keys].iloc[0:0], preserve_index=False)
+            return base.append_column(
+                "__reg", pa.array([], pa.binary())
+            ).replace_schema_metadata(None)
+        cols = {k: [gk[i] for gk in out_keys] for i, k in enumerate(keys)}
+        t = pa.table({**cols, "__reg": pa.array(out_regs, pa.binary())})
+        return t.replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    acc: dict[tuple, np.ndarray] = {}
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        if not b.num_rows:
+            continue
+        key_cols = [b.column(k).to_pylist() for k in keys]
+        regs = b.column("__reg").to_pylist()
+        for i, rbytes in enumerate(regs):
+            gk = tuple(col[i] for col in key_cols)
+            reg = np.frombuffer(rbytes, dtype=np.int8)
+            if gk in acc:
+                np.maximum(acc[gk], reg, out=acc[gk])
+            else:
+                acc[gk] = reg.copy()
+    rows = [(*gk, int(round(_hll_estimate(reg)))) for gk, reg in sorted(acc.items())]
+    out = pd.DataFrame(rows, columns=keys + [out_col])
+    if len(out):
+        out[out_col] = out[out_col].astype("int64")
+    import ray.data
+
+    return ray.data.from_arrow(_to_clean_arrow(out))

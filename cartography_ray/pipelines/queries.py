@@ -414,6 +414,38 @@ SELECT o_custkey, o_orderkey, price_cents, rn FROM (
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group (ops/sketches.grouped_distinct_count
+    — per-batch dedup combiner + one shuffle; grouped_hll is the
+    fixed-footprint scale path, error-bound-tested in tests/)."""
+    rd = _rd()
+    from cartography_ray.ops.sketches import grouped_distinct_count
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "user_id"])
+    return grouped_distinct_count(
+        ds, "event_type", "user_id", out_col="n_users",
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_events_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-count estimate per group (rows-only:
+    approximate by design; |est - exact| bound asserted in tests)."""
+    rd = _rd()
+    from cartography_ray.ops.sketches import grouped_hll
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "user_id"])
+    return grouped_hll(ds, "event_type", "user_id", p=12, out_col="n_users_est")
+
+
 def q_events_pivot(sf_dir: str):
     """PIVOT / conditional aggregation: per-user value-cents by event
     type as wide columns (ops/agg.pivot_groupby_sum — widen + the
@@ -1637,6 +1669,8 @@ QUERIES: dict[str, Callable] = {
     "events_quantiles": q_events_quantiles,
     "events_lag": q_events_lag,
     "events_pivot": q_events_pivot,
+    "events_distinct_users": q_events_distinct_users,
+    "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_stats": q_docs_stats,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
@@ -1684,6 +1718,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "events_lag": SQL_EVENTS_LAG,
         "events_pivot": SQL_EVENTS_PIVOT,
+        "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+        # events_distinct_users_hll is approximate-by-design → rows-only
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
