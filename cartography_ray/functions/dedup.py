@@ -854,3 +854,161 @@ def jaccard_pairs_smallside(
         )
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def jaccard_pairs_exact(
+    ds,
+    threshold: float,
+    ngram: int = 5,
+    max_df: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """EXACT all-pairs n-gram-Jaccard set-similarity join via a shingle
+    inverted index — no broadcast side (unlike ``jaccard_pairs_smallside``)
+    and no candidate misses (unlike MinHash): ONE shuffle of the
+    (shingle, id) postings clustered by shingle; each reducer bucket
+    self-joins its postings lists into pre-aggregated pair-count partials
+    plus per-doc size partials, and two small aggregations + a sizes join
+    finish ``|A∩B| / |A∪B| ≥ threshold``.
+
+    ``max_df`` drops shingles whose document frequency exceeds it (the
+    standard stop-shingle cap: a shingle in k docs costs k²/2 pairs, so
+    ubiquitous grams dominate cost while carrying no discriminative
+    signal). Sizes are counted AFTER the cap, so the Jaccard is exact
+    over the capped shingle space — the SQL oracle applies the identical
+    cap. Shingles are the true lowercased character substrings (matching
+    SQL ``substring(lower(text), i, k)``); texts shorter than ``ngram``
+    contribute no shingles, as in the SQL. The 100-TB refinement would
+    be prefix filtering; the df cap is the first-order version of it.
+    """
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.runtime import drop_empty_blocks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_g: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            t = (t or "").lower()
+            if len(t) < ngram:
+                continue
+            arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            win = np.lib.stride_tricks.sliding_window_view(arr, ngram)
+            grams = np.unique(np.ascontiguousarray(win).view(f"<U{ngram}").ravel())
+            out_g.append(grams)
+            out_id.append(np.full(len(grams), i, dtype=np.int64))
+        if not out_g:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "g": pa.array(np.concatenate(out_g)),
+                "id": pa.array(np.concatenate(out_id), pa.int64()),
+            }
+        )
+
+    def tag(batch: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_array(batch["g"].to_numpy(), categorize=False)
+        batch = batch.copy()
+        batch["__gb"] = (h % 64).astype("int64")
+        return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
+
+    def bucket_kernel(group: pd.DataFrame) -> pa.Table:
+        """All postings of each shingle are in this bucket: apply the df
+        cap, emit per-doc size partials (kind 0) and per-pair
+        intersection-count partials (kind 1)."""
+        if max_df is not None:
+            df_per_g = group.groupby("g", sort=False)["id"].transform("size")
+            group = group[df_per_g <= max_df]
+        sizes = group.groupby("id", sort=False).size()
+        p = group[["g", "id"]]
+        pairs = p.merge(p, on="g")
+        pairs = pairs[pairs["id_x"] < pairs["id_y"]]
+        pc_ = pairs.groupby(["id_x", "id_y"], sort=False).size()
+        out = pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [np.zeros(len(sizes), np.int8), np.ones(len(pc_), np.int8)]
+                ),
+                "a": np.concatenate(
+                    [sizes.index.to_numpy(np.int64), pc_.index.get_level_values(0).to_numpy(np.int64)]
+                    if len(pc_)
+                    else [sizes.index.to_numpy(np.int64), np.empty(0, np.int64)]
+                ),
+                "b": np.concatenate(
+                    [np.full(len(sizes), -1, np.int64), pc_.index.get_level_values(1).to_numpy(np.int64)]
+                    if len(pc_)
+                    else [np.full(len(sizes), -1, np.int64), np.empty(0, np.int64)]
+                ),
+                "cnt": np.concatenate([sizes.to_numpy(np.int64), pc_.to_numpy(np.int64)]),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    postings = ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        tag, batch_format="pandas"
+    )
+    partials = drop_empty_blocks(
+        postings.groupby("__gb", num_partitions=num_partitions).map_groups(
+            bucket_kernel, batch_format="pandas"
+        )
+    )
+
+    def split(kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind))
+
+        return fn
+
+    sizes = partial_groupby_agg(
+        partials.map_batches(split(0), batch_format="pyarrow"),
+        ["a"], {"n": ("cnt", "sum")}, num_partitions=num_partitions,
+    )
+    inter = partial_groupby_agg(
+        partials.map_batches(split(1), batch_format="pyarrow"),
+        ["a", "b"], {"c": ("cnt", "sum")}, num_partitions=num_partitions,
+    )
+    j1 = hash_join(inter, sizes, left_on="a", right_prefix="sa_", num_partitions=num_partitions)
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": t.column("a"), "b": t.column("b"), "c": t.column("c"), "na": t.column("n")}
+        )
+
+    j2 = hash_join(
+        j1.map_batches(ren, batch_format="pyarrow"), sizes,
+        left_on="b", right_on="a", right_prefix="sb_", num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("c"), pa.float64())
+        union = pc.subtract(
+            pc.add(pc.cast(t.column("na"), pa.float64()), pc.cast(t.column("n"), pa.float64())),
+            c,
+        )
+        jac = pc.divide(c, pc.max_element_wise(union, pa.scalar(1.0)))
+        keep = pc.greater_equal(jac, pa.scalar(float(threshold)))
+        t = t.filter(keep)
+        jac = pc.divide(
+            pc.cast(t.column("c"), pa.float64()),
+            pc.max_element_wise(
+                pc.subtract(
+                    pc.add(
+                        pc.cast(t.column("na"), pa.float64()),
+                        pc.cast(t.column("n"), pa.float64()),
+                    ),
+                    pc.cast(t.column("c"), pa.float64()),
+                ),
+                pa.scalar(1.0),
+            ),
+        )
+        return pa.table(
+            {"id_a": t.column("a"), "id_b": t.column("b"), "jaccard": jac}
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")

@@ -101,3 +101,28 @@ def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "
         pa.string(),
     )
     return pa.table({id_col: batch.column(id_col), "fingerprint": fps})
+
+
+class QualityFilter:
+    """Actor-pool stage: keep (doc_id, text) rows passing integer quality
+    thresholds — same compiled counters as TextStats, so the SQL oracle
+    (the docs_stats regexes in a WHERE clause) is bit-identical."""
+
+    def __init__(self, min_tokens: int = 0, min_stop: int = 0) -> None:
+        self.token = re.compile(TOKEN_RE)
+        self.stop = re.compile(STOP_RE)
+        self.min_tokens = min_tokens
+        self.min_stop = min_stop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok = np.fromiter(
+            (len(self.token.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        n_stop = np.fromiter(
+            (len(self.stop.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        mask = pa.array((n_tok >= self.min_tokens) & (n_stop >= self.min_stop))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": batch.column("text")}
+        ).filter(mask)

@@ -872,6 +872,99 @@ def q_emb_knn_lsh(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+CLEAN_MIN_TOKENS = 40
+CLEAN_MIN_STOP = 2
+CLEAN_JACCARD_TAU = 0.35
+CLEAN_MAX_DF = 64
+
+
+def q_docs_clean_corpus(sf_dir: str):
+    """The composite training-data cleaning pipeline as ONE oracle-checked
+    entry: quality filter → exact dedup → exact near-dup removal.
+
+    Stages (each an existing operator): QualityFilter actor pool →
+    exact_dedup keepers → semi hash_join back to (id, text) →
+    jaccard_pairs_exact set-similarity join (df-capped inverted index) →
+    anti hash_join dropping every doc with a higher-similarity twin of
+    smaller id. Drop rule is "any ≥τ pair with a smaller id" (not greedy
+    chains) — deterministic and SQL-expressible; both engines apply it
+    identically.
+    """
+    rd = _rd()
+    from cartography_ray.functions.dedup import exact_dedup, jaccard_pairs_exact
+    from cartography_ray.functions.text import QualityFilter
+    from cartography_ray.ops.joins import hash_join
+
+    path = f"{sf_dir}/documents.parquet"
+    parts = _parts_for(path)
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    quality = docs.map_batches(
+        QualityFilter,
+        fn_constructor_kwargs={"min_tokens": CLEAN_MIN_TOKENS, "min_stop": CLEAN_MIN_STOP},
+        batch_format="pyarrow", concurrency=2,
+    )
+    keepers = exact_dedup(quality, "doc_id", "text")
+
+    def kid(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64())})
+
+    survivors = hash_join(
+        quality, keepers.map_batches(kid, batch_format="pyarrow"),
+        left_on="doc_id", how="semi", num_partitions=parts,
+    )
+    pairs = jaccard_pairs_exact(
+        survivors, threshold=CLEAN_JACCARD_TAU, ngram=5, max_df=CLEAN_MAX_DF,
+        num_partitions=parts,
+    )
+
+    def dropset(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("id_b")})
+
+    clean = hash_join(
+        survivors.select_columns(["doc_id"]),
+        pairs.map_batches(dropset, batch_format="pyarrow"),
+        left_on="doc_id", how="anti", num_partitions=parts,
+    )
+    return clean
+
+
+SQL_DOCS_CLEAN_CORPUS = f"""
+WITH q AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(regexp_extract_all(text, '\\S+')) >= {CLEAN_MIN_TOKENS}
+    AND len(regexp_extract_all(text, '\\b(the|and|of|to|a|is|in)\\b')) >= {CLEAN_MIN_STOP}
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS fp FROM q)
+  GROUP BY fp
+),
+dd AS (SELECT q.doc_id, q.text FROM q JOIN keepers USING (doc_id)),
+sh_all AS (
+  SELECT DISTINCT doc_id, substring(lower(text), CAST(r.range AS INTEGER), 5) AS g
+  FROM dd JOIN range(1, 100000) r ON r.range <= length(text) - 4
+),
+sh AS (
+  SELECT * FROM sh_all
+  WHERE g IN (SELECT g FROM sh_all GROUP BY g HAVING COUNT(*) <= {CLEAN_MAX_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / greatest(1, sa.n + sb.n - c) >= {CLEAN_JACCARD_TAU}
+)
+SELECT doc_id FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
 def q_emb_knn_ivf(sf_dir: str):
     """Approximate ANN over a WRITE-ONCE IVF (k-means-partitioned) index
     (rows-only; recall asserted in tests): the corpus is written
@@ -1677,6 +1770,7 @@ QUERIES: dict[str, Callable] = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_dup_edges": q_docs_dup_edges,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
+    "docs_clean_corpus": q_docs_clean_corpus,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "emb_knn": q_emb_knn,
@@ -1726,6 +1820,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_dup_edges": SQL_DOCS_DUP_EDGES,
         "docs_jaccard_pairs": SQL_DOCS_JACCARD,
+        "docs_clean_corpus": SQL_DOCS_CLEAN_CORPUS,
         "emb_knn": SQL_EMB_KNN,
         "emb_neardup": SQL_EMB_NEARDUP,
         "fuzzy_match_parts": SQL_FUZZY_PARTS,

@@ -500,3 +500,57 @@ def test_synth_audio_corpus(ray_session):
         ray.data.from_arrow(synth_audio_table(24)), concurrency=2, batch_size=8
     ).to_pandas()
     assert feats.sort_values("media_id")["rms"].tolist() == feats2.sort_values("media_id")["rms"].tolist()
+
+
+def test_jaccard_pairs_exact_vs_reference(ray_session):
+    """Inverted-index set-similarity join equals the direct O(n²) true-
+    substring-shingle reference, including the df cap semantics."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.dedup import jaccard_pairs_exact
+
+    base = [
+        "the quick brown fox jumps over the lazy dog in the yard today",
+        "a completely different document about distributed data processing",
+        "numpy arrays make vectorized computation fast and predictable",
+    ]
+    texts = []
+    for b in base:
+        texts.append(b)
+        texts.append(b + " extra tail words appended")   # near-dup of b
+        texts.append(" ".join(reversed(b.split())))       # same words, other order
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"), "text": texts})
+
+    def ref_pairs(df, tau, k=5, max_df=None):
+        sh = {
+            r.doc_id: {r.text.lower()[i : i + k] for i in range(len(r.text) - k + 1)}
+            for r in df.itertuples()
+        }
+        if max_df is not None:
+            from collections import Counter
+
+            dfreq = Counter(g for s in sh.values() for g in s)
+            sh = {d: {g for g in s if dfreq[g] <= max_df} for d, s in sh.items()}
+        out = []
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sh[a] & sh[b])
+                union = max(1, len(sh[a]) + len(sh[b]) - inter)
+                if inter / union >= tau:
+                    out.append((a, b, round(inter / union, 9)))
+        return sorted(out)
+
+    for max_df in (None, 4):
+        got = (
+            jaccard_pairs_exact(
+                ray.data.from_pandas(df).repartition(3), threshold=0.3, max_df=max_df,
+                num_partitions=4,
+            )
+            .to_pandas()
+        )
+        got_pairs = sorted(zip(got["id_a"], got["id_b"], got["jaccard"].round(9)))
+        assert got_pairs == ref_pairs(df, 0.3, max_df=max_df), f"max_df={max_df}"
+    # the uncapped run must find each (b, b+tail) near-dup pair
+    assert any(a == 0 and b == 1 for a, b, _ in ref_pairs(df, 0.3))
