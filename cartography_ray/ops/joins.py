@@ -423,3 +423,98 @@ def asof_join(
             merge_bucket, batch_format="pyarrow"
         )
     )
+
+
+def range_join(
+    left,
+    right,
+    by: str,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    right_prefix: str = "r_",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Distributed range (point-in-interval) join: left rows pair with
+    every right interval of the same ``by`` key satisfying
+    ``lo <= point <= hi`` — the interval-join member of the custom-
+    operator family (as-of join's sibling; Ray Data has no analogue).
+
+    Same machinery as ``asof_join``: both sides aligned to one constant
+    Arrow schema, bucketed on ``hash(by)``, ONE groupby shuffle, then a
+    vectorized per-bucket equi-merge on ``by`` + interval mask. Inner
+    semantics (non-matching left rows drop). Per-key cost is
+    |left_k| × |right_k| before the mask — intervals per key are assumed
+    bounded (sessions per user, windows per entity); for massively
+    overlapping interval sets an interval-tree kernel would replace the
+    merge, same shuffle shape.
+    """
+    lcols = list(_arrow_schema(left).names)
+    rschema = _arrow_schema(right)
+    rcols = list(rschema.names)
+    for c in (by, point_col):
+        if c not in lcols:
+            raise ValueError(f"range_join: left missing '{c}'")
+    for c in (by, lo_col, hi_col):
+        if c not in rcols:
+            raise ValueError(f"range_join: right missing '{c}'")
+    r_renamed = {c: (c if c == by else right_prefix + c) for c in rcols}
+    clash = [r_renamed[c] for c in rcols if r_renamed[c] in lcols and c != by]
+    if clash:
+        raise ValueError(f"range_join: renamed right columns collide: {clash}")
+    out_lo, out_hi = right_prefix + lo_col, right_prefix + hi_col
+    r_value = [r_renamed[c] for c in rcols if c != by]
+    lschema = _arrow_schema(left)
+    types: dict[str, pa.DataType] = {c: lschema.field(c).type for c in lcols}
+    for c in rcols:
+        types.setdefault(r_renamed[c], rschema.field(c).type)
+    all_cols = lcols + r_value
+    out_schema = pa.schema([(c, types[c]) for c in all_cols])
+    work_schema = pa.schema(
+        [("__bucket", pa.int64()), ("__side", pa.int8())]
+        + [(c, types[c]) for c in all_cols]
+    )
+
+    def tag(side: int, rename: dict[str, str] | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            if rename:
+                batch = batch.rename_columns([rename.get(c, c) for c in batch.column_names])
+            n = batch.num_rows
+            bucket = _bucket_of(
+                pd.Series(batch.column(by).to_numpy(zero_copy_only=False)), num_buckets
+            )
+            cols = [pa.array(bucket, pa.int64()), pa.array(np.full(n, side, dtype=np.int8))]
+            for c in all_cols:
+                if c in batch.column_names:
+                    col = batch.column(c)
+                    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    cols.append(col.cast(types[c]))
+                else:
+                    cols.append(_typed_nulls(n, types[c]))
+            return pa.Table.from_arrays(cols, schema=work_schema)
+
+        return fn
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        lhs = group.filter(pc.equal(side, 0)).select(lcols).to_pandas()
+        rhs = group.filter(pc.equal(side, 1)).select([by] + r_value).to_pandas()
+        merged = lhs.merge(rhs, on=by)
+        mask = (merged[point_col] >= merged[out_lo]) & (merged[point_col] <= merged[out_hi])
+        return pa.Table.from_pandas(
+            merged[mask][all_cols], schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    lp = left.map_batches(tag(0, None), batch_format="pyarrow")
+    rp = right.map_batches(tag(1, r_renamed), batch_format="pyarrow")
+    tagged = _nonempty_or_none(lp.union(rp))
+    if tagged is None:
+        return _empty_table_ds(out_schema)
+    return drop_empty_blocks(
+        tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
+            merge_bucket, batch_format="pyarrow"
+        )
+    )

@@ -373,6 +373,55 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_events_session_ranges(sf_dir: str):
+    """Range (point-in-interval) join: every event matched back to its
+    sessionize window — interval-join composition (ops/joins.range_join
+    over the ops/window.sessionize output)."""
+    rd = _rd()
+    from cartography_ray.ops.joins import range_join
+
+    path = f"{sf_dir}/events.parquet"
+    parts = _parts_for(path)
+    sessions = q_events_sessions(sf_dir)
+    ev = rd.read_parquet(path, columns=["user_id", "ts", "event_id"])
+
+    def pointize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    joined = range_join(
+        ev.map_batches(pointize, batch_format="pyarrow"), sessions,
+        by="user_id", point_col="ts_us",
+        lo_col="session_start_us", hi_col="session_end_us",
+        num_partitions=parts,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "session_seq": t.column("r_session_seq"),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EVENTS_SESSION_RANGES = f"""
+SELECT e.event_id, e.user_id, sess.session_seq
+FROM events e
+JOIN ({SQL_EVENTS_SESSIONS}) sess
+  ON e.user_id = sess.user_id
+ AND epoch_us(e.ts) BETWEEN sess.session_start_us AND sess.session_end_us
+"""
+
+
 def q_top_orders_per_cust(sf_dir: str):
     """Per-group top-k with rank (ROW_NUMBER analogue; combiner-pruned
     shuffle — see ops/window.py grouped_topk)."""
@@ -1757,6 +1806,7 @@ QUERIES: dict[str, Callable] = {
     "events_hourly": q_events_hourly,
     "events_first": q_events_first,
     "events_sessions": q_events_sessions,
+    "events_session_ranges": q_events_session_ranges,
     "top_orders_per_cust": q_top_orders_per_cust,
     "events_attribution": q_events_attribution,
     "events_quantiles": q_events_quantiles,
@@ -1807,6 +1857,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_first": SQL_EVENTS_FIRST,
         "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_session_ranges": SQL_EVENTS_SESSION_RANGES,
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "events_quantiles": SQL_EVENTS_QUANTILES,

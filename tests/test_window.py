@@ -317,3 +317,71 @@ def test_with_lag_lag2(ray_session):
         .reset_index(drop=True)
     )
     assert out["prev_v"].fillna(-1).tolist() == [-1.0, -1.0, 10.0, -1.0]
+
+
+def test_range_join_matches_pandas_filter(ray_session):
+    """Point-in-interval join: matches the merge+mask reference including
+    OVERLAPPING intervals (a point pairs with every covering interval)
+    and unmatched points dropping (inner)."""
+    import ray.data
+
+    from cartography_ray.ops.joins import range_join
+
+    rng = np.random.default_rng(31)
+    n, m = 1500, 120
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, n).astype("int64"),
+            "x": rng.integers(0, 1000, n).astype("int64"),
+            "lid": np.arange(n, dtype="int64"),
+        }
+    )
+    lo = rng.integers(0, 900, m).astype("int64")
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, m).astype("int64"),
+            "lo": lo,
+            "hi": lo + rng.integers(10, 300, m),   # overlapping by construction
+            "rid": np.arange(m, dtype="int64"),
+        }
+    )
+    got = (
+        range_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            by="k", point_col="x", lo_col="lo", hi_col="hi",
+            num_buckets=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["lid", "r_rid"])
+        .reset_index(drop=True)
+    )
+    want = left.merge(right.rename(columns={c: f"r_{c}" for c in ("lo", "hi", "rid")}), on="k")
+    want = (
+        want[(want["x"] >= want["r_lo"]) & (want["x"] <= want["r_hi"])]
+        .sort_values(["lid", "r_rid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # overlaps really produced multi-matches (some point in >1 interval)
+    assert got["lid"].duplicated().any()
+
+
+def test_range_join_empty_right(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.joins import range_join
+    from cartography_ray.runtime import to_pandas_typed
+
+    left = pd.DataFrame({"k": [1], "x": [5], "lid": [1]})
+    right = pd.DataFrame(
+        {"k": pd.Series([], dtype="int64"), "lo": pd.Series([], dtype="int64"),
+         "hi": pd.Series([], dtype="int64"), "rid": pd.Series([], dtype="int64")}
+    )
+    out = to_pandas_typed(
+        range_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            by="k", point_col="x", lo_col="lo", hi_col="hi", num_buckets=2,
+        )
+    )
+    assert len(out) == 0 and "r_rid" in out.columns
