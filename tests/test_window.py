@@ -385,3 +385,61 @@ def test_range_join_empty_right(ray_session):
         )
     )
     assert len(out) == 0 and "r_rid" in out.columns
+
+
+def test_asof_join_property_vs_pandas(ray_session):
+    """Property test: asof_join equals pandas merge_asof per key on
+    randomized small frames (dup timestamps across keys, keys missing
+    from either side, single-row sides)."""
+    import ray.data
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cartography_ray.ops.joins import asof_join
+    from cartography_ray.runtime import to_pandas_typed
+
+    rows = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=10
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(lrows=rows, rrows=rows, how=st.sampled_from(["inner", "left"]))
+    def check(lrows, rrows, how):
+        left = pd.DataFrame(
+            {
+                "u": pd.Series([r[0] for r in lrows], dtype="int64"),
+                "ts": pd.Series([r[1] for r in lrows], dtype="int64"),
+                "lid": pd.Series(range(len(lrows)), dtype="int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "u": pd.Series([r[0] for r in rrows], dtype="int64"),
+                "ts": pd.Series([r[1] for r in rrows], dtype="int64"),
+                "rid": pd.Series(range(len(rrows)), dtype="int64"),
+            }
+        )
+        # merge_asof demands unique (key, ts) ordering determinism: drop
+        # exact (u, ts) duplicates on the right so "latest" is unique
+        right = right.drop_duplicates(["u", "ts"], keep="last").reset_index(drop=True)
+        got = to_pandas_typed(
+            asof_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                by="u", on="ts", how=how, num_buckets=4, num_partitions=4,
+            )
+        ).sort_values("lid").reset_index(drop=True)
+        want = pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values("ts", kind="mergesort").rename(
+                columns={"ts": "r_ts", "rid": "r_rid"}
+            ),
+            left_on="ts", right_on="r_ts", by="u", direction="backward",
+        )
+        if how == "inner":
+            want = want.dropna(subset=["r_ts"])
+        want = want.sort_values("lid").reset_index(drop=True)
+        assert list(got["lid"]) == list(want["lid"])
+        assert got["r_rid"].fillna(-1).astype("int64").tolist() == \
+            want["r_rid"].fillna(-1).astype("int64").tolist()
+
+    check()
