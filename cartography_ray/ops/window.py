@@ -187,3 +187,52 @@ def with_lag(
             kernel, batch_format="pandas"
         )
     )
+
+
+# multiplier from Knuth's MMIX / Fibonacci hashing — chosen because both
+# engines can evaluate it exactly in int64 (SQL: (id*K)%2^32), unlike
+# library hash functions which differ between pandas and DuckDB
+SAMPLE_MULT = 2654435761
+SAMPLE_MOD = 1 << 32
+
+
+def sample_hash(ids: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic per-id sampling score in [0, 2^32): the SQL twin is
+    ``((id + salt) * 2654435761) % 4294967296``."""
+    return ((ids.astype(np.int64) + salt) * SAMPLE_MULT) % SAMPLE_MOD
+
+
+def deterministic_sample(ds, id_col: str, rate: float, salt: int = 0):
+    """Bernoulli-by-hash sample: keeps rows whose sampling score falls
+    below ``rate`` — deterministic, order-independent, reproducible in
+    SQL (no RNG state, so resumed/retried tasks keep identical rows).
+    Pure per-batch filter: no shuffle, no coordination."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cut = int(rate * SAMPLE_MOD)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(sample_hash(ids, salt) < cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_keys, id_col: str, k: int, salt: int = 0,
+                      num_buckets: int = 64, num_partitions: int | None = None):
+    """Exactly-k-per-group deterministic sample: rank rows within each
+    group by their sampling score and keep the k smallest — a
+    ``grouped_topk`` composition, so the per-batch combiner bounds
+    shuffle volume to k rows per group per block."""
+    import pyarrow as pa
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.append_column("__score", pa.array(sample_hash(ids, salt), pa.int64()))
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, group_keys, "__score", k=k, descending=False, tiebreak=[id_col],
+        num_buckets=num_buckets, num_partitions=num_partitions,
+    )

@@ -495,6 +495,53 @@ def q_events_distinct_users_hll(sf_dir: str):
     return grouped_hll(ds, "event_type", "user_id", p=12, out_col="n_users_est")
 
 
+SAMPLE_RATE = 0.1
+STRATA_K = 50
+
+
+def q_events_sample(sf_dir: str):
+    """Deterministic Bernoulli-by-hash sample (ops/window.deterministic_sample
+    — no RNG state, so resumes/retries keep identical rows; the SQL twin
+    evaluates the same integer arithmetic)."""
+    rd = _rd()
+    from cartography_ray.ops.window import deterministic_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"])
+    return deterministic_sample(ds, "event_id", SAMPLE_RATE)
+
+
+SQL_EVENTS_SAMPLE = f"""
+SELECT event_id, user_id, event_type FROM events
+WHERE (event_id * 2654435761) % 4294967296 < {int(SAMPLE_RATE * (1 << 32))}
+"""
+
+
+def q_events_stratified(sf_dir: str):
+    """Exactly-k-per-group deterministic sample (grouped_topk over the
+    sampling score — per-batch combiner bounds shuffle volume)."""
+    rd = _rd()
+    from cartography_ray.ops.window import stratified_sample
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "event_type"])
+    out = stratified_sample(
+        ds, "event_type", "event_id", k=STRATA_K, num_partitions=_parts_for(path)
+    )
+    return out.select_columns(["event_type", "event_id", "rn"])
+
+
+SQL_EVENTS_STRATIFIED = f"""
+SELECT event_type, event_id, rn FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY (event_id * 2654435761) % 4294967296, event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= {STRATA_K}
+"""
+
+
 def q_events_pivot(sf_dir: str):
     """PIVOT / conditional aggregation: per-user value-cents by event
     type as wide columns (ops/agg.pivot_groupby_sum — widen + the
@@ -1812,6 +1859,8 @@ QUERIES: dict[str, Callable] = {
     "events_quantiles": q_events_quantiles,
     "events_lag": q_events_lag,
     "events_pivot": q_events_pivot,
+    "events_sample": q_events_sample,
+    "events_stratified": q_events_stratified,
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_stats": q_docs_stats,
@@ -1863,6 +1912,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "events_lag": SQL_EVENTS_LAG,
         "events_pivot": SQL_EVENTS_PIVOT,
+        "events_sample": SQL_EVENTS_SAMPLE,
+        "events_stratified": SQL_EVENTS_STRATIFIED,
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         # events_distinct_users_hll is approximate-by-design → rows-only
         "docs_stats": SQL_DOCS_STATS,

@@ -443,3 +443,42 @@ def test_asof_join_property_vs_pandas(ray_session):
             want["r_rid"].fillna(-1).astype("int64").tolist()
 
     check()
+
+
+def test_deterministic_sample_and_stratified(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import (
+        deterministic_sample,
+        sample_hash,
+        stratified_sample,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype="int64"),
+            "g": rng.integers(0, 5, n).astype("int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = deterministic_sample(ds, "id", 0.2).to_pandas()
+    # exact membership: rows whose score < 0.2 * 2^32, nothing else
+    want_ids = df["id"][sample_hash(df["id"].to_numpy()) < int(0.2 * (1 << 32))]
+    assert sorted(out["id"]) == sorted(want_ids)
+    assert abs(len(out) / n - 0.2) < 0.02  # multiplier actually mixes
+    # rerun → identical rows (no RNG state)
+    out2 = deterministic_sample(ray.data.from_pandas(df).repartition(7), "id", 0.2).to_pandas()
+    assert sorted(out2["id"]) == sorted(out["id"])
+
+    strat = stratified_sample(ds, "g", "id", k=10, num_buckets=4).to_pandas()
+    assert len(strat) == 50 and strat.groupby("g").size().eq(10).all()
+    # deterministic across block layouts
+    strat2 = stratified_sample(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(3),
+        "g", "id", k=10, num_buckets=4,
+    ).to_pandas()
+    a = strat.sort_values(["g", "id"]).reset_index(drop=True)
+    b = strat2.sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["g", "id", "rn"]], b[["g", "id", "rn"]])
