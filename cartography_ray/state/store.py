@@ -59,6 +59,8 @@ def _lazy_cleanup_task():
         restrict=None,
         restrict_cols: list | None = None,
         collect_col: str | None = None,
+        subs_dir: str | None = None,
+        subs_buckets: int | None = None,
     ):
         # `subs` / `restrict` arrive as resolved broadcast values (Ray
         # auto-resolves ObjectRef arguments): pa.Arrays or None.
@@ -71,15 +73,58 @@ def _lazy_cleanup_task():
         # restrict/restrict_cols: row eligible only if ANY restrict_col
         # value is in `restrict` — cascade-delete children / detach edges.
         # collect_col: also return the deleted rows' values of this column.
+        #
+        # subs_dir/subs_buckets: the SCALE path for scoped membership
+        # (VERDICT r03 item 1) — instead of a broadcast pa.Array of every
+        # synced sub-resource id (corpus-∝, driver-resident), the run
+        # writes membership as a Parquet side table hash-partitioned by
+        # stable_bucket(sub_id, subs_buckets); each task streams ONLY the
+        # membership buckets its parts' _sub_id values hash to, one bucket
+        # at a time. Memory bound = one part + a small bucket cache, never
+        # the full membership.
         deleted = 0
         collected: list = []
+        member_cache: dict[int, pa.Array] = {}
+
+        def _bucketed_in_scope(sub_col) -> pa.Array:
+            vals = pc.fill_null(pc.cast(sub_col, pa.string()), "")
+            bk = stable_bucket(vals, subs_buckets).to_numpy()
+            np_vals = vals.to_numpy(zero_copy_only=False)
+            out = np.zeros(len(bk), dtype=bool)
+            for k in np.unique(bk):
+                k = int(k)
+                members = member_cache.get(k)
+                if members is None:
+                    files = sorted(
+                        glob.glob(os.path.join(subs_dir, f"bucket={k}", "*.parquet"))
+                    )
+                    members = (
+                        pc.unique(
+                            pa.concat_tables(
+                                [pq.read_table(f, columns=["sub_id"]) for f in files]
+                            ).column("sub_id")
+                        )
+                        if files
+                        else pa.array([], pa.string())
+                    )
+                    if len(member_cache) >= 32:  # bound task memory
+                        member_cache.pop(next(iter(member_cache)))
+                    member_cache[k] = members
+                idx = np.nonzero(bk == k)[0]
+                hit = pc.is_in(pa.array(np_vals[idx], pa.string()), members)
+                out[idx] = pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+            return pa.array(out)
+
         for part in parts:
             tbl = pq.read_table(part)
             stale = pc.not_equal(tbl.column("lastupdated"), pa.scalar(tag, pa.int64()))
             if scoped:
-                if "_sub_id" not in tbl.column_names or subs is None:
+                if "_sub_id" not in tbl.column_names or (subs is None and subs_dir is None):
                     continue
-                in_scope = pc.is_in(tbl.column("_sub_id"), subs)
+                if subs_dir is not None:
+                    in_scope = _bucketed_in_scope(tbl.column("_sub_id"))
+                else:
+                    in_scope = pc.is_in(tbl.column("_sub_id"), subs)
                 stale = pc.and_(stale, pc.fill_null(in_scope, False))
             if eq_filter:
                 for col, val in eq_filter:
@@ -579,17 +624,19 @@ class GraphStore:
         scoped: bool,
         synced_sub_ids: set | None,
         sub_ref=None,
+        sub_dir: str | None = None,
+        sub_buckets: int | None = None,
     ) -> list:
         import ray
 
-        if scoped and synced_sub_ids is None and sub_ref is None:
-            raise ValueError("scoped cleanup requires synced_sub_ids")
+        if scoped and synced_sub_ids is None and sub_ref is None and sub_dir is None:
+            raise ValueError("scoped cleanup requires synced_sub_ids or a membership dir")
         parts = sorted(
             glob.glob(os.path.join(self._dir(kind, label), "bucket=*", "part.parquet"))
         )
         if not parts:
             return []
-        if sub_ref is None:
+        if sub_ref is None and sub_dir is None:
             sub_ref = ray.put(
                 pa.array(sorted(synced_sub_ids), pa.string()) if scoped else None
             )
@@ -597,7 +644,14 @@ class GraphStore:
         task = _TaskHolder.get()
         chunk = 16
         return [
-            task.remote(parts[i : i + chunk], tag, scoped, sub_ref)
+            task.remote(
+                parts[i : i + chunk],
+                tag,
+                scoped,
+                sub_ref,
+                subs_dir=sub_dir if scoped else None,
+                subs_buckets=sub_buckets if scoped else None,
+            )
             for i in range(0, len(parts), chunk)
         ]
 
@@ -626,30 +680,54 @@ class GraphStore:
         ctx: IngestContext,
         node_labels: dict,
         edge_labels: dict,
-        synced_sub_ids: set,
+        synced_sub_ids: set | None = None,
+        synced_sub_dir: str | None = None,
+        synced_sub_buckets: int | None = None,
     ) -> dict[str, int]:
         """Run the whole cleanup epoch pass with ALL labels' per-bucket
         anti-join tasks in flight concurrently. label → mode
-        (True/'scoped', False/'unscoped', 'rels_only' — nodes only)."""
+        (True/'scoped', False/'unscoped', 'rels_only' — nodes only).
+
+        Membership can be passed EITHER as ``synced_sub_ids`` (a set,
+        broadcast once — only for small/bounded memberships) OR as
+        ``synced_sub_dir`` (a hash-bucketed Parquet side table written by
+        the run's distributed sweep, bucketed with ``stable_bucket(sub_id,
+        synced_sub_buckets)``) — the scale path: nothing corpus-sized ever
+        lands on the driver."""
         import ray
 
-        sub_ref = ray.put(pa.array(sorted(synced_sub_ids), pa.string()))
+        if synced_sub_dir is None and synced_sub_ids is None:
+            raise ValueError("cleanup_all needs synced_sub_ids or synced_sub_dir")
+        use_dir = synced_sub_dir is not None
+        sub_buckets = synced_sub_buckets or self.num_buckets
+        sub_ref = (
+            None if use_dir else ray.put(pa.array(sorted(synced_sub_ids), pa.string()))
+        )
         none_ref = ray.put(None)
+
+        def scoped_futures(kind: str, label: str) -> list:
+            if use_dir:
+                return self._cleanup_futures(
+                    kind, label, ctx, True, None,
+                    sub_dir=synced_sub_dir, sub_buckets=sub_buckets,
+                )
+            return self._cleanup_futures(kind, label, ctx, True, None, sub_ref)
+
         plan: list[tuple[str, list]] = []
         for label, mode in node_labels.items():
             mode = self._mode(mode)
             if mode == "rels_only":
                 plan.append((label, []))
                 continue
-            scoped = mode == "scoped"
-            plan.append(
-                (label, self._cleanup_futures("nodes", label, ctx, scoped, None, sub_ref if scoped else none_ref))
-            )
+            if mode == "scoped":
+                plan.append((label, scoped_futures("nodes", label)))
+            else:
+                plan.append((label, self._cleanup_futures("nodes", label, ctx, False, None, none_ref)))
         for label, mode in edge_labels.items():
-            scoped = self._mode(mode) == "scoped"
-            plan.append(
-                (label, self._cleanup_futures("edges", label, ctx, scoped, None, sub_ref if scoped else none_ref))
-            )
+            if self._mode(mode) == "scoped":
+                plan.append((label, scoped_futures("edges", label)))
+            else:
+                plan.append((label, self._cleanup_futures("edges", label, ctx, False, None, none_ref)))
         out: dict[str, int] = {}
         all_futs = [f for _, futs in plan for f in futs]
         results = ray.get(all_futs)

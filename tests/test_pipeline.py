@@ -128,6 +128,44 @@ def test_two_epoch_upsert_and_cleanup(ray_session, tmp_root):
     assert set(resynced["firstseen"]) == {1000}
 
 
+def test_cleanup_membership_is_distributed(ray_session, tmp_root):
+    """VERDICT r03 item 1: the scoped-cleanup membership must be a
+    hash-bucketed Parquet side table consumed per-bucket by the cleanup
+    tasks — never a driver-resident set[str] of conv ids + ray.put
+    broadcast (conversations scale with the corpus)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    import cartography_ray.pipelines.kg as kgmod
+
+    # the driver-union helpers are gone from the module
+    assert not hasattr(kgmod, "_collect_synced")
+    assert not hasattr(kgmod, "_synced_convs")
+
+    store = GraphStore(os.path.join(tmp_root, "store"), num_buckets=8)
+    work = os.path.join(tmp_root, "work")
+    run_kg_pipeline(_transcripts(300), store, IngestContext.make(update_tag=1000), work_dir=work)
+
+    # membership side table exists, is hash-bucketed, and covers every conv
+    files = sorted(g.glob(os.path.join(work, "membership", "bucket=*", "*.parquet")))
+    assert files, "conv sweep must write bucketed membership parquet"
+    member = set()
+    for f in files:
+        member.update(pq.read_table(f).column("sub_id").to_pylist())
+    src_convs = {f"conv:{c}" for c in set(synth_transcripts_table(300).column("conv_id").to_pylist())}
+    assert member == src_convs
+
+    # bucket assignment matches the store's stable_bucket (cleanup tasks
+    # rely on this to prune which membership files they read)
+    from cartography_ray.state.store import stable_bucket
+
+    for f in files:
+        k = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        got = stable_bucket(pq.read_table(f).column("sub_id"), 8).to_pylist()
+        assert set(got) == {k}
+
+
 def test_resume_skips_done_buckets(ray_session, tmp_root):
     """Kill-rerun: buckets finished in a partial run are skipped on resume
     and the final store equals a clean one-shot run."""
