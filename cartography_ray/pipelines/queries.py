@@ -118,11 +118,12 @@ GROUP BY 1, 2
 def q_revenue_by_nation(sf_dir: str):
     """Join chain lineitem→orders→customer→nation + agg.
 
-    Scale posture: lineitem⋈orders are BOTH fact tables (∝ scale) —
-    they join distributedly via ``hash_join`` (reduce-side, one shuffle
-    each). Only the genuinely dimension-sized customer⋈nation product is
-    broadcast (customers per nation are bounded; at extreme scale swap
-    this for a second hash_join). The driver never holds a fact table.
+    Scale posture: lineitem, orders AND customer are all fact tables
+    (∝ scale) — each join is a distributed reduce-side ``hash_join``
+    (VERDICT r03 item 2: customer is NOT a dimension; a driver
+    ``pq.read_table`` of it OOMs before anything else at 100×). The only
+    broadcast is the genuinely fixed 25-row nation map. The driver never
+    holds anything table-sized.
     """
     rd = _rd()
     import pyarrow.parquet as pq
@@ -130,10 +131,9 @@ def q_revenue_by_nation(sf_dir: str):
     from cartography_ray.ops.agg import bounded_groupby_agg
     from cartography_ray.ops.joins import broadcast_join, hash_join
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
 
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -166,9 +166,44 @@ def q_revenue_by_nation(sf_dir: str):
             f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
         ),
     )
-    joined = broadcast_join(fact, dim, left_on="o_custkey", right_on="c_custkey")
+    def combine_by_cust(t: pa.Table) -> pa.Table:
+        # map-side partial before shuffle #2: each block collapses to one
+        # row per distinct custkey it holds (~10 orders/customer), so the
+        # customer join exchanges customer-sized, not order-sized, volume
+        g = t.group_by("o_custkey").aggregate([("revenue_cents", "sum"), ("n_li", "sum")])
+        return pa.table(
+            {
+                "revenue_cents": g.column("revenue_cents_sum"),
+                "n_li": g.column("n_li_sum"),
+                "o_custkey": g.column("o_custkey"),
+            }
+        )
+
+    fact = fact.map_batches(combine_by_cust, batch_format="pyarrow")
+    # fact's schema is statically known (join #1 emits lcols + o_custkey,
+    # then combine_by_cust reshapes); passing it avoids Dataset.schema()
+    # executing the whole first shuffle just to learn the types
+    # (hash_join left_schema docstring)
+    fact_schema = pa.schema(
+        [
+            ("revenue_cents", pa.int64()),
+            ("n_li", pa.int64()),
+            ("o_custkey", pa.int64()),
+        ]
+    )
+    with_cust = hash_join(
+        fact,
+        customer,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        num_partitions=_parts_for(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+        ),
+        left_schema=fact_schema,
+    )
+    joined = broadcast_join(with_cust, nation, left_on="c_nationkey", right_on="n_nationkey")
     # 25 nations — dimension-bounded final, streamed driver fold (no
-    # second shuffle); the only all-to-all is the fact⋈fact hash_join.
+    # third shuffle); the all-to-alls are the two fact⋈fact hash_joins.
     return bounded_groupby_agg(
         joined.select_columns(["n_name", "revenue_cents", "n_li"]),
         "n_name",
