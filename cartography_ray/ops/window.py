@@ -10,8 +10,14 @@ per-row Python).
 Partitioning assumption (documented per the brief): all rows of one
 partition key (a user, a customer) land in one shuffle bucket, so a
 single key's row volume must fit one reducer. That holds for
-activity-bounded keys; a corpus-sized key would need salting plus a
-boundary-merge pass, which these operators do not implement.
+activity-bounded keys. For keys that are NOT activity-bounded (a bot
+user with corpus-scale events), ``sessionize`` implements the hot-key
+fallback: pass ``chunk_us`` to split every key's timeline into fixed
+time ranges that shuffle independently (key × chunk), sessionize each
+range locally, then merge boundary sessions in a second, session-sized
+pass — no reducer ever holds more than one (key, time-chunk) of events.
+``grouped_topk``/``with_lag``/``asof_join``/``range_join`` keep the
+documented bounded-key assumption.
 
 - ``sessionize`` shuffles the full event stream once (inherent — session
   boundaries need every row of a key), then splits each key's timeline
@@ -36,6 +42,15 @@ def _with_bucket(df: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.Data
     return df
 
 
+def _rebased_seq(new_key: np.ndarray, new_session: np.ndarray) -> np.ndarray:
+    """1-based per-key session ids from break masks (vectorized): global
+    cumsum, then rebase each key to 1 at its first row."""
+    seq = np.cumsum(new_session)
+    key_start = np.flatnonzero(new_key)
+    base = np.repeat(seq[key_start] - 1, np.diff(np.append(key_start, len(seq))))
+    return seq - base
+
+
 def sessionize(
     ds,
     key: str,
@@ -44,6 +59,7 @@ def sessionize(
     order_cols: list[str] | None = None,
     num_buckets: int = 64,
     num_partitions: int | None = None,
+    chunk_us: int | None = None,
 ):
     """Gap-based sessionization: one output row per (key, session).
 
@@ -52,36 +68,96 @@ def sessionize(
     microseconds — int64 on purpose, so oracle value-hashes are
     dtype-stable). ``order_cols`` breaks timestamp ties deterministically
     (pass a unique id column).
+
+    ``chunk_us=None`` (default): ONE shuffle on ``key``; assumes one
+    key's events fit one reducer. ``chunk_us=<window>``: the hot-key
+    fallback — rows shuffle on ``(key, ts // chunk_us)`` so a
+    corpus-scale key spreads across reducers; each (key, chunk)
+    sessionizes locally, then a second shuffle (SESSION-sized rows, i.e.
+    output-sized, never event-sized) merges sessions across chunk
+    boundaries where the boundary gap ≤ ``gap_us`` and renumbers
+    ``session_seq``. Time chunks are disjoint, so the last event of one
+    chunk and the first of the next NONEMPTY chunk are adjacent in the
+    key's global timeline — merging on ``next.start − prev.end ≤ gap_us``
+    reproduces single-pass semantics exactly (empty middle chunks
+    included); both paths are asserted identical in
+    tests/test_window.py.
     """
     order_cols = list(order_cols or [])
+    part_keys = [key] if chunk_us is None else [key, "__chunk"]
 
     def tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+        if chunk_us is not None:
+            ts_us = batch[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+            batch = batch.copy()
+            batch["__chunk"] = ts_us // chunk_us
+        return _to_clean_arrow(_with_bucket(batch, part_keys, num_buckets))
 
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
-        pdf = group.sort_values([key, ts_col, *order_cols], kind="mergesort")
+        pdf = group.sort_values([*part_keys, ts_col, *order_cols], kind="mergesort")
         ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
         keys_np = pdf[key].to_numpy()
         new_key = np.empty(len(pdf), dtype=bool)
         new_key[0] = True
         new_key[1:] = keys_np[1:] != keys_np[:-1]
+        if chunk_us is not None:
+            ck = pdf["__chunk"].to_numpy()
+            new_key[1:] |= ck[1:] != ck[:-1]
         gap_break = np.empty(len(pdf), dtype=bool)
         gap_break[0] = True
         gap_break[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
         new_session = new_key | gap_break
-        # global cumsum, then rebase each key to 1 at its first row
-        seq = np.cumsum(new_session)
-        key_start = np.flatnonzero(new_key)
-        base = np.repeat(seq[key_start] - 1, np.diff(np.append(key_start, len(pdf))))
+        # group on the raw cumsum (unique per session within this bucket —
+        # no (key, chunk) collision), rebase to the 1-based per-key seq
+        # only at emit (chunked path discards it; pass 2 renumbers)
+        sid = np.cumsum(new_session)
         pdf = pd.DataFrame(
-            {key: keys_np, "session_seq": seq - base, "__ts_us": ts_us}
+            {key: keys_np, "__sid": sid, "__seq": _rebased_seq(new_key, new_session), "__ts_us": ts_us}
         )
-        g = pdf.groupby([key, "session_seq"], sort=False)
+        g = pdf.groupby("__sid", sort=False)
         out = pd.DataFrame(
             {
+                key: g[key].first(),
+                "session_seq": g["__seq"].first(),
                 "n_events": g["__ts_us"].size(),
                 "session_start_us": g["__ts_us"].min(),
                 "session_end_us": g["__ts_us"].max(),
+            }
+        ).reset_index(drop=True)
+        return _to_clean_arrow(out)
+
+    def merge_tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def merge_kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        # per-key sessions are time-disjoint with strictly increasing
+        # starts, so start-order IS timeline order and next.start −
+        # prev.end is the true adjacent-event gap across chunk boundaries
+        pdf = group.sort_values([key, "session_start_us"], kind="mergesort")
+        kn = pdf[key].to_numpy()
+        start = pdf["session_start_us"].to_numpy()
+        end = pdf["session_end_us"].to_numpy()
+        new_key = np.empty(len(pdf), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = kn[1:] != kn[:-1]
+        brk = np.empty(len(pdf), dtype=bool)
+        brk[0] = True
+        brk[1:] = (start[1:] - end[:-1]) > gap_us
+        merged = pd.DataFrame(
+            {
+                key: kn,
+                "session_seq": _rebased_seq(new_key, new_key | brk),
+                "__n": pdf["n_events"].to_numpy(),
+                "__s": start,
+                "__e": end,
+            }
+        )
+        g = merged.groupby([key, "session_seq"], sort=False)
+        out = pd.DataFrame(
+            {
+                "n_events": g["__n"].sum(),
+                "session_start_us": g["__s"].min(),
+                "session_end_us": g["__e"].max(),
             }
         ).reset_index()
         return _to_clean_arrow(out)
@@ -89,9 +165,19 @@ def sessionize(
     from cartography_ray.runtime import drop_empty_blocks
 
     tagged = ds.map_batches(tag, batch_format="pandas")
-    return drop_empty_blocks(
+    local = drop_empty_blocks(
         tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
             kernel, batch_format="pandas"
+        )
+    )
+    if chunk_us is None:
+        return local
+    # pass 2: session-summary rows only (output-sized); seq within a
+    # (key, chunk) is discarded — merge_kernel renumbers globally per key
+    resharded = local.map_batches(merge_tag, batch_format="pandas")
+    return drop_empty_blocks(
+        resharded.groupby("__gb", num_partitions=num_partitions).map_groups(
+            merge_kernel, batch_format="pandas"
         )
     )
 

@@ -92,6 +92,56 @@ def test_sessionize_gap_boundary(ray_session):
     assert list(out["n_events"]) == [2, 1]
 
 
+def test_sessionize_chunked_hot_key_matches_single_pass(ray_session):
+    """VERDICT r03 item 3: the hot-key fallback (chunk_us time-salting +
+    session-level boundary merge) must be byte-identical to the
+    single-reducer path — exercised with ONE key holding the bulk of the
+    corpus spread across many input blocks, sessions spanning chunk
+    boundaries, and empty middle chunks."""
+    import ray.data
+
+    from cartography_ray.ops.window import sessionize
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    hour = 3_600_000_000
+    # hot key 0: 90% of rows, gaps drawn so many sessions straddle the
+    # chunk boundary (chunk_us = 6h, gap 45min, jumps up to 2h) and some
+    # whole chunks are empty (occasional 30h jumps)
+    gaps = rng.integers(0, 2 * hour, n)
+    gaps[rng.random(n) < 0.01] = 30 * hour
+    ts = base + np.cumsum(gaps)
+    user = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 12, n))
+    df = pd.DataFrame(
+        {
+            "user_id": user.astype("int64"),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "event_id": np.arange(n, dtype="int64"),
+        }
+    )
+    gap = 45 * 60 * 1_000_000
+    kw = dict(key="user_id", ts_col="ts", gap_us=gap, order_cols=["event_id"],
+              num_buckets=8, num_partitions=4)
+
+    def run(**extra):
+        return (
+            sessionize(ray.data.from_pandas(df).repartition(16), **kw, **extra)
+            .to_pandas()
+            .sort_values(["user_id", "session_seq"])
+            .reset_index(drop=True)
+        )
+
+    single = run()
+    chunked = run(chunk_us=6 * hour)
+    pd.testing.assert_frame_equal(chunked[single.columns], single)
+    # also equals the pure-pandas window reference
+    pd.testing.assert_frame_equal(chunked[_pd_sessions(df, gap).columns], _pd_sessions(df, gap))
+    # the hot key genuinely spans many chunks (the salting did something)
+    span = df[df.user_id == 0]["ts"].astype("int64") // 1000 // (6 * hour)
+    assert span.nunique() > 10
+
+
 def test_grouped_topk_matches_pandas_rank(ray_session):
     import ray.data
 
