@@ -142,15 +142,19 @@ def bounded_groupby_agg(
     return _to_clean_arrow(acc)
 
 
-def topk(ds, by: str, k: int, descending: bool = True):
+def topk(ds, by: str, k: int, descending: bool = True, tiebreak: list[str] | None = None):
     """Global top-k: per-block prune then a k-sized final sort (no global
-    shuffle of the full dataset)."""
+    shuffle of the full dataset). ``tiebreak`` columns (ascending) make
+    the cut deterministic when ``by`` values collide at the k boundary —
+    required for oracle-hashed outputs."""
+    cols = [by] + list(tiebreak or [])
+    ascending = [not descending] + [True] * (len(cols) - 1)
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.nlargest(k, by) if descending else batch.nsmallest(k, by)
+        return batch.sort_values(cols, ascending=ascending, kind="mergesort").head(k)
 
     pruned = ds.map_batches(local, batch_format="pandas")
-    return pruned.sort(by, descending=descending).limit(k)
+    return pruned.sort(cols, descending=[not a for a in ascending]).limit(k)
 
 
 def pivot_groupby_sum(

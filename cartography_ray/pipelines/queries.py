@@ -1829,22 +1829,85 @@ def q_kg_co_mentions(sf_dir: str):
     )
 
 
-def sql_kg_co_mentions(path: str) -> str:
-    return _KG_RESOLVED_SQL.format(path=path) + """
+_KG_CO_CTE = """
 , dm AS (
   SELECT DISTINCT 'turn:' || conv_id || ':' || turn_idx AS turn_uid, entity_id
   FROM resolved
+),
+co AS (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b, COUNT(*) AS n_turns
+  FROM dm a JOIN dm b ON a.turn_uid = b.turn_uid AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
 )
-SELECT a.entity_id AS entity_a, b.entity_id AS entity_b, COUNT(*) AS n_turns
-FROM dm a JOIN dm b ON a.turn_uid = b.turn_uid AND a.entity_id < b.entity_id
-GROUP BY 1, 2
+"""
+
+
+def sql_kg_co_mentions(path: str) -> str:
+    return _KG_RESOLVED_SQL.format(path=path) + _KG_CO_CTE + """
+SELECT entity_a, entity_b, n_turns FROM co
+"""
+
+
+def sql_kg_pagerank(path: str, damping: float = 0.85, iters: int = 15, k: int = 50) -> str:
+    """Fixed-iteration weighted PageRank unrolled as chained CTEs — the
+    deterministic cross-engine oracle for ``q_kg_pagerank`` (VERDICT r03
+    item 4: formerly the only catalogue family never checked against a
+    second engine). Mirrors ops.graph.pagerank exactly: symmetric
+    co-mention edges weighted by n_turns, out-weight normalization,
+    uniform 1/N init, per-iteration dangling-mass redistribution
+    (identically zero here — the symmetrized graph has no dangling
+    nodes, but the term is kept so the oracle stays general), ranks
+    rounded to 1e-9 on both sides, deterministic (rank9 DESC, node)
+    top-k cut."""
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference — 15 unrolled
+    # iterations would re-expand (and re-read the parquet under) the whole
+    # upstream chain each time ("Too many open files" observed)
+    sql = _KG_RESOLVED_SQL.format(path=path) + _KG_CO_CTE + """
+, pe AS MATERIALIZED (
+  SELECT entity_a AS src, entity_b AS dst, CAST(n_turns AS DOUBLE) AS w FROM co
+  UNION ALL
+  SELECT entity_b, entity_a, CAST(n_turns AS DOUBLE) FROM co
+),
+pow_ AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM pe GROUP BY src),
+pne AS MATERIALIZED (SELECT pe.src, pe.dst, pe.w / pow_.ow AS w FROM pe JOIN pow_ ON pe.src = pow_.src),
+pn AS MATERIALIZED (
+  -- NOT "a UNION b": under WITH RECURSIVE DuckDB parses a top-level
+  -- UNION CTE body as a recursive definition and skips the dedup
+  SELECT DISTINCT node FROM (SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe)
+),
+pnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pn),
+pr0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM pnn) AS rank FROM pn)
+"""
+    for i in range(1, iters + 1):
+        sql += f""", pr{i} AS MATERIALIZED (
+  SELECT pn.node,
+         (1 - {damping}) / (SELECT n FROM pnn)
+         + {damping} * (
+             COALESCE(s.contrib, 0)
+             + (SELECT COALESCE(SUM(p.rank), 0) FROM pr{i - 1} p
+                LEFT JOIN pow_ o ON p.node = o.src WHERE o.src IS NULL)
+               / (SELECT n FROM pnn)
+           ) AS rank
+  FROM pn
+  LEFT JOIN (SELECT e.dst AS node, SUM(p.rank * e.w) AS contrib
+             FROM pne e JOIN pr{i - 1} p ON e.src = p.node GROUP BY e.dst) s
+  ON pn.node = s.node
+)
+"""
+    return sql + f"""
+SELECT node, round(rank, 9) AS rank9 FROM pr{iters}
+ORDER BY rank9 DESC, node
+LIMIT {k}
 """
 
 
 def q_kg_pagerank(sf_dir: str):
-    """Weighted PageRank over the co-mention graph (rows-only: iterative
-    power method, not SQL-expressible; both strategies equal a numpy
-    reference to machine epsilon in tests/test_graph.py). Top 50 by rank."""
+    """Weighted PageRank over the co-mention graph. Top 50 by rank with a
+    deterministic (rank9 DESC, node) cut. Oracle: the same 15 iterations
+    unrolled as DuckDB CTEs (``sql_kg_pagerank``) — ranks agree to the
+    1e-9 rounding because damping < 1 keeps cross-engine float
+    summation-order noise (~1e-15) contracted, and both strategies also
+    equal a numpy reference to machine epsilon in tests/test_graph.py."""
     from cartography_ray.ops.agg import topk
     from cartography_ray.ops.graph import pagerank
 
@@ -1868,11 +1931,13 @@ def q_kg_pagerank(sf_dir: str):
         return pa.table(
             {
                 "node": t.column("node"),
-                "rank9": pc.round(t.column("rank"), 9),
+                # half_towards_infinity == DuckDB round() (CLAUDE.md
+                # rounding convention; default half_to_even diverges)
+                "rank9": pc.round(t.column("rank"), 9, round_mode="half_towards_infinity"),
             }
         )
 
-    return topk(pr.map_batches(proj, batch_format="pyarrow"), "rank9", 50)
+    return topk(pr.map_batches(proj, batch_format="pyarrow"), "rank9", 50, tiebreak=["node"])
 
 
 # --------------------------------------------------------------------------
@@ -1973,6 +2038,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_conversations": sql_kg_conversations(path),
         "kg_triples": sql_kg_triples(path),
         "kg_co_mentions": sql_kg_co_mentions(path),
+        "kg_pagerank": sql_kg_pagerank(path),
         # docs_minhash_pairs / docs_simhash_pairs / emb_knn_lsh are
         # approximate-by-design → rows-only checks (recall asserted in tests)
     }
