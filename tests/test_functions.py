@@ -543,14 +543,60 @@ def test_jaccard_pairs_exact_vs_reference(ray_session):
         return sorted(out)
 
     for max_df in (None, 4):
-        got = (
-            jaccard_pairs_exact(
-                ray.data.from_pandas(df).repartition(3), threshold=0.3, max_df=max_df,
-                num_partitions=4,
+        for prefix in (False, True):
+            got = (
+                jaccard_pairs_exact(
+                    ray.data.from_pandas(df).repartition(3), threshold=0.3, max_df=max_df,
+                    num_partitions=4, prefix_filter=prefix,
+                )
+                .to_pandas()
             )
-            .to_pandas()
-        )
-        got_pairs = sorted(zip(got["id_a"], got["id_b"], got["jaccard"].round(9)))
-        assert got_pairs == ref_pairs(df, 0.3, max_df=max_df), f"max_df={max_df}"
+            got_pairs = sorted(zip(got["id_a"], got["id_b"], got["jaccard"].round(9)))
+            assert got_pairs == ref_pairs(df, 0.3, max_df=max_df), f"max_df={max_df} prefix={prefix}"
     # the uncapped run must find each (b, b+tail) near-dup pair
     assert any(a == 0 and b == 1 for a, b, _ in ref_pairs(df, 0.3))
+
+
+def test_jaccard_prefix_filter_identity_and_reduction(ray_session):
+    """VERDICT r03 item 5: prefix filtering must (a) return the IDENTICAL
+    pair set to the one-exchange path on a skewed corpus at several
+    thresholds, and (b) actually shrink the candidate-generating posting
+    volume (the point of the AllPairs prefix)."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.dedup import _make_shingle_explode, jaccard_pairs_exact
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel"]
+    texts = []
+    for i in range(120):
+        words = list(rng.choice(vocab, size=rng.integers(8, 16)))
+        texts.append(" ".join(words) + " shared boilerplate footer common to all docs")
+    # seed exact-threshold near-dups
+    for i in range(0, 20, 2):
+        texts[i + 1] = texts[i] + " tiny tail"
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"), "text": texts})
+
+    for tau in (0.5, 0.7):
+        runs = {}
+        for prefix in (False, True):
+            got = jaccard_pairs_exact(
+                ray.data.from_pandas(df).repartition(4), threshold=tau,
+                max_df=64, num_partitions=4, prefix_filter=prefix,
+            ).to_pandas()
+            runs[prefix] = sorted(
+                zip(got["id_a"], got["id_b"], got["jaccard"].round(12))
+            )
+        assert runs[True] == runs[False], f"tau={tau}"
+        assert runs[True], f"tau={tau}: vacuous test (no pairs found)"
+
+    # posting-volume reduction: prefix size ⌊(1−τ)n⌋+1 ≪ n at τ=0.8
+    explode = _make_shingle_explode(5, "doc_id", "text")
+    full = explode(__import__("pyarrow").Table.from_pandas(df)).num_rows
+    sizes = (
+        explode(__import__("pyarrow").Table.from_pandas(df))
+        .to_pandas().groupby("id").size()
+    )
+    prefix_rows = int((np.floor(0.2 * sizes) + 1).sum())
+    assert prefix_rows < 0.3 * full
