@@ -129,10 +129,12 @@ def grouped_hll(
         if not out_keys:  # typed empty (pa.table would infer null columns)
             base = pa.Table.from_pandas(batch[keys].iloc[0:0], preserve_index=False)
             return base.append_column(
-                "__reg", pa.array([], pa.binary())
+                "__reg", pa.array([], pa.binary(m))
             ).replace_schema_metadata(None)
         cols = {k: [gk[i] for gk in out_keys] for i, k in enumerate(keys)}
-        t = pa.table({**cols, "__reg": pa.array(out_regs, pa.binary())})
+        # fixed-size binary: the register block of a whole batch is then
+        # ONE contiguous buffer the finalize can view as an (n, m) matrix
+        t = pa.table({**cols, "__reg": pa.array(out_regs, pa.binary(m))})
         return t.replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -140,15 +142,24 @@ def grouped_hll(
     for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
         if not b.num_rows:
             continue
-        key_cols = [b.column(k).to_pylist() for k in keys]
-        regs = b.column("__reg").to_pylist()
-        for i, rbytes in enumerate(regs):
-            gk = tuple(col[i] for col in key_cols)
-            reg = np.frombuffer(rbytes, dtype=np.int8)
+        # zero-copy (n, m) int8 view over the fixed-size-binary data
+        # buffer, then one vectorized max per (group-in-batch) — no
+        # per-register to_pylist (VERDICT r03 item 6)
+        reg_col = b.column("__reg").combine_chunks()
+        mat = np.frombuffer(
+            reg_col.buffers()[-1], dtype=np.int8,
+            count=len(reg_col) * m, offset=reg_col.offset * m,
+        ).reshape(-1, m)
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(b.select(keys).to_pandas())
+        )
+        for g, gk in enumerate(uniques):
+            gk = tuple(gk)
+            merged = mat[codes == g].max(axis=0)
             if gk in acc:
-                np.maximum(acc[gk], reg, out=acc[gk])
+                np.maximum(acc[gk], merged, out=acc[gk])
             else:
-                acc[gk] = reg.copy()
+                acc[gk] = merged.copy()
     rows = [(*gk, int(round(_hll_estimate(reg)))) for gk, reg in sorted(acc.items())]
     out = pd.DataFrame(rows, columns=keys + [out_col])
     if len(out):

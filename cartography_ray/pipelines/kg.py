@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import shutil
 from typing import Any, Callable
 
 import numpy as np
@@ -592,46 +593,48 @@ def _labels_table(labels) -> pa.Table:
     return pa.concat_tables(blocks)
 
 
-def _materialize_tasked(store: GraphStore, g: dict, ctx: IngestContext):
-    """Task-parallel spill from checkpoint files + compaction wave."""
-    import shutil
-    import uuid
+# the label map is bounded by distinct ALIASED keys, not the corpus; above
+# this it stops being "dimension-like" and must not be collected driver-side
+BROADCAST_LABEL_LIMIT = 2_000_000
 
-    from cartography_ray.state.spill import run_spill
 
-    work_dir = g["work_dir"]
-    sorted_files = sorted(_glob.glob(os.path.join(work_dir, "sorted", "*.parquet")))
-    resolved_files = sorted(_glob.glob(os.path.join(work_dir, "resolved", "*.parquet")))
+def _spill_label_streams(
+    labels, ctx: IngestContext, spill_root: str, num_buckets: int,
+    work_dir: str, limit: int | None = None,
+) -> list:
+    """Spill the alias-edge / label-entity streams derived from the
+    canonical label map, auto-switching on its size (VERDICT r03 item 7 —
+    same contract as resolve_keys' broadcast/join split):
 
-    plans = [
-        (
-            sorted_files,
-            [
-                ("nodes", "Turn", make_turn_nodes_fn(ctx)),
-                ("nodes", "Conversation", make_conv_nodes_fn(ctx)),
-                ("nodes", "Entity", make_tool_entity_nodes_fn(ctx)),
-                ("edges", None, make_per_turn_edges_fn(ctx)),
-            ],
-        ),
-        (
-            resolved_files,
-            [
-                ("nodes", "Entity", make_mention_entity_nodes_fn(ctx)),
-                ("edges", None, make_mention_edges_fn(ctx)),
-            ],
-        ),
+    - ≤ limit rows: collect driver-side, write directly (one tiny table).
+    - > limit rows: write the label map to a Parquet side table and fan
+      the two streams out as ordinary spill tasks over its files —
+      nothing label-map-sized on the driver.
+
+    Returns spill futures (empty list on the driver path).
+    """
+    from cartography_ray.state.spill import submit_spill, write_small_tables
+
+    limit = BROADCAST_LABEL_LIMIT if limit is None else limit
+    streams = [
+        ("edges", None, make_alias_edges_fn(ctx)),
+        ("nodes", "Entity", make_label_entity_nodes_fn(ctx)),
     ]
-    labels_tbl = _labels_table(g["alias_labels"])
-    small_tables = [
-        ("edges", None, make_alias_edges_fn(ctx)(labels_tbl)),
-        ("nodes", "Entity", make_label_entity_nodes_fn(ctx)(labels_tbl)),
-    ]
-    spill_root = os.path.join(store.root, "_spill", f"sync-{ctx.update_tag}-{uuid.uuid4().hex[:8]}")
-    try:
-        run_spill(plans, small_tables, spill_root, store.num_buckets)
-        return store.compact_spill(spill_root, ctx)
-    finally:
-        shutil.rmtree(spill_root, ignore_errors=True)
+    # connected_components returns lazy data on its join path — pin blocks
+    # in the object store so count() + the consumer below execute it once
+    labels = labels.materialize()
+    if labels.count() <= limit:
+        tbl = _labels_table(labels)
+        write_small_tables(
+            [(kind, label, fn(tbl)) for kind, label, fn in streams],
+            spill_root, num_buckets,
+        )
+        return []
+    side = os.path.join(work_dir, "labels_side")
+    shutil.rmtree(side, ignore_errors=True)  # work_dir is checkpoint-reused
+    labels.write_parquet(side)
+    files = sorted(_glob.glob(os.path.join(side, "*.parquet")))
+    return submit_spill([(files, streams)], spill_root, num_buckets)
 
 
 def run_kg_pipeline(
@@ -643,6 +646,7 @@ def run_kg_pipeline(
     detector_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 4096,
     cleanup: bool = True,
+    label_broadcast_limit: int | None = None,
 ) -> dict[str, Any]:
     """Full sync: build → materialize → cleanup → manifests. Returns metrics.
 
@@ -660,7 +664,7 @@ def run_kg_pipeline(
     import ray.data
 
     from cartography_ray.runtime import configure
-    from cartography_ray.state.spill import submit_spill, write_small_tables
+    from cartography_ray.state.spill import submit_spill
 
     configure()
     input_token = _input_fingerprint(transcripts)
@@ -744,14 +748,9 @@ def run_kg_pipeline(
         spill_root,
         store.num_buckets,
     )
-    labels_tbl = _labels_table(g2["alias_labels"])
-    write_small_tables(
-        [
-            ("edges", None, make_alias_edges_fn(ctx)(labels_tbl)),
-            ("nodes", "Entity", make_label_entity_nodes_fn(ctx)(labels_tbl)),
-        ],
-        spill_root,
-        store.num_buckets,
+    spill_futs += _spill_label_streams(
+        g2["alias_labels"], ctx, spill_root, store.num_buckets, work_dir,
+        limit=label_broadcast_limit,
     )
     try:
         ray.get(spill_futs)

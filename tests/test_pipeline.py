@@ -166,6 +166,37 @@ def test_cleanup_membership_is_distributed(ray_session, tmp_root):
         assert set(got) == {k}
 
 
+def test_label_spill_strategy_matches_broadcast(ray_session, tmp_root):
+    """VERDICT r03 item 7: above the broadcast limit the alias-label map
+    must flow through a Parquet side table + spill tasks instead of a
+    driver-side collect. Forcing limit=0 must produce a store byte-equal
+    to the default broadcast path."""
+    ctx = IngestContext.make(update_tag=1000)
+
+    store_a = GraphStore(os.path.join(tmp_root, "sa"), num_buckets=8)
+    run_kg_pipeline(_transcripts(300), store_a, ctx, work_dir=os.path.join(tmp_root, "wa"))
+
+    store_b = GraphStore(os.path.join(tmp_root, "sb"), num_buckets=8)
+    run_kg_pipeline(
+        _transcripts(300), store_b, ctx,
+        work_dir=os.path.join(tmp_root, "wb"), label_broadcast_limit=0,
+    )
+    # the forced run actually took the side-table path
+    assert os.path.isdir(os.path.join(tmp_root, "wb", "labels_side"))
+
+    assert store_a.node_labels() == store_b.node_labels()
+    assert store_a.edge_labels() == store_b.edge_labels()
+    for label in store_a.node_labels():
+        a = store_a.read_nodes(label).to_pandas().sort_values("id").reset_index(drop=True)
+        b = store_b.read_nodes(label).to_pandas().sort_values("id").reset_index(drop=True)
+        assert a.equals(b), f"node label {label} diverged"
+    for rel in store_a.edge_labels():
+        cols = ["src_id", "dst_id"]
+        a = store_a.read_edges(rel).to_pandas().sort_values(cols).reset_index(drop=True)
+        b = store_b.read_edges(rel).to_pandas().sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), f"edge label {rel} diverged"
+
+
 def test_resume_skips_done_buckets(ray_session, tmp_root):
     """Kill-rerun: buckets finished in a partial run are skipped on resume
     and the final store equals a clean one-shot run."""
