@@ -31,6 +31,15 @@ def _matrix_of(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
+def _parquet_row_count(files: list[str]) -> int:
+    """Row count from parquet footers — the indexed-kNN telemetry used to
+    call ``Dataset.count()``, which re-read every probed partition before
+    the query read them again (ADVICE r03: 2× I/O on the hot path)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -311,7 +320,7 @@ def knn_lsh_indexed(
         f for d in hit_dirs for f in _glob.glob(os.path.join(d, "*.parquet"))
     )
     sub = ray.data.read_parquet(hit_files, columns=[id_col, vec_col])
-    stats["rows_scanned"] = sub.count()
+    stats["rows_scanned"] = _parquet_row_count(hit_files)
     out = knn_lsh(
         sub,
         queries,
@@ -647,5 +656,5 @@ def knn_ivf_indexed(
         f for d in hit_dirs for f in _glob.glob(os.path.join(d, "*.parquet"))
     )
     sub = ray.data.read_parquet(hit_files, columns=[id_col, vec_col])
-    stats["rows_scanned"] = sub.count()
+    stats["rows_scanned"] = _parquet_row_count(hit_files)
     return knn_brute(sub, queries, k=k, id_col=id_col, vec_col=vec_col), stats

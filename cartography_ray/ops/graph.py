@@ -98,14 +98,25 @@ def pagerank(
     # groupby input crashes Ray's hash-shuffle finalize (same hazard
     # ops.joins guards) — early-out instead
     edges = edges.materialize()
-    if edges.count() == 0:
+
+    def _empty_result():
+        # derive the node dtype from the edge schema so the empty path
+        # returns the same schema as the nonempty one (ADVICE r03: callers
+        # with integer node ids used to get pa.string() here)
         import ray.data
 
-        return ray.data.from_arrow(
-            pa.table(
-                {"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())}
-            )
+        sch = edges.schema()
+        node_t = (
+            sch.base_schema.field(src).type
+            if sch is not None and src in sch.names
+            else pa.string()
         )
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], node_t), "rank": pa.array([], pa.float64())})
+        )
+
+    if edges.count() == 0:
+        return _empty_result()
     norm_edges, outw = _edge_norm_weights(edges, src, dst, weight, num_partitions)
     # node table = distinct src ∪ dst
     srcs = _as_node_col(outw, src)
@@ -122,11 +133,7 @@ def pagerank(
     ).select_columns(["node"])
     n_nodes = nodes.count()
     if n_nodes == 0:
-        import ray.data
-
-        return ray.data.from_arrow(
-            pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
-        )
+        return _empty_result()
     if strategy == "auto":
         strategy = "broadcast" if n_nodes <= broadcast_limit else "join"
     if strategy == "broadcast":

@@ -394,8 +394,14 @@ def asof_join(
         lhs = group.filter(pc.equal(side, 0)).select(lcols).to_pandas().sort_values(
             on, kind="mergesort"
         )
+        # sort the right side by ALL its columns (on-key primary): when
+        # several right rows share (by, on), merge_asof picks the last in
+        # sort order — with only the on-key sorted that was block-arrival-
+        # dependent (ADVICE r03). Full-column order makes ties resolve to
+        # the lexicographically-largest row, independent of block layout.
+        # (The DuckDB ASOF JOIN oracle assumes unique (by, on) pairs.)
         rhs = group.filter(pc.equal(side, 1)).select([by] + r_value).to_pandas().sort_values(
-            out_on, kind="mergesort"
+            [out_on] + [c for c in r_value if c != out_on], kind="mergesort"
         )
         kwargs = {}
         if tolerance_us is not None:

@@ -284,8 +284,15 @@ SAMPLE_MOD = 1 << 32
 
 def sample_hash(ids: np.ndarray, salt: int = 0) -> np.ndarray:
     """Deterministic per-id sampling score in [0, 2^32): the SQL twin is
-    ``((id + salt) * 2654435761) % 4294967296``."""
-    return ((ids.astype(np.int64) + salt) * SAMPLE_MULT) % SAMPLE_MOD
+    ``(CAST(id AS UBIGINT) % 4294967296 + salt) * 2654435761 % 4294967296``.
+
+    Ids are reduced mod 2^32 in uint64 BEFORE the multiply so neither
+    engine can overflow: ids above ~3.46e9 used to wrap silently in the
+    int64 product here while the naive BIGINT product hard-failed in
+    DuckDB (ADVICE r03). Identical scores for ids already < 2^32; assumes
+    non-negative ids (the UBIGINT cast rejects negatives in SQL)."""
+    reduced = (ids.astype(np.uint64) % SAMPLE_MOD + np.uint64(salt)) % SAMPLE_MOD
+    return ((reduced * SAMPLE_MULT) % SAMPLE_MOD).astype(np.int64)
 
 
 def deterministic_sample(ds, id_col: str, rate: float, salt: int = 0):

@@ -547,7 +547,8 @@ def q_events_sample(sf_dir: str):
 
 SQL_EVENTS_SAMPLE = f"""
 SELECT event_id, user_id, event_type FROM events
-WHERE (event_id * 2654435761) % 4294967296 < {int(SAMPLE_RATE * (1 << 32))}
+WHERE (CAST(event_id AS UBIGINT) % 4294967296) * 2654435761 % 4294967296
+      < {int(SAMPLE_RATE * (1 << 32))}
 """
 
 
@@ -570,7 +571,8 @@ SELECT event_type, event_id, rn FROM (
   SELECT event_type, event_id,
          ROW_NUMBER() OVER (
            PARTITION BY event_type
-           ORDER BY (event_id * 2654435761) % 4294967296, event_id
+           ORDER BY (CAST(event_id AS UBIGINT) % 4294967296) * 2654435761 % 4294967296,
+                    event_id
          ) AS rn
   FROM events
 ) WHERE rn <= {STRATA_K}
@@ -889,8 +891,14 @@ def q_docs_jaccard_pairs(sf_dir: str):
 
 SQL_DOCS_JACCARD = f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, substring(lower(text), CAST(r.range AS INTEGER), 5) AS g
-  FROM documents JOIN range(1, 100000) r ON r.range <= length(text) - 4
+  -- lateral unnest bounded by the LOWERED text's length: the old
+  -- JOIN range(1,100000) idiom capped docs at 100k chars and mis-indexed
+  -- when lower() changes codepoint count (ADVICE r03)
+  SELECT DISTINCT doc_id, substring(lt, CAST(i AS INTEGER), 5) AS g
+  FROM (
+    SELECT doc_id, lt, unnest(range(1, greatest(1, length(lt) - 3))) AS i
+    FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+  )
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (
@@ -1072,8 +1080,12 @@ keepers AS (
 ),
 dd AS (SELECT q.doc_id, q.text FROM q JOIN keepers USING (doc_id)),
 sh_all AS (
-  SELECT DISTINCT doc_id, substring(lower(text), CAST(r.range AS INTEGER), 5) AS g
-  FROM dd JOIN range(1, 100000) r ON r.range <= length(text) - 4
+  -- lateral unnest over the LOWERED text (no 100k-char cap; ADVICE r03)
+  SELECT DISTINCT doc_id, substring(lt, CAST(i AS INTEGER), 5) AS g
+  FROM (
+    SELECT doc_id, lt, unnest(range(1, greatest(1, length(lt) - 3))) AS i
+    FROM (SELECT doc_id, lower(text) AS lt FROM dd)
+  )
 ),
 sh AS (
   SELECT * FROM sh_all

@@ -79,3 +79,12 @@ def test_pagerank_unweighted_and_empty(ray_session):
     )
     res = to_pandas_typed(pagerank(ray.data.from_arrow(empty), "src", "dst", iters=2))
     assert len(res) == 0 and list(res.columns) == ["node", "rank"]
+
+    # ADVICE r03: the empty path must mirror the edges' node dtype —
+    # integer node ids get an int64 `node`, not a hard-coded string
+    empty_int = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    )
+    res_int = pagerank(ray.data.from_arrow(empty_int), "src", "dst", iters=2)
+    sch = res_int.schema()
+    assert sch.base_schema.field("node").type == pa.int64()

@@ -244,6 +244,38 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
         ).all()
 
 
+def test_asof_join_duplicate_right_ts_deterministic(ray_session):
+    """ADVICE r03: duplicate (by, on) pairs on the right must resolve
+    identically across block layouts — ties go to the lexicographically-
+    largest right row, never to whichever block arrived last."""
+    import ray.data
+
+    from cartography_ray.ops.joins import asof_join
+
+    left = pd.DataFrame({"u": [1, 1, 2], "ts": [10, 20, 10], "eid": [0, 1, 2]})
+    # three right rows share (u=1, ts=5); expect rid=30 (largest) always
+    right = pd.DataFrame(
+        {"u": [1, 1, 1, 2], "ts": [5, 5, 5, 4], "rid": [30, 10, 20, 7]}
+    )
+    outs = []
+    for seed in (0, 1, 2):
+        shuffled = right.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+        out = (
+            asof_join(
+                ray.data.from_pandas(left).repartition(2),
+                ray.data.from_pandas(shuffled).repartition(3),
+                by="u", on="ts", how="inner", num_buckets=4, num_partitions=2,
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert (outs[0]["r_rid"] == [30, 30, 7]).all()
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o[outs[0].columns.tolist()])
+
+
 def test_asof_join_tolerance_and_empty_right(ray_session):
     import ray.data
 
@@ -532,3 +564,24 @@ def test_deterministic_sample_and_stratified(ray_session):
     a = strat.sort_values(["g", "id"]).reset_index(drop=True)
     b = strat2.sort_values(["g", "id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["g", "id", "rn"]], b[["g", "id", "rn"]])
+
+
+def test_sample_hash_large_ids_match_sql_twin():
+    """ADVICE r03: ids above ~3.46e9 used to overflow int64 in numpy while
+    the naive BIGINT SQL twin raised in DuckDB. Both engines must now
+    agree across the full non-negative int64 id domain."""
+    import duckdb
+
+    from cartography_ray.ops.window import sample_hash
+
+    ids = np.array(
+        [0, 1, 3_460_000_000, 2**32 - 1, 2**32, 2**40 + 7, 2**62 + 123],
+        dtype="int64",
+    )
+    got = sample_hash(ids)
+    want = duckdb.sql(
+        "SELECT (CAST(id AS UBIGINT) % 4294967296) * 2654435761 % 4294967296 AS h "
+        "FROM (SELECT UNNEST(?::BIGINT[]) AS id)",
+        params=[ids.tolist()],
+    ).fetchnumpy()["h"].astype("int64")
+    np.testing.assert_array_equal(got, want)
