@@ -16,8 +16,12 @@ fallback: pass ``chunk_us`` to split every key's timeline into fixed
 time ranges that shuffle independently (key × chunk), sessionize each
 range locally, then merge boundary sessions in a second, session-sized
 pass — no reducer ever holds more than one (key, time-chunk) of events.
-``grouped_topk``/``with_lag``/``asof_join``/``range_join`` keep the
-documented bounded-key assumption.
+``asof_join``/``range_join`` accept the same ``chunk_us`` fallback
+(ops/joins.py: bounded-lookback replication or a carry-in second pass).
+``grouped_topk``/``with_lag`` keep the documented bounded-key
+assumption: their per-batch combiners already cap a hot key's shuffle
+contribution at k (or one) row per block, so the reducer holds
+candidates, not the key's raw rows.
 
 - ``sessionize`` shuffles the full event stream once (inherent — session
   boundaries need every row of a key), then splits each key's timeline

