@@ -87,14 +87,67 @@ STAGE_REGISTRY: dict[str, Callable] = {}
 
 def register_stage(name: str):
     """Decorator registering a stage factory under ``name`` for
-    ``build_sync`` composition (reference module auto-discovery,
-    sync.py:299-386)."""
+    ``build_sync`` composition. The naming-convention analogue is
+    ``discover_modules`` below (reference sync.py:299-386); both feed
+    the same ``Sync``."""
 
     def deco(func: Callable) -> Callable:
         STAGE_REGISTRY[name] = func
         return func
 
     return deco
+
+
+def discover_modules(package: str = "cartography_ray.modules") -> dict[str, Callable]:
+    """Module auto-discovery by naming convention (reference
+    cartography/sync.py:299-386 ``list_intel_modules``): every module in
+    ``package`` exporting a callable named ``start_<name>_ingestion``
+    becomes a stage keyed by the MODULE name; a callable whose embedded
+    name mismatches its module is still bound (debug-logged, as in the
+    reference); modules that fail to import are error-logged and skipped
+    so one broken module never blocks the others; ``analysis`` is pinned
+    last regardless of iteration order. Returned dict preserves that
+    ordering (insertion-ordered)."""
+    import importlib
+    import re as _re
+    from pkgutil import iter_modules
+
+    pkg = importlib.import_module(package)
+    rx = _re.compile(r"^start_(.+)_ingestion$")
+    found: dict[str, Callable] = {}
+    for info in iter_modules(pkg.__path__):
+        if info.name == "analysis":
+            continue
+        try:
+            mod = importlib.import_module(f"{package}.{info.name}")
+        except ImportError:
+            logger.error("failed to import module '%s'; skipping", info.name, exc_info=True)
+            continue
+        for attr, val in vars(mod).items():
+            m = rx.match(attr)
+            if not callable(val) or not m:
+                continue
+            if m.group(1) != info.name:
+                logger.debug(
+                    "callable '%s' does not match module name '%s'", attr, info.name
+                )
+            found[info.name] = val
+    try:
+        found["analysis"] = importlib.import_module(
+            f"{package}.analysis"
+        ).start_analysis_ingestion
+    except (ImportError, AttributeError):
+        pass
+    return found
+
+
+def build_sync_discovered(package: str = "cartography_ray.modules") -> Sync:
+    """Compose a Sync from every auto-discovered module, analysis last
+    (the reference's default full-sync composition)."""
+    sync = Sync(name="discovered")
+    for name, func in discover_modules(package).items():
+        sync.add_stage(name, func)
+    return sync
 
 
 def build_sync(selected: str | list[str]) -> Sync:

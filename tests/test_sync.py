@@ -294,3 +294,62 @@ def test_three_stage_sync_with_docs_module(ray_session, tmp_path):
     assert set(zip(e["src_id"], e["dst_id"])) == {("doc:1", "doc:0"), ("doc:3", "doc:0")}
     # both modules share the store: KG tables still present
     assert store.read_nodes("Turn") is not None
+
+
+def test_module_auto_discovery(ray_session, tmp_path):
+    """Reference-parity naming-convention discovery: every module in
+    cartography_ray.modules exporting start_<name>_ingestion is found,
+    analysis is pinned last, a broken module is skipped without blocking
+    the others, and the discovered sync actually runs end-to-end."""
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.sources.transcripts import synth_transcripts_table
+    from cartography_ray.sync import build_sync_discovered, discover_modules
+
+    mods = discover_modules()
+    assert set(mods) == {"kg", "docs", "analysis"}
+    assert list(mods)[-1] == "analysis"
+
+    # import-failure tolerance: a package with one broken module still
+    # yields the healthy ones (reference logs + skips)
+    import sys
+
+    pkg = tmp_path / "fake_intel"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "good.py").write_text(
+        "def start_good_ingestion(store, ctx, config):\n    return 'ok'\n"
+    )
+    (pkg / "broken.py").write_text("import does_not_exist_xyz\n")
+    # name-mismatch tolerance: bound anyway, like the reference
+    (pkg / "odd.py").write_text(
+        "def start_misnamed_ingestion(store, ctx, config):\n    return 'odd'\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        fake = discover_modules("fake_intel")
+    finally:
+        sys.path.remove(str(tmp_path))
+    assert fake["good"](None, None, {}) == "ok"
+    assert fake["odd"](None, None, {}) == "odd"
+    assert "broken" not in fake
+
+    # the discovered composition runs end-to-end over one store
+    docs = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()), "text": ["a text", "b text"]}
+    )
+    store = GraphStore(str(tmp_path / "store"), num_buckets=4)
+    results = build_sync_discovered().run(
+        store,
+        IngestContext.make(update_tag=701),
+        {
+            "transcripts": ray.data.from_arrow(synth_transcripts_table(150)),
+            "documents": ray.data.from_arrow(docs),
+            "work_dir": str(tmp_path / "work"),
+            "analysis_job_directory": "",
+        },
+    )
+    assert results["kg"]["nodes"]["Turn"] > 0
+    assert results["docs"]["nodes"]["Document"] == 2
+    assert store.read_nodes("Turn") is not None
