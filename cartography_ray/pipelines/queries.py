@@ -376,7 +376,13 @@ FROM events GROUP BY 1, 2
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
-def q_events_sessions(sf_dir: str):
+# hot-key chunk width shared by the *_salted catalogue variants: wide
+# enough that most keys stay single-chunk, narrow enough that the salted
+# paths (chunk shuffle + boundary/carry-in merge) genuinely execute
+SALT_CHUNK_US = 6 * 3600 * 1_000_000
+
+
+def q_events_sessions(sf_dir: str, chunk_us: int | None = None):
     """Gap-based sessionization (windowed operator family: the Ray
     analogue of LAG + SUM OVER PARTITION; ops/window.py)."""
     rd = _rd()
@@ -387,7 +393,15 @@ def q_events_sessions(sf_dir: str):
     return sessionize(
         ds, key="user_id", ts_col="ts", gap_us=SESSION_GAP_US,
         order_cols=["event_id"], num_partitions=_parts_for(path),
+        chunk_us=chunk_us,
     )
+
+
+def q_events_sessions_salted(sf_dir: str):
+    """Hot-key fallback plan of ``events_sessions`` (time-chunk salting +
+    boundary merge) against the SAME SQL oracle — the driver gate proves
+    chunked/unchunked equivalence on real data."""
+    return q_events_sessions(sf_dir, chunk_us=SALT_CHUNK_US)
 
 
 SQL_EVENTS_SESSIONS = f"""
@@ -408,7 +422,7 @@ FROM s GROUP BY 1, 2
 """
 
 
-def q_events_session_ranges(sf_dir: str):
+def q_events_session_ranges(sf_dir: str, chunk_us: int | None = None):
     """Range (point-in-interval) join: every event matched back to its
     sessionize window — interval-join composition (ops/joins.range_join
     over the ops/window.sessionize output)."""
@@ -433,7 +447,7 @@ def q_events_session_ranges(sf_dir: str):
         ev.map_batches(pointize, batch_format="pyarrow"), sessions,
         by="user_id", point_col="ts_us",
         lo_col="session_start_us", hi_col="session_end_us",
-        num_partitions=parts,
+        num_partitions=parts, chunk_us=chunk_us,
     )
 
     def project(t: pa.Table) -> pa.Table:
@@ -446,6 +460,13 @@ def q_events_session_ranges(sf_dir: str):
         )
 
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+def q_events_session_ranges_salted(sf_dir: str):
+    """Hot-key fallback plan of ``events_session_ranges`` (intervals
+    replicated across the chunks they overlap) against the SAME SQL
+    oracle."""
+    return q_events_session_ranges(sf_dir, chunk_us=SALT_CHUNK_US)
 
 
 SQL_EVENTS_SESSION_RANGES = f"""
@@ -656,7 +677,7 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-def q_events_attribution(sf_dir: str):
+def q_events_attribution(sf_dir: str, chunk_us: int | None = None):
     """Purchase→click attribution: each purchase matched to the user's
     most recent preceding click (distributed as-of join, ops/joins.py)."""
     rd = _rd()
@@ -677,7 +698,7 @@ def q_events_attribution(sf_dir: str):
     clicks = ev.map_batches(only("click"), batch_format="pyarrow")
     joined = asof_join(
         purchases, clicks, by="user_id", on="ts", right_prefix="click_",
-        how="inner", num_partitions=_parts_for(path),
+        how="inner", num_partitions=_parts_for(path), chunk_us=chunk_us,
     )
 
     def project(t: pa.Table) -> pa.Table:
@@ -693,6 +714,14 @@ def q_events_attribution(sf_dir: str):
         )
 
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+def q_events_attribution_salted(sf_dir: str):
+    """Hot-key fallback plan of ``events_attribution``: no tolerance, so
+    this exercises the two-pass carry-in path (in-chunk as-of → per-cell
+    summaries → cell-sized as-of → hash-join fan-back) against the SAME
+    DuckDB ASOF JOIN oracle."""
+    return q_events_attribution(sf_dir, chunk_us=SALT_CHUNK_US)
 
 
 SQL_EVENTS_ATTRIBUTION = """
@@ -1965,9 +1994,12 @@ QUERIES: dict[str, Callable] = {
     "events_hourly": q_events_hourly,
     "events_first": q_events_first,
     "events_sessions": q_events_sessions,
+    "events_sessions_salted": q_events_sessions_salted,
     "events_session_ranges": q_events_session_ranges,
+    "events_session_ranges_salted": q_events_session_ranges_salted,
     "top_orders_per_cust": q_top_orders_per_cust,
     "events_attribution": q_events_attribution,
+    "events_attribution_salted": q_events_attribution_salted,
     "events_quantiles": q_events_quantiles,
     "events_lag": q_events_lag,
     "events_pivot": q_events_pivot,
@@ -2021,6 +2053,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_session_ranges": SQL_EVENTS_SESSION_RANGES,
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
+        # the *_salted variants are the SAME semantics under the hot-key
+        # chunked plans — identical oracles prove plan equivalence
+        "events_sessions_salted": SQL_EVENTS_SESSIONS,
+        "events_session_ranges_salted": SQL_EVENTS_SESSION_RANGES,
+        "events_attribution_salted": SQL_EVENTS_ATTRIBUTION,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "events_lag": SQL_EVENTS_LAG,
         "events_pivot": SQL_EVENTS_PIVOT,
