@@ -126,3 +126,102 @@ class QualityFilter:
         return pa.table(
             {"doc_id": batch.column("doc_id"), "text": batch.column("text")}
         ).filter(mask)
+
+
+# tokens for the vocabulary / chunking family: runs of [a-z0-9] over the
+# lowered text (vocab) or whitespace tokens (chunking) — both RE2-exact
+# in DuckDB so the oracles reuse them verbatim
+VOCAB_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def token_frequency(ds, text_col: str = "text", top_n: int = 100,
+                    num_partitions: int | None = None):
+    """Corpus vocabulary: global token→count, top ``top_n`` by count
+    (the training-data vocabulary/frequency sweep).
+
+    Shape: per-batch tokenize (``pc.split_pattern_regex`` — C-level) +
+    per-batch count combiner → ONE token-keyed shuffle of vocab-sized
+    partials (never the token stream) → exact totals. The global top-n is
+    then pruned per-block first: after the groupby every token's total
+    lives in exactly one block, so the global top-n is a subset of the
+    per-block top-ns — the final sort sees candidates, not the
+    vocabulary. Ordering: count desc, token asc (deterministic; SQL twin
+    ``ORDER BY n DESC, token ASC LIMIT n``).
+    """
+    import pandas as pd
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.runtime import drop_empty_blocks
+
+    def tokenize_count(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        toks = pc.list_flatten(pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pd.Series(toks.to_pandas()).value_counts(sort=False)
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    totals = partial_groupby_agg(
+        ds.map_batches(tokenize_count, batch_format="pyarrow"),
+        ["token"], {"n": ("n", "sum")}, num_partitions=num_partitions,
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        )
+        out = df.head(top_n)
+        return pa.table(
+            {
+                "token": pa.array(out["token"].to_numpy(), pa.string()),
+                "n": pa.array(out["n"].to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    pruned = drop_empty_blocks(totals.map_batches(prune, batch_format="pyarrow"))
+    return pruned.sort(["n", "token"], descending=[True, False]).limit(top_n)
+
+
+def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
+                    max_tokens: int = 64):
+    """Split documents into fixed-size whitespace-token chunks (the RAG /
+    training-window chunking step): one output row per (doc, chunk) —
+    ``(id, chunk_idx, n_tokens, chunk_text)``, chunks rejoined with
+    single spaces, last chunk ragged, empty docs emit nothing.
+
+    Pure per-batch ``flat_map`` — no shuffle, no state; the per-doc loop
+    is C-level ``str.split``/``join``. SQL twin: ``list_filter(
+    regexp_split_to_array(text, '\\s+'), ...)`` + ``unnest(range(...))``
+    + ``list_slice`` (see SQL_DOCS_CHUNKS).
+    """
+
+    # explicit ASCII whitespace class: identical token boundaries in
+    # Python re and DuckDB RE2 (str.split()/\s are unicode-aware in
+    # Python but ASCII in RE2 — pin the class instead)
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_out, idxs, ns, texts_out = [], [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = [x for x in ws.split(t or "") if x]
+            for j in range(0, len(toks), max_tokens):
+                part = toks[j : j + max_tokens]
+                ids_out.append(ids[i])
+                idxs.append(j // max_tokens)
+                ns.append(len(part))
+                texts_out.append(" ".join(part))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, batch.schema.field(id_col).type),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "chunk_text": pa.array(texts_out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

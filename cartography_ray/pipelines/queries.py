@@ -830,6 +830,68 @@ FROM documents
 """
 
 
+VOCAB_TOP_N = 100
+CHUNK_TOKENS = 64
+
+
+def q_docs_token_freq(sf_dir: str):
+    """Corpus vocabulary top-N (functions/text.token_frequency): batch
+    tokenize + count combiner → one vocab-sized shuffle → per-block
+    prune → candidate sort."""
+    rd = _rd()
+    from cartography_ray.functions.text import token_frequency
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["text"])
+    return token_frequency(ds, top_n=VOCAB_TOP_N, num_partitions=_parts_for(path))
+
+
+SQL_DOCS_TOKEN_FREQ = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {VOCAB_TOP_N}
+"""
+
+
+def q_docs_chunks(sf_dir: str):
+    """Fixed-token-window document chunking (functions/text.
+    chunk_documents) — the RAG/training-window split; pure flat_map."""
+    rd = _rd()
+    from cartography_ray.functions.text import chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, max_tokens=CHUNK_TOKENS)
+
+
+SQL_DOCS_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\v]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i
+  FROM d
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, i * {CHUNK_TOKENS} + 1,
+                           least((i + 1) * {CHUNK_TOKENS}, len(toks)))) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, i * {CHUNK_TOKENS} + 1,
+                                  least((i + 1) * {CHUNK_TOKENS}, len(toks))), ' ')
+         AS chunk_text
+FROM idx
+"""
+
+
 def q_docs_exact_dedup(sf_dir: str):
     rd = _rd()
     from cartography_ray.functions.dedup import exact_dedup
@@ -2010,6 +2072,8 @@ QUERIES: dict[str, Callable] = {
     "docs_stats": q_docs_stats,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
+    "docs_token_freq": q_docs_token_freq,
+    "docs_chunks": q_docs_chunks,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_dup_edges": q_docs_dup_edges,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
@@ -2068,6 +2132,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+        "docs_token_freq": SQL_DOCS_TOKEN_FREQ,
+        "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_dup_edges": SQL_DOCS_DUP_EDGES,
         "docs_jaccard_pairs": SQL_DOCS_JACCARD,

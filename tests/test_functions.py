@@ -600,3 +600,44 @@ def test_jaccard_prefix_filter_identity_and_reduction(ray_session):
     )
     prefix_rows = int((np.floor(0.2 * sizes) + 1).sum())
     assert prefix_rows < 0.3 * full
+
+
+def test_token_frequency_and_chunking(ray_session):
+    """Vocabulary top-n (tie-break: count desc, token asc) and fixed-
+    window chunking (ragged tail, empty docs drop, single-space joins)."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.text import chunk_documents, token_frequency
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "Apple banana apple CHERRY",
+                "banana cherry\tdate  date",
+                "   ",                       # whitespace-only → no chunks
+                "apple! banana? (cherry)",   # punctuation splits vocab tokens
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    top = token_frequency(ds, top_n=3).to_pandas()
+    # counts: apple 3, banana 3, cherry 3, date 2 → top-3 excludes date;
+    # ties order token asc
+    assert list(top["token"]) == ["apple", "banana", "cherry"]
+    assert list(top["n"]) == [3, 3, 3]
+    top2 = token_frequency(ds, top_n=100).to_pandas()
+    assert dict(zip(top2["token"], top2["n"]))["date"] == 2
+
+    chunks = chunk_documents(ds, max_tokens=3).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]
+    ).reset_index(drop=True)
+    assert list(chunks["doc_id"]) == [0, 0, 1, 1, 3]
+    assert list(chunks["chunk_idx"]) == [0, 1, 0, 1, 0]
+    assert list(chunks["n_tokens"]) == [3, 1, 3, 1, 3]
+    # mixed whitespace collapses to single spaces; text preserved raw
+    assert chunks.loc[2, "chunk_text"] == "banana cherry date"
+    assert chunks.loc[3, "chunk_text"] == "date"
+    assert chunks.loc[4, "chunk_text"] == "apple! banana? (cherry)"
