@@ -104,10 +104,13 @@ def run_queries(sf_dir: str) -> dict:
         "customers_without_orders",
         "events_hourly",
         "events_sessions",
+        "events_sessions_salted",
         "events_attribution",
         "events_quantiles",
         "top_orders_per_cust",
         "docs_stats",
+        "docs_token_freq",
+        "docs_chunks",
         "docs_exact_dedup",
         "docs_minhash_pairs",
         "docs_simhash_pairs",

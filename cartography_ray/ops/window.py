@@ -333,3 +333,63 @@ def stratified_sample(ds, group_keys, id_col: str, k: int, salt: int = 0,
         scored, group_keys, "__score", k=k, descending=False, tiebreak=[id_col],
         num_buckets=num_buckets, num_partitions=num_partitions,
     )
+
+
+def hopping_window_agg(
+    ds,
+    ts_col: str,
+    window_us: int,
+    hop_us: int,
+    keys: list[str] | str | None = None,
+    aggs: dict | None = None,
+    num_partitions: int | None = None,
+):
+    """Hopping (sliding) window aggregate: each event contributes to every
+    window ``[w*hop, w*hop + window)`` covering its timestamp — the
+    overlapping-window member of the windowed family (tumbling is the
+    ``window == hop`` special case, cf. ``events_hourly``).
+
+    Shape: per-batch window replication (``ceil(window/hop)`` copies per
+    row — bounded, the caller picks the ratio) + the two-phase
+    ``partial_groupby_agg`` (per-batch combiner first, so the shuffle
+    moves one row per (keys, window) per block, not the replicated event
+    stream). Output keys: ``keys... , window_start_us`` (int64 epoch µs).
+
+    ``aggs`` is the ``partial_groupby_agg`` spec (out_col → (in_col,
+    fn)); default counts rows as ``n_events``. Timestamps must be
+    non-negative (epoch µs), so int64 floor-division == truncation in
+    both engines and the SQL twin can use plain integer division.
+    """
+    import pyarrow as pa
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    keys = [] if keys is None else ([keys] if isinstance(keys, str) else list(keys))
+    aggs = {"n_events": (None, "count")} if aggs is None else aggs
+    window_us, hop_us = int(window_us), int(hop_us)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[us]").astype("int64")
+        else:
+            ts = ts.astype("int64")
+        w_min = (ts - window_us) // hop_us + 1
+        w_max = ts // hop_us
+        counts = np.clip(w_max - w_min + 1, 0, None)
+        idx = np.repeat(np.arange(len(counts)), counts)
+        csum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        widx = np.repeat(w_min, counts) + (
+            np.arange(int(counts.sum())) - np.repeat(csum, counts)
+        )
+        out = t.take(pa.array(idx))
+        return out.append_column(
+            "window_start_us", pa.array(widx * hop_us, pa.int64())
+        )
+
+    return partial_groupby_agg(
+        ds.map_batches(replicate, batch_format="pyarrow"),
+        keys + ["window_start_us"],
+        aggs,
+        num_partitions=num_partitions,
+    )

@@ -356,6 +356,58 @@ GROUP BY 1, 2
 """
 
 
+HOP_WINDOW_US = 2 * 3_600_000_000  # 2h windows ...
+HOP_US = 3_600_000_000             # ... hopping every 1h (2 copies/row)
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (2h window / 1h hop) per event type —
+    the overlapping-window member of the windowed family
+    (ops/window.hopping_window_agg; events_hourly is the tumbling
+    special case)."""
+    rd = _rd()
+    from cartography_ray.ops.window import hopping_window_agg
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "ts": t.column("ts"),
+                "value_micros": _cents(t.column("value"), 1_000_000.0),
+            }
+        )
+
+    return hopping_window_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "ts",
+        window_us=HOP_WINDOW_US,
+        hop_us=HOP_US,
+        keys="event_type",
+        aggs={"n_events": (None, "count"), "sum_value_micros": ("value_micros", "sum")},
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_HOPPING = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+  FROM events
+), w AS (
+  SELECT event_type, value_micros,
+         unnest(range((t - {HOP_WINDOW_US}) // {HOP_US} + 1, t // {HOP_US} + 1)) AS widx
+  FROM e
+)
+SELECT event_type, widx * {HOP_US} AS window_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_micros) AS BIGINT) AS sum_value_micros
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_events_first(sf_dir: str):
     """First-event-per-key dedup (MERGE-style min reduce)."""
     rd = _rd()
@@ -2054,6 +2106,7 @@ QUERIES: dict[str, Callable] = {
     "filter_project": q_filter_project,
     "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
+    "events_hopping": q_events_hopping,
     "events_first": q_events_first,
     "events_sessions": q_events_sessions,
     "events_sessions_salted": q_events_sessions_salted,
@@ -2112,6 +2165,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "filter_project": SQL_FILTER_PROJECT,
         "customers_without_orders": SQL_CUST_NO_ORDERS,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_hopping": SQL_EVENTS_HOPPING,
         "events_first": SQL_EVENTS_FIRST,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_session_ranges": SQL_EVENTS_SESSION_RANGES,

@@ -656,3 +656,52 @@ def test_sample_hash_large_ids_match_sql_twin():
         params=[ids.tolist()],
     ).fetchnumpy()["h"].astype("int64")
     np.testing.assert_array_equal(got, want)
+
+
+def test_hopping_window_agg_matches_reference(ray_session):
+    """Each event lands in every [w*hop, w*hop+window) covering it;
+    counts/sums match a brute-force pandas reference, incl. boundary
+    events (t exactly at a window start/end)."""
+    import ray.data
+
+    from cartography_ray.ops.window import hopping_window_agg
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    base = 1_700_000_000_000_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, n).astype("int64"),
+            # includes exact multiples of hop (window-boundary events)
+            "t": base + rng.integers(0, 50, n).astype("int64") * 500_000,
+            "v": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+    W, H = 4_000_000, 1_000_000
+    got = (
+        hopping_window_agg(
+            ray.data.from_pandas(df).repartition(5), "t", W, H, keys="g",
+            aggs={"n_events": (None, "count"), "sv": ("v", "sum")},
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, r in df.iterrows():
+        w_min = (r["t"] - W) // H + 1
+        w_max = r["t"] // H
+        for w in range(int(w_min), int(w_max) + 1):
+            rows.append((r["g"], w * H, r["v"]))
+    ref = (
+        pd.DataFrame(rows, columns=["g", "window_start_us", "v"])
+        .groupby(["g", "window_start_us"], as_index=False)
+        .agg(n_events=("v", "size"), sv=("v", "sum"))
+        .sort_values(["g", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    got["n_events"] = got["n_events"].astype("int64")
+    pd.testing.assert_frame_equal(got[ref.columns], ref)
+    # every event is in exactly window/hop windows
+    assert got["n_events"].sum() == n * (W // H)
