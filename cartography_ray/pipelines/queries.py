@@ -115,15 +115,27 @@ GROUP BY 1, 2
 """
 
 
-def q_revenue_by_nation(sf_dir: str):
+# customer→nation side of the revenue join: broadcast below this many
+# rows (parquet-footer count — no data read), distributed hash_join
+# above. Same size-guarded contract as resolve_keys / AddRelationship /
+# the alias-label spill: never an UNCONDITIONAL driver read of a table
+# that scales with the corpus (VERDICT r03 item 2).
+REVENUE_CUST_BROADCAST_LIMIT = 2_000_000
+
+
+def q_revenue_by_nation(sf_dir: str, cust_broadcast_limit: int | None = None):
     """Join chain lineitem→orders→customer→nation + agg.
 
     Scale posture: lineitem, orders AND customer are all fact tables
-    (∝ scale) — each join is a distributed reduce-side ``hash_join``
-    (VERDICT r03 item 2: customer is NOT a dimension; a driver
-    ``pq.read_table`` of it OOMs before anything else at 100×). The only
-    broadcast is the genuinely fixed 25-row nation map. The driver never
-    holds anything table-sized.
+    (∝ scale). The lineitem⋈orders join is always a distributed
+    reduce-side ``hash_join``; the customer side auto-switches — joined
+    via a ``ray.put`` broadcast map while its FOOTER row count is under
+    ``REVENUE_CUST_BROADCAST_LIMIT`` (a second shuffle costs ~1.5 s pool
+    setup + ~60 ms/partition, which dominates at bench scale), and via a
+    second ``hash_join`` above it (at 100× customer is order-of-lineitem
+    and a driver read OOMs first). The only unconditional broadcast is
+    the genuinely fixed 25-row nation map. Both plans hash the same
+    oracle; the forced-limit twin is asserted equal in tests.
     """
     rd = _rd()
     import pyarrow.parquet as pq
@@ -131,9 +143,12 @@ def q_revenue_by_nation(sf_dir: str):
     from cartography_ray.ops.agg import bounded_groupby_agg
     from cartography_ray.ops.joins import broadcast_join, hash_join
 
+    limit = REVENUE_CUST_BROADCAST_LIMIT if cust_broadcast_limit is None else cust_broadcast_limit
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
 
-    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_path = f"{sf_dir}/customer.parquet"
+    cust_rows = pq.read_metadata(cust_path).num_rows
+    customer = rd.read_parquet(cust_path, columns=["c_custkey", "c_nationkey"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -191,17 +206,28 @@ def q_revenue_by_nation(sf_dir: str):
             ("o_custkey", pa.int64()),
         ]
     )
-    with_cust = hash_join(
-        fact,
-        customer,
-        left_on="o_custkey",
-        right_on="c_custkey",
-        num_partitions=_parts_for(
-            f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
-        ),
-        left_schema=fact_schema,
-    )
-    joined = broadcast_join(with_cust, nation, left_on="c_nationkey", right_on="n_nationkey")
+    if cust_rows <= limit:
+        # broadcast path: pre-merge customer⋈nation driver-side (both
+        # bounded by the limit), ship ONE small map via ray.put
+        cust_pdf = pq.read_table(
+            cust_path, columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        cn = cust_pdf.merge(
+            nation, left_on="c_nationkey", right_on="n_nationkey"
+        )[["c_custkey", "n_name"]]
+        joined = broadcast_join(fact, cn, left_on="o_custkey", right_on="c_custkey")
+    else:
+        with_cust = hash_join(
+            fact,
+            customer,
+            left_on="o_custkey",
+            right_on="c_custkey",
+            num_partitions=_parts_for(
+                f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+            ),
+            left_schema=fact_schema,
+        )
+        joined = broadcast_join(with_cust, nation, left_on="c_nationkey", right_on="n_nationkey")
     # 25 nations — dimension-bounded final, streamed driver fold (no
     # third shuffle); the all-to-alls are the two fact⋈fact hash_joins.
     return bounded_groupby_agg(

@@ -641,3 +641,28 @@ def test_token_frequency_and_chunking(ray_session):
     assert chunks.loc[2, "chunk_text"] == "banana cherry date"
     assert chunks.loc[3, "chunk_text"] == "date"
     assert chunks.loc[4, "chunk_text"] == "apple! banana? (cherry)"
+
+
+def test_revenue_by_nation_join_strategy_matches_broadcast(ray_session):
+    """The customer side of revenue_by_nation auto-switches on footer row
+    count (broadcast below the limit, hash_join above); both plans must
+    produce identical results."""
+    from cartography_ray.pipelines.queries import q_revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_revenue_by_nation(sf)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_revenue_by_nation(sf, cust_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert len(a) > 0
