@@ -705,3 +705,47 @@ def test_hopping_window_agg_matches_reference(ray_session):
     pd.testing.assert_frame_equal(got[ref.columns], ref)
     # every event is in exactly window/hop windows
     assert got["n_events"].sum() == n * (W // H)
+
+
+def test_asof_join_chunked_datetime_tolerance(ray_session):
+    """Chunked replication path with datetime64 'on' + tolerance: equal
+    to the single-shuffle plan (tolerance spans multiple chunks)."""
+    import ray.data
+
+    from cartography_ray.ops.joins import asof_join
+
+    rng = np.random.default_rng(5)
+    n, m = 1500, 300
+    hour = 3_600_000_000
+    base = pd.Timestamp("2024-03-01").value // 1000
+    left = pd.DataFrame(
+        {
+            "u": rng.integers(0, 8, n).astype("int64"),
+            "ts": pd.to_datetime(base + rng.integers(0, 100 * hour, n), unit="us"),
+            "eid": np.arange(n, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "u": rng.integers(0, 8, m).astype("int64"),
+            "ts": pd.to_datetime(base + rng.integers(0, 100 * hour, m), unit="us"),
+            "rid": np.arange(m, dtype="int64"),
+        }
+    )
+
+    def run(**kw):
+        out = asof_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            by="u", on="ts", how="left", tolerance_us=5 * hour,
+            num_buckets=8, num_partitions=4, **kw,
+        ).to_pandas()
+        return out.sort_values("eid").reset_index(drop=True)[
+            ["u", "ts", "eid", "r_ts", "r_rid"]
+        ]
+
+    base_out = run()
+    # tolerance (5h) > chunk (2h) → multi-chunk replication (n_rep=3)
+    chunked = run(chunk_us=2 * hour)
+    pd.testing.assert_frame_equal(base_out, chunked)
+    assert base_out["r_rid"].notna().any() and base_out["r_rid"].isna().any()
