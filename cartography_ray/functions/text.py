@@ -168,7 +168,16 @@ def token_frequency(ds, text_col: str = "text", top_n: int = 100,
     totals = partial_groupby_agg(
         ds.map_batches(tokenize_count, batch_format="pyarrow"),
         ["token"], {"n": ("n", "sum")}, num_partitions=num_partitions,
+        # a whitespace-only / fully-filtered corpus yields zero tokens —
+        # a realistic state after an upstream quality filter; return a
+        # typed empty instead of crashing the shuffle finalize
+        empty_schema=pa.schema([("token", pa.string()), ("n", pa.int64())]),
     )
+    # vocab-sized: pin once so the count probe and the prune+sort below
+    # read cached blocks instead of re-running the shuffle
+    totals = totals.materialize()
+    if totals.count() == 0:
+        return totals
 
     def prune(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(

@@ -38,6 +38,7 @@ def partial_groupby_agg(
     aggs: dict[str, tuple[str, str]],
     num_buckets: int = 64,
     num_partitions: int | None = None,
+    empty_schema=None,
 ):
     """Two-phase grouped aggregation.
 
@@ -52,6 +53,14 @@ def partial_groupby_agg(
     rollup). All rows of one key land in one bucket, so results are
     exact; the partial phase has already collapsed hot keys to one row
     per input block.
+
+    ``empty_schema``: a fully-empty input crashes Ray 2.49's hash-shuffle
+    finalize (empty blocks skip map UDFs, so nothing carries the __gb
+    column). Pass the expected output schema (keys + agg columns) to
+    guard degenerate inputs: the COMBINER output (key-rows per block,
+    small by construction) is materialized, and a typed empty Dataset is
+    returned when nothing survives. The default keeps the barrier-free
+    streaming plan for hot paths whose inputs are never fully empty.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
 
@@ -83,6 +92,12 @@ def partial_groupby_agg(
     # schema-less blocks that poison a later sort (e.g. topk) — that
     # barrier is over the tiny post-aggregation result, not the input.
     partials = ds.map_batches(partial, batch_format="pandas")
+    if empty_schema is not None:
+        import ray.data
+
+        partials = drop_empty_blocks(partials)
+        if partials.count() == 0:
+            return ray.data.from_arrow(empty_schema.empty_table())
     return drop_empty_blocks(
         partials.groupby("__gb", num_partitions=num_partitions).map_groups(
             final, batch_format="pandas"

@@ -343,11 +343,16 @@ def hopping_window_agg(
     keys: list[str] | str | None = None,
     aggs: dict | None = None,
     num_partitions: int | None = None,
+    empty_schema=None,
 ):
     """Hopping (sliding) window aggregate: each event contributes to every
     window ``[w*hop, w*hop + window)`` covering its timestamp — the
     overlapping-window member of the windowed family (tumbling is the
     ``window == hop`` special case, cf. ``events_hourly``).
+
+    ``empty_schema``: forwarded to ``partial_groupby_agg`` — pass the
+    output schema (keys + window_start_us + agg cols) when the input can
+    legitimately be fully empty (Ray 2.49's all-empty shuffle crash).
 
     Shape: per-batch window replication (``ceil(window/hop)`` copies per
     row — bounded, the caller picks the ratio) + the two-phase
@@ -392,4 +397,5 @@ def hopping_window_agg(
         keys + ["window_start_us"],
         aggs,
         num_partitions=num_partitions,
+        empty_schema=empty_schema,
     )

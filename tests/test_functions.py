@@ -666,3 +666,20 @@ def test_revenue_by_nation_join_strategy_matches_broadcast(ray_session):
 
     pd.testing.assert_frame_equal(a, b[a.columns])
     assert len(a) > 0
+
+
+def test_token_frequency_empty_corpus_guard(ray_session):
+    """A whitespace-only corpus (realistic after an upstream quality
+    filter empties a shard) must return a typed empty result, not crash
+    Ray's all-empty hash-shuffle finalize."""
+    import ray.data
+
+    from cartography_ray.functions.text import token_frequency
+    from cartography_ray.runtime import to_pandas_typed
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["   ", "\t\n"]})
+    )
+    out = token_frequency(docs, top_n=5)
+    pdf = to_pandas_typed(out)
+    assert len(pdf) == 0 and list(pdf.columns) == ["token", "n"]
