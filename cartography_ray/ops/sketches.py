@@ -167,3 +167,97 @@ def grouped_hll(
     import ray.data
 
     return ray.data.from_arrow(_to_clean_arrow(out))
+
+
+def _mg_trim(s: pd.Series, k: int) -> tuple[pd.Series, int]:
+    """Trim a value→count series to ≤ k counters, Misra-Gries style:
+    subtract the (k+1)-th largest count from every counter and drop the
+    non-positive ones. Returns (trimmed, subtracted) — ``subtracted``
+    adds to the summary's undercount bound."""
+    if len(s) <= k:
+        return s, 0
+    arr = np.sort(s.to_numpy())[::-1]
+    e = int(arr[k])
+    out = s - e
+    return out[out > 0], e
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    k_track: int = 1024,
+    top_n: int = 100,
+    fold_every: int = 64,
+) -> pa.Table:
+    """Approximate top-``top_n`` heavy hitters of ``col`` via a mergeable
+    Misra-Gries (space-saving) summary — the SHUFFLE-FREE scale path next
+    to the exact ``token_frequency``-style groupby.
+
+    Shape (mirrors ``ops.agg.bounded_groupby_agg``): each input block
+    collapses to an exact value→count table, trimmed to ``k_track``
+    counters MG-style; the per-block summaries (≤ k_track rows each)
+    stream through a driver-side incremental fold whose merge is
+    count-sum → trim. Driver memory is O(k_track × fold_every),
+    independent of data size; NO all-to-all exchange at any point.
+
+    Guarantee (standard MG bound): every reported ``count_lo`` is a
+    LOWER bound on the true count, ``count_lo + err`` an upper bound,
+    and any value with true count > err is guaranteed to be present,
+    where ``err`` (a column, same for all rows) is the summed trim
+    amounts — at most N/(k_track+1) after each pairwise merge chain.
+    Asserted against the exact counts in tests/test_sketches.py.
+
+    Returns a pyarrow.Table ``(value, count_lo, err)`` ordered by
+    count_lo desc, value asc, limited to ``top_n`` (result is
+    sketch-sized by contract, like ``bounded_groupby_agg``).
+    """
+
+    def summarize(batch: pd.DataFrame) -> pa.Table:
+        vc = batch[col].value_counts(sort=False)
+        trimmed, e = _mg_trim(vc, k_track)
+        out = pd.DataFrame({"value": trimmed.index, "count_lo": trimmed.to_numpy()})
+        out["err"] = np.int64(e)
+        return _to_clean_arrow(out)
+
+    def merge(frames: list[pd.DataFrame]) -> pd.DataFrame:
+        merged = pd.concat(frames, ignore_index=True)
+        # each frame's err is constant per frame; total undercount bound
+        # is the sum of the per-summary errs plus this merge's own trim
+        err = int(sum(f["err"].iloc[0] for f in frames if len(f)))
+        counts = merged.groupby("value", sort=False)["count_lo"].sum()
+        trimmed, e = _mg_trim(counts, k_track)
+        out = pd.DataFrame({"value": trimmed.index, "count_lo": trimmed.to_numpy()})
+        out["err"] = np.int64(err + e)
+        return out
+
+    partials = ds.map_batches(summarize, batch_format="pandas")
+    acc: pd.DataFrame | None = None
+    window: list[pd.DataFrame] = []
+    for b in partials.iter_batches(batch_format="pandas", batch_size=None):
+        if len(b):
+            window.append(b)
+        if len(window) >= fold_every:
+            window = [merge(([acc] if acc is not None else []) + window)]
+            acc, window = window[0], []
+    if window or acc is not None:
+        acc = merge(([acc] if acc is not None else []) + window)
+    if acc is None or not len(acc):
+        return pa.table(
+            {
+                "value": pa.array([], pa.string()),
+                "count_lo": pa.array([], pa.int64()),
+                "err": pa.array([], pa.int64()),
+            }
+        )
+    acc = acc.sort_values(
+        ["count_lo", "value"], ascending=[False, True], kind="mergesort"
+    ).head(top_n)
+    return _to_clean_arrow(
+        pd.DataFrame(
+            {
+                "value": acc["value"].to_numpy(),
+                "count_lo": acc["count_lo"].to_numpy().astype("int64"),
+                "err": acc["err"].to_numpy().astype("int64"),
+            }
+        )
+    )

@@ -937,6 +937,46 @@ LIMIT {VOCAB_TOP_N}
 """
 
 
+def q_docs_heavy_tokens(sf_dir: str):
+    """Shuffle-free Misra-Gries heavy hitters over the token stream
+    (ops/sketches.heavy_hitters) — the sketch-path twin of
+    ``docs_token_freq``. With vocabulary ≤ k_track (true of this corpus:
+    tokens are drawn from a small word list) the summary is provably
+    exact with err = 0, so the DuckDB twin is a real oracle here; the
+    approximate regime (vocab ≫ k_track: lower/upper bracketing, heavy
+    items guaranteed present, err ≤ N/(k+1)) is property-tested in
+    tests/test_sketches.py."""
+    rd = _rd()
+    from cartography_ray.functions.text import VOCAB_SPLIT_RE
+    from cartography_ray.ops.sketches import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(t.column("text"), pa.string()))
+        flat = pc.list_flatten(pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE))
+        return pa.table({"token": flat.filter(pc.not_equal(flat, ""))})
+
+    return heavy_hitters(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        "token", k_track=512, top_n=VOCAB_TOP_N,
+    )
+
+
+SQL_DOCS_HEAVY_TOKENS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token AS value, CAST(COUNT(*) AS BIGINT) AS count_lo,
+       CAST(0 AS BIGINT) AS err
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY count_lo DESC, value ASC
+LIMIT {VOCAB_TOP_N}
+"""
+
+
 def q_docs_chunks(sf_dir: str):
     """Fixed-token-window document chunking (functions/text.
     chunk_documents) — the RAG/training-window split; pure flat_map."""
@@ -2152,6 +2192,7 @@ QUERIES: dict[str, Callable] = {
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_token_freq": q_docs_token_freq,
+    "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_dup_edges": q_docs_dup_edges,
@@ -2213,6 +2254,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_langid": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "docs_token_freq": SQL_DOCS_TOKEN_FREQ,
+        # exact-by-construction here: corpus vocabulary ≤ k_track (see
+        # q_docs_heavy_tokens docstring); approximate regime is
+        # property-tested instead
+        "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_dup_edges": SQL_DOCS_DUP_EDGES,

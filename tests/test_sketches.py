@@ -72,3 +72,42 @@ def test_grouped_hll_block_order_invariant(ray_session):
         a.sort_values("g").reset_index(drop=True),
         b.sort_values("g").reset_index(drop=True),
     )
+
+
+def test_heavy_hitters_mg_bounds(ray_session):
+    """Misra-Gries guarantees in the genuinely-approximate regime
+    (distinct values >> k_track): every reported count_lo lower-bounds
+    the true count, count_lo + err upper-bounds it, the total undercount
+    respects N/(k+1), and every value with true count > err is present."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.ops.sketches import heavy_hitters
+
+    rng = np.random.default_rng(17)
+    n = 120_000
+    # zipf-ish skew over ~20k distinct values, k_track far below that
+    vals = np.minimum((rng.pareto(1.1, n) * 50).astype("int64"), 20_000)
+    df = pd.DataFrame({"v": pd.Series(vals).map(lambda x: f"tok{x}")})
+    k = 256
+    out = heavy_hitters(
+        ray.data.from_pandas(df).repartition(8), "v", k_track=k, top_n=100
+    ).to_pandas()
+    assert len(out) > 0
+    true = df["v"].value_counts()
+    err = int(out["err"].iloc[0])
+    assert (out["err"] == err).all()  # summary-constant bound
+    assert 0 <= err <= n // (k + 1) + 1, f"err {err} exceeds MG bound"
+    for _, r in out.iterrows():
+        t = int(true[r["value"]])
+        assert r["count_lo"] <= t <= r["count_lo"] + err, (r["value"], t, r["count_lo"], err)
+    # guarantee: anything with true count > err must have survived —
+    # check against the full summary (top_n may cut it, so use a large n)
+    full = heavy_hitters(
+        ray.data.from_pandas(df).repartition(8), "v", k_track=k, top_n=k
+    ).to_pandas()
+    reported = set(full["value"])
+    err_full = int(full["err"].iloc[0])
+    for val, t in true.items():
+        if t > err_full:
+            assert val in reported, f"{val} (true {t} > err {err_full}) missing"
