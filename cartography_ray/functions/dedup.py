@@ -142,6 +142,87 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def incremental_exact_dedup(
+    ds,
+    state_dir: str,
+    epoch: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Dedup a NEW batch of documents against a persisted fingerprint
+    index — the dedup-the-new-crawl-against-history operation a standing
+    100-TB pipeline runs every ingest.
+
+    Index layout: ``state_dir/bucket=K/epoch=<epoch>.parquet`` holding
+    md5 fingerprints of normalized text (one compact string per novel
+    document ever seen). The anti-join is bucket-ALIGNED: the new batch
+    shuffles ONCE on ``stable_bucket(fingerprint)``; each reducer reads
+    only its own bucket's index files — the (corpus-scale) history never
+    moves, never shuffles, and is never driver-resident. Reducers also
+    append their surviving fingerprints as that bucket's epoch file, so
+    the index update is co-located with the membership check.
+
+    Idempotent / kill-rerun-safe per epoch: readers EXCLUDE the current
+    epoch's files and the write overwrites them, so re-running an epoch
+    (after a crash, or byte-identically on purpose) yields the same
+    survivors and the same index state.
+
+    Within-batch duplicates keep the min ``id_col`` (exact_dedup
+    semantics). Returns the surviving ``(id_col, fingerprint)`` rows.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from cartography_ray.functions.text import fingerprint_batch
+    from cartography_ray.runtime import drop_empty_blocks
+    from cartography_ray.state.store import stable_bucket
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        t = fingerprint_batch(batch, id_col=id_col, text_col=text_col)
+        t = pa.table(
+            {
+                id_col: pc.cast(t.column(id_col), pa.int64()),
+                "fingerprint": t.column("fingerprint"),
+            }
+        )
+        return t.append_column(
+            "__gb", pc.cast(stable_bucket(t.column("fingerprint"), num_buckets), pa.int64())
+        )
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(group["__gb"].iloc[0])
+        # min-id keeper per fingerprint within the new batch
+        new = group.sort_values(id_col, kind="mergesort").drop_duplicates("fingerprint")
+        bdir = os.path.join(state_dir, f"bucket={bucket}")
+        seen: set[str] = set()
+        for f in sorted(_glob.glob(os.path.join(bdir, "epoch=*.parquet"))):
+            if os.path.basename(f) == f"epoch={epoch}.parquet":
+                continue  # current epoch: ignored for idempotent reruns
+            seen.update(_pq.read_table(f, columns=["fingerprint"]).column("fingerprint").to_pylist())
+        out = new[~new["fingerprint"].isin(seen)][[id_col, "fingerprint"]]
+        os.makedirs(bdir, exist_ok=True)
+        tmp = os.path.join(bdir, f".epoch={epoch}.parquet.tmp")
+        _pq.write_table(
+            pa.table({"fingerprint": pa.array(out["fingerprint"].to_numpy(), pa.string())}),
+            tmp,
+        )
+        os.replace(tmp, os.path.join(bdir, f"epoch={epoch}.parquet"))
+        return out.reset_index(drop=True)
+
+    hashed = ds.map_batches(fp, batch_format="pyarrow")
+    return drop_empty_blocks(
+        hashed.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )
+
+
 class MinHasher:
     """Actor-pool stage: doc batch → (band_id, band_hash, id) rows.
 

@@ -1010,6 +1010,54 @@ FROM idx
 """
 
 
+def q_docs_incremental_dedup(sf_dir: str):
+    """Cross-run incremental dedup (functions/dedup.
+    incremental_exact_dedup): even doc_ids play the persisted history
+    (epoch 1 seeds the bucketed fingerprint index), odd doc_ids the new
+    crawl (epoch 2 anti-joins against it, bucket-aligned — history never
+    shuffles). Deterministic, so the two-epoch composition has a real
+    SQL oracle."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    rd = _rd()
+    from cartography_ray.functions.dedup import incremental_exact_dedup
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            return t.filter(pc.equal(pc.bit_wise_and(ids, pa.scalar(1, pa.int64())), parity))
+
+        return fn
+
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    state = f"/tmp/graft_incdedup/{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    _sh.rmtree(state, ignore_errors=True)  # fresh per call (deterministic)
+    incremental_exact_dedup(
+        docs.map_batches(half(0), batch_format="pyarrow"), state, epoch=1
+    ).materialize()
+    return incremental_exact_dedup(
+        docs.map_batches(half(1), batch_format="pyarrow"), state, epoch=2
+    ).materialize()
+
+
+SQL_DOCS_INCREMENTAL_DEDUP = r"""
+WITH f AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+hist AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 2 = 0),
+new_min AS (
+  SELECT MIN(doc_id) AS doc_id, fingerprint
+  FROM f WHERE doc_id % 2 = 1 GROUP BY fingerprint
+)
+SELECT doc_id, fingerprint FROM new_min
+WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+"""
+
+
 def q_docs_exact_dedup(sf_dir: str):
     rd = _rd()
     from cartography_ray.functions.dedup import exact_dedup
@@ -2195,6 +2243,7 @@ QUERIES: dict[str, Callable] = {
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_dup_edges": q_docs_dup_edges,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "docs_clean_corpus": q_docs_clean_corpus,
@@ -2260,6 +2309,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+        "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
         "docs_dup_edges": SQL_DOCS_DUP_EDGES,
         "docs_jaccard_pairs": SQL_DOCS_JACCARD,
         "docs_clean_corpus": SQL_DOCS_CLEAN_CORPUS,

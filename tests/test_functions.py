@@ -683,3 +683,49 @@ def test_token_frequency_empty_corpus_guard(ray_session):
     out = token_frequency(docs, top_n=5)
     pdf = to_pandas_typed(out)
     assert len(pdf) == 0 and list(pdf.columns) == ["token", "n"]
+
+
+def test_incremental_exact_dedup_epochs(ray_session, tmp_path):
+    """Cross-run dedup against the persisted fingerprint index: epoch 2
+    drops docs whose content epoch 1 already saw; re-running an epoch is
+    idempotent (same survivors, same index state)."""
+    import glob
+
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "fp_index")
+
+    def run(rows, epoch):
+        ids, texts = zip(*rows)
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": list(texts)})
+        )
+        out = incremental_exact_dedup(ds, state, epoch=epoch, num_buckets=4)
+        pdf = out.to_pandas()  # all-empty loses schema (known Ray quirk)
+        return sorted(pdf["doc_id"]) if "doc_id" in pdf.columns else []
+
+    e1 = [(1, "alpha text"), (2, "beta text"), (3, "Alpha  TEXT")]  # 3 dups 1
+    assert run(e1, 1) == [1, 2]
+
+    # epoch 2: one true novelty, one cross-epoch dup, one within-batch dup
+    e2 = [(10, "gamma text"), (11, "beta   text"), (12, "GAMMA text")]
+    assert run(e2, 2) == [10]
+
+    # idempotent rerun of epoch 2 (crash-recovery semantics)
+    assert run(e2, 2) == [10]
+    # index state: one file per touched (bucket, epoch); fingerprints of
+    # the rerun replace, not duplicate
+    files = glob.glob(f"{state}/bucket=*/epoch=*.parquet")
+    import pyarrow.parquet as pq
+
+    all_fps = pd.concat(
+        [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+    )["fingerprint"]
+    assert all_fps.is_unique
+    assert len(all_fps) == 3  # alpha, beta, gamma
+
+    # epoch 3 sees everything as known
+    assert run([(20, "alpha text"), (21, "gamma  TEXT")], 3) == []
