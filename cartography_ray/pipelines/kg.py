@@ -458,9 +458,15 @@ def build_graph(
         # canonicalize/resolve stages — stop here on the first call
         return {"work_dir": work_dir, "ctx": ctx, "turns": turns}
 
-    # alias graph → canonical component labels (small vs the corpus)
+    # alias graph → canonical component labels (small vs the corpus).
+    # Column-pruned re-read of the mentions checkpoint: alias extraction
+    # touches 3 of its columns, and this scan is the critical path of the
+    # canonicalize phase (the spill tasks overlap it)
     _t = _time.time()
-    alias_edges = raw_mentions.map_batches(alias_edges_batch, batch_format="pyarrow")
+    alias_src = ray.data.read_parquet(
+        mentions_path, columns=["kind", "alias_a", "alias_b"]
+    )
+    alias_edges = alias_src.map_batches(alias_edges_batch, batch_format="pyarrow")
     labels = connected_components(alias_edges, num_partitions=cc_partitions)
     timings["canonicalize"] = round(_time.time() - _t, 2)
 
@@ -748,13 +754,19 @@ def run_kg_pipeline(
         spill_root,
         store.num_buckets,
     )
+    _ts = time.time()
     spill_futs += _spill_label_streams(
         g2["alias_labels"], ctx, spill_root, store.num_buckets, work_dir,
         limit=label_broadcast_limit,
     )
+    timings["materialize_labels"] = round(time.time() - _ts, 2)
     try:
+        _ts = time.time()
         ray.get(spill_futs)
+        timings["materialize_spill_wait"] = round(time.time() - _ts, 2)
+        _ts = time.time()
         stats = store.compact_spill(spill_root, ctx)
+        timings["materialize_compact"] = round(time.time() - _ts, 2)
     finally:
         shutil.rmtree(spill_root, ignore_errors=True)
     timings["materialize"] = round(time.time() - t0, 2)
