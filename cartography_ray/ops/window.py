@@ -316,6 +316,34 @@ def deterministic_sample(ds, id_col: str, rate: float, salt: int = 0):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def mix_sources(sources, id_col: str):
+    """Deterministic weighted corpus mixing (training-data assembly):
+    each source contributes a Bernoulli-by-hash sample at its own rate,
+    tagged with its name, unioned into one stream. RNG-free — the mix is
+    reproducible across reruns/retries and expressible in SQL (each
+    source gets a distinct salt so co-occurring ids are sampled
+    independently per source).
+
+    ``sources``: list of ``(name, dataset, rate)``. Every dataset must
+    share a schema; output adds a ``source`` string column. Pure
+    per-batch filters + union — no shuffle, no driver data.
+    """
+    import pyarrow as pa
+
+    parts = []
+    for salt, (name, ds, rate) in enumerate(sources):
+        sampled = deterministic_sample(ds, id_col, rate, salt=salt)
+
+        def tag(t: pa.Table, _name=name) -> pa.Table:
+            return t.append_column(
+                "source", pa.array([_name] * t.num_rows, pa.string())
+            )
+
+        parts.append(sampled.map_batches(tag, batch_format="pyarrow"))
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out
+
+
 def stratified_sample(ds, group_keys, id_col: str, k: int, salt: int = 0,
                       num_buckets: int = 64, num_partitions: int | None = None):
     """Exactly-k-per-group deterministic sample: rank rows within each

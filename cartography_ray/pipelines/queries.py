@@ -678,6 +678,44 @@ SELECT event_type, event_id, rn FROM (
 """
 
 
+MIX_RATE_A, MIX_RATE_B = 0.6, 0.3
+
+
+def q_docs_mix(sf_dir: str):
+    """Deterministic weighted corpus mixing (ops/window.mix_sources):
+    two sources (even/odd doc_ids standing in for two corpora) sampled
+    at different rates with per-source salts, tagged and unioned — the
+    training-data mixing-weights step, RNG-free and SQL-twinned."""
+    rd = _rd()
+    from cartography_ray.ops.window import mix_sources
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            return t.filter(pc.equal(pc.bit_wise_and(ids, pa.scalar(1, pa.int64())), parity))
+
+        return fn
+
+    web = docs.map_batches(half(0), batch_format="pyarrow")
+    chat = docs.map_batches(half(1), batch_format="pyarrow")
+    return mix_sources([("web", web, MIX_RATE_A), ("chat", chat, MIX_RATE_B)], "doc_id")
+
+
+SQL_DOCS_MIX = f"""
+SELECT doc_id, 'web' AS source FROM documents
+WHERE doc_id % 2 = 0
+  AND (CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 % 4294967296
+      < {int(MIX_RATE_A * (1 << 32))}
+UNION ALL
+SELECT doc_id, 'chat' AS source FROM documents
+WHERE doc_id % 2 = 1
+  AND ((CAST(doc_id AS UBIGINT) % 4294967296 + 1) % 4294967296) * 2654435761 % 4294967296
+      < {int(MIX_RATE_B * (1 << 32))}
+"""
+
+
 def q_events_pivot(sf_dir: str):
     """PIVOT / conditional aggregation: per-user value-cents by event
     type as wide columns (ops/agg.pivot_groupby_sum — widen + the
@@ -2244,6 +2282,7 @@ QUERIES: dict[str, Callable] = {
     "docs_chunks": q_docs_chunks,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_incremental_dedup": q_docs_incremental_dedup,
+    "docs_mix": q_docs_mix,
     "docs_dup_edges": q_docs_dup_edges,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "docs_clean_corpus": q_docs_clean_corpus,
@@ -2310,6 +2349,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
+        "docs_mix": SQL_DOCS_MIX,
         "docs_dup_edges": SQL_DOCS_DUP_EDGES,
         "docs_jaccard_pairs": SQL_DOCS_JACCARD,
         "docs_clean_corpus": SQL_DOCS_CLEAN_CORPUS,

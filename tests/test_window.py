@@ -749,3 +749,35 @@ def test_asof_join_chunked_datetime_tolerance(ray_session):
     chunked = run(chunk_us=2 * hour)
     pd.testing.assert_frame_equal(base_out, chunked)
     assert base_out["r_rid"].notna().any() and base_out["r_rid"].isna().any()
+
+
+def test_mix_sources_deterministic_and_rate(ray_session):
+    """Weighted mixing: per-source rates hold, output is tagged, and the
+    mix is byte-identical across reruns and block layouts (RNG-free)."""
+    import ray.data
+
+    from cartography_ray.ops.window import mix_sources
+
+    n = 20_000
+    a = pd.DataFrame({"id": np.arange(n, dtype="int64")})
+    b = pd.DataFrame({"id": np.arange(n, 2 * n, dtype="int64")})
+
+    def run(parts_a, parts_b):
+        out = mix_sources(
+            [
+                ("a", ray.data.from_pandas(a).repartition(parts_a), 0.5),
+                ("b", ray.data.from_pandas(b).repartition(parts_b), 0.1),
+            ],
+            "id",
+        ).to_pandas()
+        return out.sort_values(["source", "id"]).reset_index(drop=True)
+
+    one = run(4, 3)
+    two = run(7, 2)
+    pd.testing.assert_frame_equal(one, two)
+    by = one.groupby("source").size()
+    assert abs(by["a"] / n - 0.5) < 0.02
+    assert abs(by["b"] / n - 0.1) < 0.02
+    # distinct salts: the same id value is sampled independently per source
+    overlap_ids = set(one[one.source == "a"]["id"]) & set(one[one.source == "b"]["id"])
+    assert not overlap_ids  # disjoint id ranges here by construction
