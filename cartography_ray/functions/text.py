@@ -234,3 +234,135 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# df→idf side of tfidf_topk: broadcast below (vocab-sized map via
+# ray.put), reduce-side hash join above — the repo's standard
+# size-guarded contract
+TFIDF_VOCAB_BROADCAST_LIMIT = 2_000_000
+
+
+def tfidf_topk(
+    ds,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    idf_scale: int = 1_000_000,
+    vocab_broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Top-``k`` TF-IDF terms per document — integer-exact by design so
+    the DuckDB oracle hash-matches: tf is an integer count, idf is
+    ``floor(idf_scale · ln(n_docs / df))`` (one libm ``ln`` per distinct
+    token, identical in numpy and DuckDB on the same host), and the
+    score is their int64 product.
+
+    Shape: per-batch exact (doc, token, tf) rows — a document's text is
+    ONE input row, so its term counts never span batches and tf needs NO
+    shuffle. df is one vocab-sized shuffle over those rows (each (doc,
+    token) appears once). The idf map is vocab-sized: broadcast via
+    ``ray.put`` under ``vocab_broadcast_limit``, reduce-side
+    ``hash_join`` above. The final per-doc ranking is ``grouped_topk``
+    (per-batch combiner, candidate-sized shuffle). ``n_docs`` is the
+    TOTAL corpus document count (caller-supplied — parquet footers know
+    it without a scan).
+
+    Output: ``(id_col, token, tf, score, rn)`` with ``rn`` the 1-based
+    rank (score desc, token asc).
+    """
+    import pandas as pd
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.window import grouped_topk
+
+    limit = TFIDF_VOCAB_BROADCAST_LIMIT if vocab_broadcast_limit is None else vocab_broadcast_limit
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        lists = pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE)
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(toks, "")
+        toks, parent = toks.filter(keep), parent.filter(keep)
+        df = pd.DataFrame(
+            {"__row": parent.to_numpy(zero_copy_only=False), "token": toks.to_pandas()}
+        )
+        g = df.groupby(["__row", "token"], sort=False).size().reset_index(name="tf")
+        ids = batch.column(id_col).take(pa.array(g["__row"].to_numpy()))
+        return pa.table(
+            {
+                id_col: ids,
+                "token": pa.array(g["token"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    # each (doc, token) appears exactly once above → df = row count/token
+    df_ds = partial_groupby_agg(
+        tf_ds.map_batches(lambda t: t.select(["token"]), batch_format="pyarrow"),
+        ["token"],
+        {"df": (None, "count")},
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    ).materialize()
+
+    def idf_of(df_arr: np.ndarray) -> np.ndarray:
+        return np.floor(
+            idf_scale * np.log(float(n_docs) / df_arr.astype("float64"))
+        ).astype("int64")
+
+    if df_ds.count() <= limit:
+        import ray
+
+        vocab = df_ds.to_pandas()
+        idf_map_ref = ray.put(
+            dict(zip(vocab["token"], idf_of(vocab["df"].to_numpy())))
+        )
+
+        def score(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            m = _ray.get(idf_map_ref)
+            toks = t.column("token").to_pandas()
+            idf = toks.map(m).to_numpy().astype("int64")
+            return t.append_column(
+                "score",
+                pa.array(t.column("tf").to_numpy() * idf, pa.int64()),
+            )
+
+        scored = tf_ds.map_batches(score, batch_format="pyarrow")
+    else:
+        from cartography_ray.ops.joins import hash_join
+
+        idf_ds = df_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "token": t.column("token"),
+                    "idf": pa.array(
+                        idf_of(t.column("df").to_numpy(zero_copy_only=False)), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            tf_ds, idf_ds, left_on="token", num_partitions=num_partitions
+        )
+        scored = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "token": t.column("token"),
+                    "tf": t.column("tf"),
+                    "score": pc.multiply(t.column("tf"), t.column("idf")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return grouped_topk(
+        scored, id_col, "score", k=k, descending=True, tiebreak=["token"],
+        num_partitions=num_partitions,
+    )

@@ -975,6 +975,48 @@ LIMIT {VOCAB_TOP_N}
 """
 
 
+TFIDF_K = 5
+
+
+def q_docs_tfidf(sf_dir: str):
+    """Top-k TF-IDF terms per document (functions/text.tfidf_topk) —
+    integer-exact scoring (int tf × floor-scaled-ln idf), so the DuckDB
+    twin is a full hash oracle. n_docs from the parquet footer."""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    from cartography_ray.functions.text import tfidf_topk
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.read_metadata(path).num_rows
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    return tfidf_topk(ds, n_docs=n_docs, k=TFIDF_K, num_partitions=_parts_for(path))
+
+
+SQL_DOCS_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * CAST(floor(1000000 * ln(
+             CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df)) AS BIGINT)
+           AS score
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, score, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, token ASC) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_K}
+"""
+
+
 def q_docs_heavy_tokens(sf_dir: str):
     """Shuffle-free Misra-Gries heavy hitters over the token stream
     (ops/sketches.heavy_hitters) — the sketch-path twin of
@@ -2279,6 +2321,7 @@ QUERIES: dict[str, Callable] = {
     "docs_fingerprint": q_docs_fingerprint,
     "docs_token_freq": q_docs_token_freq,
     "docs_heavy_tokens": q_docs_heavy_tokens,
+    "docs_tfidf": q_docs_tfidf,
     "docs_chunks": q_docs_chunks,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_incremental_dedup": q_docs_incremental_dedup,
@@ -2346,6 +2389,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # q_docs_heavy_tokens docstring); approximate regime is
         # property-tested instead
         "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
+        "docs_tfidf": SQL_DOCS_TFIDF,
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,

@@ -729,3 +729,40 @@ def test_incremental_exact_dedup_epochs(ray_session, tmp_path):
 
     # epoch 3 sees everything as known
     assert run([(20, "alpha text"), (21, "gamma  TEXT")], 3) == []
+
+
+def test_tfidf_topk_strategies_and_semantics(ray_session):
+    """TF-IDF: rare terms outrank ubiquitous ones (idf(ln 1)=0); the
+    broadcast and hash-join idf paths produce identical output."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.text import tfidf_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "common common rare1",
+                "common rare2 rare2",
+                "common other",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(2)
+
+    def run(**kw):
+        out = tfidf_topk(ds, n_docs=3, k=2, **kw).to_pandas()
+        return out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+
+    a = run()
+    b = run(vocab_broadcast_limit=0)  # force the hash_join idf path
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+    # 'common' is in every doc → idf 0 → score 0; rare terms rank first
+    top1 = a[a["rn"] == 1].set_index("doc_id")["token"]
+    assert top1[1] == "rare1" and top1[2] == "rare2" and top1[3] == "other"
+    assert (a[a["token"] == "common"]["score"] == 0).all()
+    # tf weighting: doc 2's rare2 (tf=2) outscores doc 1's rare1 (tf=1)
+    s = a.set_index(["doc_id", "token"])["score"]
+    assert s[(2, "rare2")] == 2 * s[(1, "rare1")]
