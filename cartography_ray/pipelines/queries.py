@@ -1508,6 +1508,73 @@ SELECT id_a, id_b, sim6 FROM p WHERE sim6 >= {EMB_NEARDUP_TAU}
 """
 
 
+def q_emb_semantic_dedup(sf_dir: str):
+    """Semantic dedup: one keeper (min vec_id) per near-duplicate
+    CLUSTER — transitive closure over the cosine near-dup pairs via the
+    engine's own distributed connected_components, then an anti-join
+    drops every non-root member. Composes three existing distributed
+    pieces (triangle GEMM pair join → union-find CC → hash anti-join);
+    nothing corpus-sized on the driver."""
+    rd = _rd()
+    from cartography_ray.functions.ann import cosine_neardup_pairs
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.stages.canonicalize import connected_components
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = cosine_neardup_pairs(ds, threshold=EMB_NEARDUP_TAU, num_blocks=8)
+
+    def pad(col):
+        # zero-pad so lexicographic MIN == numeric MIN (CC labels are
+        # strings; the oracle's MIN is over integers)
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": pad(t.column("id_a")), "b": pad(t.column("id_b"))}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges)
+    dropped = labels.map_batches(
+        lambda t: pa.table(
+            {"vec_id": pc.cast(t.column("node"), pa.int64())}
+        ).filter(pc.not_equal(t.column("node"), t.column("label"))),
+        batch_format="pyarrow",
+    )
+    ids = ds.map_batches(
+        lambda t: t.select(["vec_id"]), batch_format="pyarrow"
+    )
+    return hash_join(
+        ids, dropped, left_on="vec_id", how="anti",
+        left_schema=pa.schema([("vec_id", pa.int64())]),
+        right_schema=pa.schema([("vec_id", pa.int64())]),
+    )
+
+
+SQL_EMB_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE p AS (
+  SELECT least(a.vec_id, b.vec_id) AS id_a, greatest(a.vec_id, b.vec_id) AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= {EMB_NEARDUP_TAU}
+),
+es AS (
+  -- SELECT DISTINCT over UNION ALL: a top-level UNION body is misparsed
+  -- as recursive under WITH RECURSIVE (see sql_kg_pagerank note)
+  SELECT DISTINCT a, b FROM (
+    SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p
+  )
+),
+nodes AS (SELECT DISTINCT a AS node FROM es),
+r(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.lab FROM es e JOIN r ON e.b = r.node
+),
+reach AS (SELECT node, MIN(lab) AS root FROM r GROUP BY node)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM reach WHERE node <> root)
+"""
+
+
 MATERIAL_WORDS = ("ring", "widget", "bolt", "gear", "gizmo")
 
 
@@ -2335,6 +2402,7 @@ QUERIES: dict[str, Callable] = {
     "emb_knn_lsh": q_emb_knn_lsh,
     "emb_knn_ivf": q_emb_knn_ivf,
     "emb_neardup": q_emb_neardup,
+    "emb_semantic_dedup": q_emb_semantic_dedup,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "one_to_many_part_words": q_one_to_many_part_words,
     "events_props_k": q_events_props_k,
@@ -2399,6 +2467,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_clean_corpus": SQL_DOCS_CLEAN_CORPUS,
         "emb_knn": SQL_EMB_KNN,
         "emb_neardup": SQL_EMB_NEARDUP,
+        "emb_semantic_dedup": SQL_EMB_SEMANTIC_DEDUP,
         "fuzzy_match_parts": SQL_FUZZY_PARTS,
         "one_to_many_part_words": SQL_ONE_TO_MANY_WORDS,
         "events_props_k": SQL_EVENTS_PROPS,

@@ -766,3 +766,55 @@ def test_tfidf_topk_strategies_and_semantics(ray_session):
     # tf weighting: doc 2's rare2 (tf=2) outscores doc 1's rare1 (tf=1)
     s = a.set_index(["doc_id", "token"])["score"]
     assert s[(2, "rare2")] == 2 * s[(1, "rare1")]
+
+
+def test_semantic_dedup_transitive_clusters(ray_session):
+    """Semantic dedup keeps ONE doc per transitive near-dup cluster:
+    a~b and b~c (but a≁c directly) must still collapse to min(a,b,c)."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.ann import cosine_neardup_pairs
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.stages.canonicalize import connected_components
+
+    # unit vectors on a fan: 0 and 1 close, 1 and 2 close, 0 and 2 less
+    # so (with tau between) the chain is transitive-only; 3 is far away
+    import numpy as np
+
+    def unit(theta):
+        return [float(np.cos(theta)), float(np.sin(theta))]
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": [unit(0.0), unit(0.5), unit(1.0), unit(3.0)],
+        }
+    )
+    ds = ray.data.from_pandas(emb)
+    tau = 0.9  # cos(0.5)≈0.878 < 0.9? no — use 0.85: cos(0.5)=0.878>0.85, cos(1.0)=0.540<0.85
+    tau = 0.85
+    pairs = cosine_neardup_pairs(ds, threshold=tau, num_blocks=2).to_pandas()
+    got_pairs = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got_pairs == {(0, 1), (1, 2)}  # chain, no direct (0,2)
+
+    edges = ray.data.from_pandas(
+        pairs.assign(
+            a=pairs["id_a"].map("{:012d}".format), b=pairs["id_b"].map("{:012d}".format)
+        )[["a", "b"]]
+    )
+    labels = connected_components(edges).to_pandas()
+    dropped = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": labels[labels["node"] != labels["label"]]["node"].astype("int64")}
+        )
+    )
+    keep = (
+        hash_join(
+            ray.data.from_pandas(emb[["vec_id"]]), dropped,
+            left_on="vec_id", how="anti",
+        )
+        .to_pandas()["vec_id"]
+        .tolist()
+    )
+    assert sorted(keep) == [0, 3]  # one keeper for {0,1,2}, singleton 3
