@@ -111,12 +111,17 @@ def run_queries(sf_dir: str) -> dict:
         "docs_stats",
         "docs_token_freq",
         "docs_chunks",
+        "docs_tfidf",
+        "docs_mix",
         "docs_exact_dedup",
+        "docs_incremental_dedup",
         "docs_minhash_pairs",
         "docs_simhash_pairs",
         "emb_knn",
         "emb_knn_ivf",
         "emb_neardup",
+        "emb_semantic_dedup",
+        "events_hopping",
     ]
     out = {}
     for name in names:
