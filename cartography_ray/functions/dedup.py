@@ -1332,3 +1332,106 @@ def _jaccard_pairs_prefix(
         )
 
     return round2.map_batches(verify, batch_format="pandas")
+
+
+# benchmark shingle sets are small by nature (an eval suite is thousands
+# of docs next to a corpus of billions) — broadcast below this many
+# distinct shingles, distributed semi/anti join above
+DECONTAM_BROADCAST_LIMIT = 5_000_000
+
+
+def decontaminate(
+    corpus,
+    bench,
+    ngram: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Benchmark decontamination — the eval-overlap scrub of training-data
+    assembly: drop every corpus document that shares at least one
+    ``ngram``-char lowered shingle with ANY benchmark document. Returns
+    the surviving corpus rows with all input columns.
+
+    Two plans behind one size guard (the repo's standard contract, cf.
+    ``resolve_keys`` / ``tfidf_topk``):
+
+    - distinct benchmark shingles ≤ ``broadcast_limit`` (the real-world
+      shape): ONE ``ray.put`` of the shingle set, then a pure per-batch
+      sliding-window membership scan of the corpus — NO corpus shuffle.
+    - above the limit: the corpus explodes into distinct (doc, shingle)
+      postings that ``hash_join(how="semi")`` the benchmark shingles on a
+      shingle-keyed shuffle; the contaminated id set (distinct-folded,
+      ≤ one row per corpus doc) then ``hash_join(how="anti")``s back onto
+      the corpus. Fully distributed; the corpus pays one posting-sized
+      exchange (≈ chars per doc), the price of an unbroadcastable bench.
+
+    Shingles are true codepoint substrings of ``lower(text)`` (stride 1),
+    identical to SQL ``substring(lower(text), i, ngram)``, so the DuckDB
+    twin is a full hash oracle. Both plans emit identical rows (asserted
+    in tests/test_functions.py).
+    """
+    import ray
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+
+    limit = DECONTAM_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    explode = _make_shingle_explode(ngram, id_col, text_col)
+
+    bench_sh = partial_groupby_agg(
+        bench.map_batches(explode, batch_format="pyarrow"),
+        ["g"],
+        {"__c": (None, "count")},
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([("g", pa.string()), ("__c", pa.int64())]),
+    ).materialize()
+
+    if bench_sh.count() <= limit:
+        grams: list[str] = []
+        for blk in bench_sh.select_columns(["g"]).iter_batches(batch_format="pyarrow"):
+            grams.extend(blk.column("g").to_pylist())
+        bench_ref = ray.put(frozenset(grams))
+
+        def scan(batch: pa.Table) -> pa.Table:
+            bset = ray.get(bench_ref)
+            texts = batch.column(text_col).to_pylist()
+            keep = np.ones(len(texts), dtype=bool)
+            for i, t in enumerate(texts):
+                t = (t or "").lower()
+                if len(t) < ngram:
+                    continue
+                arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                win = np.lib.stride_tricks.sliding_window_view(arr, ngram)
+                grams_i = np.unique(np.ascontiguousarray(win).view(f"<U{ngram}").ravel())
+                if any(g in bset for g in grams_i):
+                    keep[i] = False
+            return batch.filter(pa.array(keep))
+
+        return corpus.map_batches(scan, batch_format="pyarrow")
+
+    postings = corpus.map_batches(explode, batch_format="pyarrow")
+    hits = hash_join(
+        postings,
+        bench_sh.select_columns(["g"]),
+        left_on="g",
+        how="semi",
+        num_partitions=num_partitions,
+    )
+    contaminated = partial_groupby_agg(
+        hits.map_batches(lambda t: t.select(["id"]), batch_format="pyarrow"),
+        ["id"],
+        {"__c": (None, "count")},
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([("id", pa.int64()), ("__c", pa.int64())]),
+    )
+    return hash_join(
+        corpus,
+        contaminated.map_batches(lambda t: t.select(["id"]), batch_format="pyarrow"),
+        left_on=id_col,
+        right_on="id",
+        how="anti",
+        num_partitions=num_partitions,
+        right_schema=pa.schema([("id", pa.int64())]),
+    )

@@ -236,6 +236,164 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style per-document repetition signals, integer-exact so the
+    DuckDB twin is a full hash oracle (the repetition-rule inputs of
+    training-data quality filtering — Rae et al. 2021 §A1.1 use the
+    duplicate-n-gram FRACTIONS; emitting the integer numerators keeps the
+    oracle bit-exact and lets callers derive any ratio):
+
+    - ``n_tokens``   total tokens (``VOCAB_SPLIT_RE`` over lowered text),
+    - ``n_distinct`` distinct tokens,
+    - ``top_tok_n``  occurrences of the most frequent token,
+    - ``top_bigram_n`` occurrences of the most frequent adjacent-token
+      bigram (0 for docs with <2 tokens).
+
+    Pure per-batch ``map_batches`` — a document is ONE input row, so its
+    counts never span batches and the operator needs NO shuffle. The
+    kernel is Arrow split + pandas groupby (vectorized); every output is
+    int64.
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        lists = pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE)
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(toks, "")
+        tv = toks.filter(keep).to_pandas().to_numpy()
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        n_tokens = np.zeros(n, np.int64)
+        n_distinct = np.zeros(n, np.int64)
+        top_tok = np.zeros(n, np.int64)
+        top_big = np.zeros(n, np.int64)
+        if len(par):
+            uni = (
+                pd.DataFrame({"p": par, "t": tv})
+                .groupby(["p", "t"], sort=False)
+                .size()
+            )
+            g = uni.groupby(level=0)
+            tot, dis, mx = g.sum(), g.size(), g.max()
+            n_tokens[tot.index.to_numpy()] = tot.to_numpy()
+            n_distinct[dis.index.to_numpy()] = dis.to_numpy()
+            top_tok[mx.index.to_numpy()] = mx.to_numpy()
+            same = par[1:] == par[:-1]
+            if same.any():
+                bg = (
+                    pd.DataFrame(
+                        {
+                            "p": par[1:][same],
+                            # tokens never contain the separator (it is a
+                            # split boundary), so the join is injective
+                            "b": pd.Series(tv[:-1][same]) + " " + pd.Series(tv[1:][same]),
+                        }
+                    )
+                    .groupby(["p", "b"], sort=False)
+                    .size()
+                    .groupby(level=0)
+                    .max()
+                )
+                top_big[bg.index.to_numpy()] = bg.to_numpy()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tokens),
+                "n_distinct": pa.array(n_distinct),
+                "top_tok_n": pa.array(top_tok),
+                "top_bigram_n": pa.array(top_big),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def prune_frequent_tokens(
+    ds,
+    n_docs: int,
+    df_limit: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Corpus-document-frequency token pruning (the boilerplate-removal /
+    stopword-strip step of training-data cleaning, CCNet-style but at
+    token granularity): every token appearing in ≥ ``df_limit`` documents
+    is removed from EVERY document; each doc is rewritten as the
+    single-space join of its surviving tokens in original order
+    (lowercased — the same normalization the tokenizer applies). Docs
+    with nothing left emit no row.
+
+    Output: ``(id_col, clean_text, n_kept)``.
+
+    Shape: per-batch distinct ``(doc, token)`` rows (a doc is one input
+    row, so per-batch dedup is exact) → ONE vocab-sized shuffle for df →
+    the pruned set broadcast via ``ray.put`` → per-batch rewrite.
+
+    The broadcast is UNCONDITIONALLY safe — unlike generic small-side
+    lookups it is bounded by corpus *shape*, not size: tokens with
+    df ≥ T number at most (Σ per-doc distinct tokens)/T ≤
+    n_docs·avg_distinct/T, so with T = frac·n_docs the set holds ≤
+    avg_distinct_per_doc/frac tokens no matter how many documents exist.
+    """
+    import pandas as pd
+    import ray
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        lists = pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE)
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(toks, "")
+        df = pd.DataFrame(
+            {
+                "p": parent.filter(keep).to_numpy(zero_copy_only=False),
+                "token": toks.filter(keep).to_pandas(),
+            }
+        ).drop_duplicates()
+        return pa.table({"token": pa.array(df["token"].to_numpy(), pa.string())})
+
+    df_ds = partial_groupby_agg(
+        ds.map_batches(doc_tokens, batch_format="pyarrow"),
+        ["token"],
+        {"df": (None, "count")},
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    )
+    from cartography_ray.runtime import to_pandas_typed
+
+    # a corpus with no frequent tokens yields an all-empty filter output,
+    # which plain to_pandas() returns schema-less in Ray 2.49
+    frequent = to_pandas_typed(df_ds.filter(expr=f"df >= {int(df_limit)}"))
+    pruned_ref = ray.put(frozenset(frequent["token"]))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        pruned = ray.get(pruned_ref)
+        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        lists = pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE)
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        tv = toks.to_pandas()
+        keep = (tv != "").to_numpy() & ~tv.isin(pruned).to_numpy()
+        par = parent.to_numpy(zero_copy_only=False)[keep]
+        g = pd.Series(tv.to_numpy()[keep]).groupby(par)
+        joined, counts = g.agg(" ".join), g.size()
+        rows = pa.array(joined.index.to_numpy())
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(rows),
+                "clean_text": pa.array(joined.to_numpy(), pa.string()),
+                "n_kept": pa.array(counts.to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
 # df→idf side of tfidf_topk: broadcast below (vocab-sized map via
 # ray.put), reduce-side hash join above — the repo's standard
 # size-guarded contract

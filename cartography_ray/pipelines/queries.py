@@ -1090,6 +1090,161 @@ FROM idx
 """
 
 
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition quality signals (functions/text.
+    repetition_stats) — integer numerators (token totals, top unigram /
+    adjacent-bigram counts), shuffle-free per-batch kernel."""
+    rd = _rd()
+    from cartography_ray.functions.text import repetition_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
+SQL_DOCS_REPETITION = """
+WITH split AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS l FROM documents
+), raw AS (
+  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS i FROM split
+), tf AS (
+  SELECT doc_id, token, i FROM raw WHERE token <> ''
+), uni AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tf GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_tok_n
+  FROM uni GROUP BY 1
+), seq AS (
+  SELECT doc_id, token, lead(token) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM tf
+), bg AS (
+  SELECT doc_id, token || ' ' || nxt AS b, COUNT(*) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), btop AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM bg GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.n_distinct, 0) AS n_distinct,
+       COALESCE(per.top_tok_n, 0) AS top_tok_n,
+       COALESCE(btop.top_bigram_n, 0) AS top_bigram_n
+FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN btop USING (doc_id)
+"""
+
+
+DECONTAM_NGRAM = 24
+DECONTAM_BENCH_MOD = 41
+
+
+def _decontam_parts(sf_dir: str):
+    rd = _rd()
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text", "source"])
+
+    def part(is_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % DECONTAM_BENCH_MOD == 0) == is_bench
+            return t.filter(pa.array(mask))
+
+        return fn
+
+    bench = ds.map_batches(part(True), batch_format="pyarrow")
+    corpus = ds.map_batches(part(False), batch_format="pyarrow")
+    return corpus, bench, path
+
+
+def q_docs_decontam(sf_dir: str):
+    """Benchmark decontamination (functions/dedup.decontaminate): docs
+    sharing any 24-char shingle with the benchmark subset (doc_id ≡ 0
+    mod 41) are dropped. Broadcast plan (bench shingles ≤ limit)."""
+    from cartography_ray.functions.dedup import decontaminate
+
+    corpus, bench, path = _decontam_parts(sf_dir)
+    return decontaminate(
+        corpus, bench, ngram=DECONTAM_NGRAM, num_partitions=_parts_for(path)
+    ).select_columns(["doc_id", "source"])
+
+
+def q_docs_decontam_joined(sf_dir: str):
+    """Same semantics through the distributed semi/anti-join plan
+    (broadcast_limit=0) — the identical oracle proves plan equivalence,
+    the *_salted precedent."""
+    from cartography_ray.functions.dedup import decontaminate
+
+    corpus, bench, path = _decontam_parts(sf_dir)
+    return decontaminate(
+        corpus, bench, ngram=DECONTAM_NGRAM, broadcast_limit=0,
+        num_partitions=_parts_for(path),
+    ).select_columns(["doc_id", "source"])
+
+
+SQL_DOCS_DECONTAM = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(lt, CAST(i AS INTEGER), {DECONTAM_NGRAM}) AS g
+  FROM (
+    SELECT doc_id, lt, unnest(range(1, greatest(1, length(lt) - {DECONTAM_NGRAM - 2}))) AS i
+    FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+  )
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (g))
+SELECT doc_id, source FROM documents
+WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
+# prune tokens appearing in ≥ 75% of documents (the corpus-frequency
+# boilerplate strip); threshold scales with the corpus via the footer
+# row count, so the query is sf-independent
+DF_PRUNE_FRAC = 0.75
+
+
+def q_docs_pruned(sf_dir: str):
+    """Corpus-DF token pruning (functions/text.prune_frequent_tokens):
+    one vocab-sized df shuffle, shape-bounded broadcast of the pruned
+    set, per-batch rewrite."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    from cartography_ray.functions.text import prune_frequent_tokens
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.read_metadata(path).num_rows
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    return prune_frequent_tokens(
+        ds, n_docs=n_docs, df_limit=math.ceil(DF_PRUNE_FRAC * n_docs),
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_DOCS_PRUNED = f"""
+WITH split AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS l FROM documents
+), raw AS (
+  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS i FROM split
+), tf AS (
+  SELECT doc_id, token, i FROM raw WHERE token <> ''
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), pruned AS (
+  SELECT token FROM df
+  WHERE df >= CAST(ceil({DF_PRUNE_FRAC} * (SELECT COUNT(*) FROM documents)) AS BIGINT)
+), keep AS (
+  SELECT doc_id, token, i FROM tf
+  WHERE token NOT IN (SELECT token FROM pruned)
+)
+SELECT doc_id,
+       string_agg(token, ' ' ORDER BY i) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM keep GROUP BY doc_id
+"""
+
+
 def q_docs_incremental_dedup(sf_dir: str):
     """Cross-run incremental dedup (functions/dedup.
     incremental_exact_dedup): even doc_ids play the persisted history
@@ -2390,6 +2545,10 @@ QUERIES: dict[str, Callable] = {
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_tfidf": q_docs_tfidf,
     "docs_chunks": q_docs_chunks,
+    "docs_repetition": q_docs_repetition,
+    "docs_pruned": q_docs_pruned,
+    "docs_decontam": q_docs_decontam,
+    "docs_decontam_joined": q_docs_decontam_joined,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_mix": q_docs_mix,
@@ -2459,6 +2618,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
         "docs_tfidf": SQL_DOCS_TFIDF,
         "docs_chunks": SQL_DOCS_CHUNKS,
+        "docs_repetition": SQL_DOCS_REPETITION,
+        "docs_pruned": SQL_DOCS_PRUNED,
+        "docs_decontam": SQL_DOCS_DECONTAM,
+        # the joined twin is the SAME semantics through the distributed
+        # semi/anti plan — identical oracle proves plan equivalence
+        "docs_decontam_joined": SQL_DOCS_DECONTAM,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
         "docs_mix": SQL_DOCS_MIX,

@@ -818,3 +818,90 @@ def test_semantic_dedup_transitive_clusters(ray_session):
         .tolist()
     )
     assert sorted(keep) == [0, 3]  # one keeper for {0,1,2}, singleton 3
+
+
+def test_repetition_stats_vs_bruteforce(ray_session):
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from cartography_ray.functions.text import repetition_stats
+
+    texts = [
+        "a a a b c",            # top token a×3, top bigram "a a"×2
+        "x y x y x",            # bigrams: "x y"×2, "y x"×2
+        "",                     # empty doc
+        "solo",                 # 1 token → no bigram
+        "T.T, t.t! q",          # punctuation splits; case folds
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = (
+        repetition_stats(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        uni = Counter(toks)
+        bigs = Counter(zip(toks, toks[1:]))
+        row = out.iloc[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_distinct"] == len(uni)
+        assert row["top_tok_n"] == (max(uni.values()) if uni else 0)
+        assert row["top_bigram_n"] == (max(bigs.values()) if bigs else 0)
+
+
+def test_prune_frequent_tokens(ray_session):
+    import ray.data
+
+    from cartography_ray.functions.text import prune_frequent_tokens
+
+    # "common" is in 4/4 docs, "mid" in 2, the rest unique
+    texts = [
+        "common mid alpha common",
+        "common mid beta",
+        "common gamma",
+        "common",  # nothing survives → row dropped
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = (
+        prune_frequent_tokens(ray.data.from_arrow(tbl), n_docs=4, df_limit=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # df_limit=3 prunes only "common" (df=4); "mid" (df=2) survives
+    assert list(out["doc_id"]) == [0, 1, 2]
+    assert list(out["clean_text"]) == ["mid alpha", "mid beta", "gamma"]
+    assert list(out["n_kept"]) == [2, 2, 1]
+
+
+def test_decontaminate_plans_agree(ray_session):
+    import ray.data
+
+    from cartography_ray.functions.dedup import decontaminate
+
+    bench_txt = "the quick brown fox jumps over the lazy dog tonight"
+    corpus_texts = [
+        bench_txt,                                  # full copy → contaminated
+        "prefix " + bench_txt[:30] + " suffix",     # shares a 24-gram
+        "completely unrelated content here with no overlap at all",
+        "short",                                    # < ngram chars → clean
+    ]
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(corpus_texts, pa.string()),
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([bench_txt], pa.string()),
+    }))
+    kw = dict(ngram=24, num_partitions=4)
+    bcast = decontaminate(corpus, bench, **kw).to_pandas()
+    joined = decontaminate(corpus, bench, broadcast_limit=0, **kw).to_pandas()
+    assert sorted(bcast["doc_id"]) == [2, 3]
+    assert sorted(joined["doc_id"]) == sorted(bcast["doc_id"])
