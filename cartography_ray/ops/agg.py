@@ -220,3 +220,58 @@ def pivot_groupby_sum(
         num_buckets=num_buckets,
         num_partitions=num_partitions,
     )
+
+
+def rollup_groupby_agg(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    total_label: str = "ALL",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+    empty_schema=None,
+):
+    """GROUP BY ROLLUP — aggregates at every prefix grouping set of
+    ``keys`` ((k1,k2), (k1,), ()) in ONE shuffle, the multi-level
+    subtotal step of reporting pipelines.
+
+    Shape: the per-batch combiner collapses to the FINEST grouping first,
+    then replicates the (already key-cardinality-sized) partial rows into
+    the ``len(keys)+1`` grouping sets with ``total_label`` standing in
+    for suppressed keys — so the exchange carries (k+1) × combiner output
+    rows, never (k+1) × the input. The final phase is the standard
+    two-phase aggregation over the union of grouping sets.
+
+    ``aggs`` is the ``partial_groupby_agg`` spec (sum/count/min/max).
+    Key columns must be strings that never equal ``total_label`` (the
+    same closed-world requirement SQL's COALESCE-over-ROLLUP idiom has).
+    """
+    keys = list(keys)
+
+    def combine_replicate(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for out, (col, fn) in aggs.items():
+            if fn == "count":
+                cols[out] = g[col if col else keys[0]].size()
+            else:
+                cols[out] = getattr(g[col], fn)()
+        part = pd.DataFrame(cols).reset_index()
+        frames = []
+        for lvl in range(len(keys), -1, -1):
+            f = part.copy()
+            for k in keys[lvl:]:
+                f[k] = total_label
+            frames.append(f)
+        return _to_clean_arrow(pd.concat(frames, ignore_index=True))
+
+    # rows are already partials → every agg finalizes with its fold fn
+    final_aggs = {out: (out, _AGG_FINAL[fn]) for out, (_, fn) in aggs.items()}
+    return partial_groupby_agg(
+        ds.map_batches(combine_replicate, batch_format="pandas"),
+        keys,
+        final_aggs,
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+        empty_schema=empty_schema,
+    )

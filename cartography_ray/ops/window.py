@@ -427,3 +427,181 @@ def hopping_window_agg(
         num_partitions=num_partitions,
         empty_schema=empty_schema,
     )
+
+
+# cell-prefix fan-back side of the chunked running_sum: broadcast below
+# (cell-count-sized map via ray.put), reduce-side hash join above — the
+# repo's standard size-guarded contract
+RUNNING_PREFIX_BROADCAST_LIMIT = 2_000_000
+
+
+def running_sum(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "run",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+    chunk_us: int | None = None,
+    ts_col: str | None = None,
+    prefix_broadcast_limit: int | None = None,
+):
+    """Per-key running (cumulative) sum ordered by ``order_cols`` — SQL
+    ``SUM(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)``. Output: the input columns + ``out_col``.
+    ``order_cols`` must be a total order within each key (pass a unique
+    id as the last column) or the cumulative values are ill-defined.
+
+    ``chunk_us=None`` (default): ONE shuffle on ``key``; the
+    window-family assumption that one key's rows fit one reducer.
+
+    ``chunk_us=<window>`` is the hot-key fallback (same contract as
+    ``sessionize``/``asof_join``): rows shuffle on ``(key, ts //
+    chunk_us)`` (``ts_col`` defaults to ``order_cols[0]``; timestamp or
+    int64 epoch µs), so a corpus-scale key spreads across reducers.
+    Cell totals are computed by the two-phase combiner (cell-sized
+    exchange, never the events); a second CELL-sized pass turns totals
+    into exclusive per-cell prefixes; the prefix map then fans back —
+    broadcast via ``ray.put`` when ≤ ``prefix_broadcast_limit`` rows
+    (one event shuffle total), reduce-side ``hash_join`` above. Both
+    plans emit identical rows (asserted in tests/test_window.py).
+    """
+    import pyarrow as pa
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    order_cols = list(order_cols)
+
+    if chunk_us is None:
+
+        def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+            return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+        def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+            pdf = (
+                group.drop(columns="__gb")
+                .sort_values([key, *order_cols], kind="mergesort")
+                .reset_index(drop=True)
+            )
+            pdf[out_col] = pdf.groupby(key, sort=False)[value_col].cumsum()
+            return _to_clean_arrow(pdf)
+
+        tagged = ds.map_batches(tag, batch_format="pandas")
+        return drop_empty_blocks(
+            tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+                kernel, batch_format="pandas"
+            )
+        )
+
+    import ray
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    tsc = ts_col or order_cols[0]
+    limit = (
+        RUNNING_PREFIX_BROADCAST_LIMIT
+        if prefix_broadcast_limit is None
+        else prefix_broadcast_limit
+    )
+
+    def with_chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch[tsc].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[us]").astype("int64")
+        else:
+            ts = ts.astype("int64")
+        batch = batch.copy()
+        batch["__chunk"] = ts // chunk_us
+        return batch
+
+    chunked = ds.map_batches(
+        lambda b: _to_clean_arrow(with_chunk(b)), batch_format="pandas"
+    )
+    # cell totals: per-batch combiner first → the exchange is cell-sized
+    cells = partial_groupby_agg(
+        chunked,
+        [key, "__chunk"],
+        {"__cellsum": (value_col, "sum")},
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+    )
+
+    def prefix_tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def prefix_kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, "__chunk"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        g = pdf.groupby(key, sort=False)["__cellsum"]
+        pdf["__prefix"] = g.cumsum() - pdf["__cellsum"]
+        return _to_clean_arrow(pdf[[key, "__chunk", "__prefix"]])
+
+    prefixes = drop_empty_blocks(
+        cells.map_batches(prefix_tag, batch_format="pandas")
+        .groupby("__gb", num_partitions=num_partitions)
+        .map_groups(prefix_kernel, batch_format="pandas")
+    ).materialize()
+
+    def cell_tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(with_chunk(batch), [key, "__chunk"], num_buckets))
+
+    tagged = ds.map_batches(cell_tag, batch_format="pandas")
+
+    if prefixes.count() <= limit:
+        pdf_prefix = prefixes.to_pandas()
+        prefix_ref = ray.put(pdf_prefix)
+
+        def cell_kernel(group: pd.DataFrame) -> "pd.DataFrame":
+            pmap = ray.get(prefix_ref)
+            pdf = (
+                group.drop(columns="__gb")
+                .sort_values([key, "__chunk", *order_cols], kind="mergesort")
+                .reset_index(drop=True)
+            )
+            local = pdf.groupby([key, "__chunk"], sort=False)[value_col].cumsum()
+            merged = pdf[[key, "__chunk"]].merge(pmap, on=[key, "__chunk"], how="left")
+            pdf[out_col] = local + merged["__prefix"].fillna(0).to_numpy()
+            return _to_clean_arrow(pdf.drop(columns="__chunk"))
+
+        return drop_empty_blocks(
+            tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+                cell_kernel, batch_format="pandas"
+            )
+        )
+
+    from cartography_ray.ops.joins import hash_join
+
+    def local_kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, "__chunk", *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pdf["__local"] = pdf.groupby([key, "__chunk"], sort=False)[value_col].cumsum()
+        return _to_clean_arrow(pdf)
+
+    local = drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            local_kernel, batch_format="pandas"
+        )
+    )
+    joined = hash_join(
+        local, prefixes, left_on=[key, "__chunk"], how="left",
+        num_buckets=num_buckets, num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        run = pc.add(
+            t.column("__local"),
+            pc.fill_null(t.column("__prefix"), pa.scalar(0, t.column("__local").type)),
+        )
+        t = t.append_column(out_col, run)
+        return t.drop_columns(["__chunk", "__local", "__prefix"])
+
+    return drop_empty_blocks(joined.map_batches(finish, batch_format="pyarrow"))

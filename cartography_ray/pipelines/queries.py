@@ -115,6 +115,51 @@ GROUP BY 1, 2
 """
 
 
+def q_lineitem_rollup(sf_dir: str):
+    """Multi-level subtotals in one shuffle (ops/agg.rollup_groupby_agg):
+    (flag, status), (flag,), and grand-total grouping sets, 'ALL'
+    sentinels matching the SQL COALESCE-over-ROLLUP idiom."""
+    rd = _rd()
+    from cartography_ray.ops.agg import rollup_groupby_agg
+
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = rd.read_parquet(
+        path, columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "price_cents": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    return rollup_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("qty", "sum"),
+            "sum_price_cents": ("price_cents", "sum"),
+            "n": (None, "count"),
+        },
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 # customer→nation side of the revenue join: broadcast below this many
 # rows (parquet-footer count — no data read), distributed hash_join
 # above. Same size-guarded contract as resolve_keys / AddRelationship /
@@ -790,6 +835,53 @@ SELECT event_id, user_id,
        COALESCE(LAG(event_id) OVER w, -1) AS prev_event_id,
        COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) AS gap_us
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_events_running_sum(sf_dir: str, chunk_us: int | None = None):
+    """Per-user cumulative spend (ops/window.running_sum) — the ordered
+    running-aggregate member of the windowed family; integer cents so
+    the SQL window-function twin hash-matches."""
+    rd = _rd()
+    from cartography_ray.ops.window import running_sum
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "v_cents": _cents(t.column("value")),
+            }
+        )
+
+    rs = running_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="v_cents",
+        out_col="run_cents",
+        num_partitions=_parts_for(path),
+        chunk_us=chunk_us,
+    )
+    return rs.select_columns(["event_id", "user_id", "ts_us", "run_cents"])
+
+
+def q_events_running_sum_salted(sf_dir: str):
+    """Hot-key fallback plan (6 h time-chunk salting + cell-prefix
+    fan-back) — same oracle as events_running_sum proves equivalence."""
+    return q_events_running_sum(sf_dir, chunk_us=6 * 3_600_000_000)
+
+
+SQL_EVENTS_RUNNING_SUM = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+FROM events
 """
 
 
@@ -2517,6 +2609,7 @@ def q_kg_pagerank(sf_dir: str):
 
 QUERIES: dict[str, Callable] = {
     "pricing_summary": q_pricing_summary,
+    "lineitem_rollup": q_lineitem_rollup,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
     "filter_project": q_filter_project,
@@ -2533,6 +2626,8 @@ QUERIES: dict[str, Callable] = {
     "events_attribution_salted": q_events_attribution_salted,
     "events_quantiles": q_events_quantiles,
     "events_lag": q_events_lag,
+    "events_running_sum": q_events_running_sum,
+    "events_running_sum_salted": q_events_running_sum_salted,
     "events_pivot": q_events_pivot,
     "events_sample": q_events_sample,
     "events_stratified": q_events_stratified,
@@ -2585,6 +2680,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     path = ensure_transcripts(sf_dir)
     return {
         "pricing_summary": SQL_PRICING,
+        "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "revenue_by_nation": SQL_REVENUE_NATION,
         "top_orders": SQL_TOP_ORDERS,
         "filter_project": SQL_FILTER_PROJECT,
@@ -2603,6 +2699,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_attribution_salted": SQL_EVENTS_ATTRIBUTION,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "events_lag": SQL_EVENTS_LAG,
+        "events_running_sum": SQL_EVENTS_RUNNING_SUM,
+        "events_running_sum_salted": SQL_EVENTS_RUNNING_SUM,
         "events_pivot": SQL_EVENTS_PIVOT,
         "events_sample": SQL_EVENTS_SAMPLE,
         "events_stratified": SQL_EVENTS_STRATIFIED,

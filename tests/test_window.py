@@ -781,3 +781,107 @@ def test_mix_sources_deterministic_and_rate(ray_session):
     # distinct salts: the same id value is sampled independently per source
     overlap_ids = set(one[one.source == "a"]["id"]) & set(one[one.source == "b"]["id"])
     assert not overlap_ids  # disjoint id ranges here by construction
+
+
+def test_running_sum_matches_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.ops.window import running_sum
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),
+            "ts": rng.integers(0, 10_000_000, n).astype("int64"),
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.integers(-50, 100, n).astype("int64"),
+        }
+    )
+    out = (
+        running_sum(
+            ray.data.from_pandas(df), key="k", order_cols=["ts", "id"],
+            value_col="v", out_col="run", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "ts", "id"], kind="mergesort")
+    ref = ref.assign(run=ref.groupby("k")["v"].cumsum()).sort_values("id").reset_index(drop=True)
+    assert (out["run"].to_numpy() == ref["run"].to_numpy()).all()
+
+
+def test_running_sum_chunked_plans_agree(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import running_sum
+
+    rng = np.random.default_rng(12)
+    n = 3000
+    # one corpus-scale hot key (0) spanning many time chunks + normal keys
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n) < 0.6, 0, rng.integers(1, 5, n)),
+            "ts": rng.integers(0, 50_000, n).astype("int64"),  # µs-scale ints
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+    kw = dict(key="k", order_cols=["ts", "id"], value_col="v", out_col="run",
+              num_partitions=4)
+    base = (
+        running_sum(ray.data.from_pandas(df), **kw)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # chunk of 1000 "µs" → ~50 chunks; broadcast fan-back
+    bcast = (
+        running_sum(ray.data.from_pandas(df), chunk_us=1000, **kw)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # forced reduce-side hash_join fan-back
+    joined = (
+        running_sum(ray.data.from_pandas(df), chunk_us=1000,
+                    prefix_broadcast_limit=0, **kw)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert (bcast["run"].to_numpy() == base["run"].to_numpy()).all()
+    assert (joined["run"].to_numpy() == base["run"].to_numpy()).all()
+
+
+def test_rollup_groupby_agg_matches_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.ops.agg import rollup_groupby_agg
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], n),
+            "b": rng.choice(["p", "q"], n),
+            "v": rng.integers(0, 1000, n).astype("int64"),
+        }
+    )
+    out = (
+        rollup_groupby_agg(
+            ray.data.from_pandas(df), ["a", "b"],
+            {"s": ("v", "sum"), "n": (None, "count")}, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    fine = df.groupby(["a", "b"]).agg(s=("v", "sum"), n=("v", "size")).reset_index()
+    mid = df.groupby("a").agg(s=("v", "sum"), n=("v", "size")).reset_index().assign(b="ALL")
+    top = pd.DataFrame({"a": ["ALL"], "b": ["ALL"], "s": [df["v"].sum()], "n": [n]})
+    ref = (
+        pd.concat([fine, mid, top], ignore_index=True)
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref) == 3 * 2 + 3 + 1
+    assert (out["s"].to_numpy() == ref["s"].to_numpy()).all()
+    assert (out["n"].to_numpy() == ref["n"].to_numpy()).all()
