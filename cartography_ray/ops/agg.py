@@ -275,3 +275,50 @@ def rollup_groupby_agg(
         num_partitions=num_partitions,
         empty_schema=empty_schema,
     )
+
+
+def cube_groupby_agg(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    total_label: str = "ALL",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+    empty_schema=None,
+):
+    """GROUP BY CUBE — aggregates at EVERY subset of ``keys`` (2^k
+    grouping sets) in one shuffle; same combiner-first replication as
+    ``rollup_groupby_agg`` (the exchange is 2^k × combiner output, so
+    keep ``keys`` short — the same practical bound SQL CUBE has).
+    """
+    from itertools import combinations
+
+    keys = list(keys)
+
+    def combine_replicate(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for out, (col, fn) in aggs.items():
+            if fn == "count":
+                cols[out] = g[col if col else keys[0]].size()
+            else:
+                cols[out] = getattr(g[col], fn)()
+        part = pd.DataFrame(cols).reset_index()
+        frames = []
+        for r in range(len(keys) + 1):
+            for suppressed in combinations(keys, r):
+                f = part.copy()
+                for k in suppressed:
+                    f[k] = total_label
+                frames.append(f)
+        return _to_clean_arrow(pd.concat(frames, ignore_index=True))
+
+    final_aggs = {out: (out, _AGG_FINAL[fn]) for out, (_, fn) in aggs.items()}
+    return partial_groupby_agg(
+        ds.map_batches(combine_replicate, batch_format="pandas"),
+        keys,
+        final_aggs,
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+        empty_schema=empty_schema,
+    )

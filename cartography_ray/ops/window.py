@@ -605,3 +605,55 @@ def running_sum(
         return t.drop_columns(["__chunk", "__local", "__prefix"])
 
     return drop_empty_blocks(joined.map_batches(finish, batch_format="pyarrow"))
+
+
+def with_ntile(
+    ds,
+    key: str,
+    order_cols: list[str],
+    n: int,
+    out_col: str = "tile",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY order_cols)``:
+    splits each key's ordered rows into ``n`` buckets whose sizes differ
+    by at most one, larger buckets first (1-based tile ids) — the
+    per-group quantile-bucketing step of stratified pipelines.
+
+    Same shape and partitioning assumption as ``with_lag``: one hash
+    shuffle on ``key``, vectorized rank arithmetic per bucket.
+    ``order_cols`` should be a total order within each key for a
+    deterministic (oracle-stable) tiling.
+    """
+
+    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        g = pdf.groupby(key, sort=False)
+        rank0 = g.cumcount().to_numpy()
+        size = g[key].transform("size").to_numpy()
+        q, r = size // n, size % n
+        cut = r * (q + 1)
+        tile = np.where(
+            rank0 < cut,
+            rank0 // np.maximum(q + 1, 1),
+            r + (rank0 - cut) // np.maximum(q, 1),
+        )
+        pdf[out_col] = (tile + 1).astype("int64")
+        return _to_clean_arrow(pdf)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )

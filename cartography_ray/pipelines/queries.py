@@ -160,6 +160,50 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_lineitem_cube(sf_dir: str):
+    """Every subset grouping set in one shuffle (ops/agg.cube_groupby_agg)
+    — the CUBE twin of lineitem_rollup."""
+    rd = _rd()
+    from cartography_ray.ops.agg import cube_groupby_agg
+
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = rd.read_parquet(
+        path, columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "price_cents": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    return cube_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("qty", "sum"),
+            "sum_price_cents": ("price_cents", "sum"),
+            "n": (None, "count"),
+        },
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_LINEITEM_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 # customer→nation side of the revenue join: broadcast below this many
 # rows (parquet-footer count — no data read), distributed hash_join
 # above. Same size-guarded contract as resolve_keys / AddRelationship /
@@ -881,6 +925,41 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+FROM events
+"""
+
+
+NTILE_N = 4
+
+
+def q_events_ntile(sf_dir: str):
+    """Per-user NTILE quantile bucketing (ops/window.with_ntile)."""
+    rd = _rd()
+    from cartography_ray.ops.window import with_ntile
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "ts", "user_id"])
+    tiled = with_ntile(
+        ds, key="user_id", order_cols=["ts", "event_id"], n=NTILE_N,
+        num_partitions=_parts_for(path),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "tile": t.column("tile"),
+            }
+        )
+
+    return tiled.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EVENTS_NTILE = f"""
+SELECT event_id, user_id,
+       CAST(NTILE({NTILE_N}) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tile
 FROM events
 """
 
@@ -2610,6 +2689,7 @@ def q_kg_pagerank(sf_dir: str):
 QUERIES: dict[str, Callable] = {
     "pricing_summary": q_pricing_summary,
     "lineitem_rollup": q_lineitem_rollup,
+    "lineitem_cube": q_lineitem_cube,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
     "filter_project": q_filter_project,
@@ -2628,6 +2708,7 @@ QUERIES: dict[str, Callable] = {
     "events_lag": q_events_lag,
     "events_running_sum": q_events_running_sum,
     "events_running_sum_salted": q_events_running_sum_salted,
+    "events_ntile": q_events_ntile,
     "events_pivot": q_events_pivot,
     "events_sample": q_events_sample,
     "events_stratified": q_events_stratified,
@@ -2681,6 +2762,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     return {
         "pricing_summary": SQL_PRICING,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
+        "lineitem_cube": SQL_LINEITEM_CUBE,
         "revenue_by_nation": SQL_REVENUE_NATION,
         "top_orders": SQL_TOP_ORDERS,
         "filter_project": SQL_FILTER_PROJECT,
@@ -2701,6 +2783,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_lag": SQL_EVENTS_LAG,
         "events_running_sum": SQL_EVENTS_RUNNING_SUM,
         "events_running_sum_salted": SQL_EVENTS_RUNNING_SUM,
+        "events_ntile": SQL_EVENTS_NTILE,
         "events_pivot": SQL_EVENTS_PIVOT,
         "events_sample": SQL_EVENTS_SAMPLE,
         "events_stratified": SQL_EVENTS_STRATIFIED,

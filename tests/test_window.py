@@ -885,3 +885,74 @@ def test_rollup_groupby_agg_matches_pandas(ray_session):
     assert len(out) == len(ref) == 3 * 2 + 3 + 1
     assert (out["s"].to_numpy() == ref["s"].to_numpy()).all()
     assert (out["n"].to_numpy() == ref["n"].to_numpy()).all()
+
+
+def test_cube_groupby_agg_matches_pandas(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.agg import cube_groupby_agg
+
+    rng = np.random.default_rng(14)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], n),
+            "b": rng.choice(["p", "q", "r"], n),
+            "v": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+    out = (
+        cube_groupby_agg(
+            ray.data.from_pandas(df), ["a", "b"], {"s": ("v", "sum")},
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    fine = df.groupby(["a", "b"]).agg(s=("v", "sum")).reset_index()
+    by_a = df.groupby("a").agg(s=("v", "sum")).reset_index().assign(b="ALL")
+    by_b = df.groupby("b").agg(s=("v", "sum")).reset_index().assign(a="ALL")
+    top = pd.DataFrame({"a": ["ALL"], "b": ["ALL"], "s": [df["v"].sum()]})
+    ref = (
+        pd.concat([fine, by_a, by_b, top], ignore_index=True)[["a", "b", "s"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref) == 2 * 3 + 2 + 3 + 1
+    assert (out["s"].to_numpy() == ref["s"].to_numpy()).all()
+
+
+def test_with_ntile_matches_sql_semantics(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import with_ntile
+
+    def ref_ntile(size, n):
+        # SQL NTILE: sizes differ by ≤1, larger buckets first
+        q, r = divmod(size, n)
+        tiles = []
+        for b in range(1, n + 1):
+            tiles.extend([b] * (q + (1 if b <= r else 0)))
+        return tiles
+
+    # group sizes below, at, and above n=4 (incl. exact multiple)
+    sizes = {1: 2, 2: 4, 3: 7, 4: 8, 5: 13}
+    rows = []
+    i = 0
+    for k, sz in sizes.items():
+        for _ in range(sz):
+            rows.append((k, i))
+            i += 1
+    df = pd.DataFrame(rows, columns=["k", "id"])
+    out = (
+        with_ntile(ray.data.from_pandas(df), key="k", order_cols=["id"], n=4,
+                   num_partitions=2)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    expect = []
+    for k, sz in sizes.items():
+        expect.extend(ref_ntile(sz, 4))
+    assert list(out["tile"]) == expect
