@@ -122,6 +122,12 @@ def run_queries(sf_dir: str) -> dict:
         "emb_neardup",
         "emb_semantic_dedup",
         "events_hopping",
+        "events_running_sum",
+        "events_ntile",
+        "lineitem_rollup",
+        "docs_decontam",
+        "docs_pruned",
+        "docs_repetition",
     ]
     out = {}
     for name in names:
