@@ -152,6 +152,70 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _key_strings(batch: pa.Table, keys: list[str]):
+    """The join's canonical key representation: \\x1f-joined string casts
+    (the same encoding the bucket hash uses, so bloom and shuffle agree)."""
+    key = pc.cast(batch.column(keys[0]), pa.string())
+    for k in keys[1:]:
+        key = pc.binary_join_element_wise(key, pc.cast(batch.column(k), pa.string()), "\x1f")
+    return key
+
+
+def _bloom_positions(h: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two bit positions per 64-bit key hash (Kirsch–Mitzenmacher double
+    hashing: the second probe is a splitmix-style remix of the first)."""
+    h = h.astype(np.uint64)
+    p1 = h % np.uint64(m)
+    g = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    p2 = (g ^ (g >> np.uint64(33))) % np.uint64(m)
+    return p1, p2
+
+
+def build_key_bloom(ds, keys: list[str], bits: int):
+    """Fold a dataset's join keys into an m-bit bloom filter (k=2).
+
+    Per-batch map emits the batch's UNIQUE bit positions (tiny); the
+    driver ORs them into one packed ``m/8``-byte array — driver memory is
+    the constant filter size, never the key count. Returns the packed
+    numpy array (ship with ``ray.put``). False-positive rate with n keys:
+    ``(1 - exp(-2n/m))²`` — size ``bits ≈ 10×n`` for ~3%.
+    """
+    m = max(64, (int(bits) + 7) // 8 * 8)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        key = _key_strings(batch, keys)
+        valid = pc.is_valid(key)
+        h = pd.util.hash_array(
+            key.filter(valid).to_numpy(zero_copy_only=False), categorize=False
+        )
+        p1, p2 = _bloom_positions(h, m)
+        return pa.table({"pos": pa.array(np.unique(np.concatenate([p1, p2])), pa.uint64())})
+
+    bloom = np.zeros(m // 8, dtype=np.uint8)
+    pos_ds = ds.map_batches(positions, batch_format="pyarrow")
+    for blk in pos_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        p = blk.column("pos").to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(bloom, (p >> 3).astype(np.int64), (1 << (p & 7)).astype(np.uint8))
+    return bloom, m
+
+
+def bloom_probe_mask(batch: pa.Table, keys: list[str], bloom: np.ndarray, m: int) -> np.ndarray:
+    """Per-row bool: key MAY be in the bloom (definitely absent → False).
+    Null keys return False (inner/semi semantics: they never match)."""
+    key = _key_strings(batch, keys)
+    valid = pc.is_valid(key).to_numpy(zero_copy_only=False)
+    out = np.zeros(batch.num_rows, dtype=bool)
+    if valid.any():
+        h = pd.util.hash_array(
+            key.to_numpy(zero_copy_only=False)[valid], categorize=False
+        )
+        p1, p2 = _bloom_positions(h, m)
+        hit1 = (bloom[(p1 >> 3).astype(np.int64)] >> (p1 & 7).astype(np.uint8)) & 1
+        hit2 = (bloom[(p2 >> 3).astype(np.int64)] >> (p2 & 7).astype(np.uint8)) & 1
+        out[valid] = (hit1 & hit2).astype(bool)
+    return out
+
+
 def hash_join(
     left,
     right,
@@ -163,6 +227,7 @@ def hash_join(
     num_partitions: int | None = None,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    bloom_prefilter_bits: int | None = None,
 ):
     """Reduce-side hash join of two Datasets (both sides shuffled once).
 
@@ -184,6 +249,16 @@ def hash_join(
     on such a plan executes the whole upstream shuffle just to learn the
     column types, and the join would then re-execute it for the data pass
     (measured 43 s → 11 s on the two-join revenue pipeline at sf0.1).
+
+    ``bloom_prefilter_bits``: for SELECTIVE inner/semi joins (most left
+    rows have no match), build an m-bit bloom of the right side's keys
+    and drop definitely-unmatched left rows BEFORE they enter the
+    exchange — the left side's shuffle volume falls to (matches + false
+    positives) at the cost of one constant-size broadcast and one extra
+    scan of the right side (which is materialized for reuse). Join output
+    is IDENTICAL (bloom negatives cannot match; positives are verified by
+    the join itself — asserted in tests/test_functions.py). Invalid for
+    left/outer/anti, which must keep unmatched left rows.
     """
     left_on = [left_on] if isinstance(left_on, str) else list(left_on)
     right_on = left_on if right_on is None else (
@@ -192,6 +267,24 @@ def hash_join(
     filter_only = how in ("semi", "anti")
     lschema = left_schema if left_schema is not None else _arrow_schema(left)
     rschema = right_schema if right_schema is not None else _arrow_schema(right)
+    if bloom_prefilter_bits:
+        if how not in ("inner", "semi"):
+            raise ValueError(
+                "hash_join: bloom_prefilter_bits requires how='inner' or 'semi' "
+                "(other modes keep unmatched left rows)"
+            )
+        import ray
+
+        right = right.materialize()  # bloom build + join both scan it
+        bloom, m = build_key_bloom(right, right_on, bloom_prefilter_bits)
+        bloom_ref = ray.put(bloom)
+        _lo = list(left_on)
+
+        def _prefilter(batch: pa.Table) -> pa.Table:
+            b = ray.get(bloom_ref)
+            return batch.filter(pa.array(bloom_probe_mask(batch, _lo, b, m)))
+
+        left = left.map_batches(_prefilter, batch_format="pyarrow")
     lcols = list(lschema.names)
     rcols = list(rschema.names) if not filter_only else list(right_on)
     if filter_only:

@@ -905,3 +905,56 @@ def test_decontaminate_plans_agree(ray_session):
     joined = decontaminate(corpus, bench, broadcast_limit=0, **kw).to_pandas()
     assert sorted(bcast["doc_id"]) == [2, 3]
     assert sorted(joined["doc_id"]) == sorted(bcast["doc_id"])
+
+
+def test_hash_join_bloom_prefilter_identity(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.ops.joins import (
+        bloom_probe_mask,
+        build_key_bloom,
+        hash_join,
+    )
+
+    rng = np.random.default_rng(21)
+    # selective join: only ~5% of left keys exist on the right
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 10_000, 5000), pa.int64()),
+        "lv": pa.array(np.arange(5000), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(rng.choice(500, 300, replace=False).astype("int64"), pa.int64()),
+        "rv": pa.array(np.arange(300), pa.int64()),
+    })
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    plain = hash_join(lds, rds, left_on="k", num_partitions=4).to_pandas()
+    bloomed = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), left_on="k",
+        num_partitions=4, bloom_prefilter_bits=1 << 14,
+    ).to_pandas()
+    key_sorted = lambda df: df.sort_values(["k", "lv"]).reset_index(drop=True)
+    pd_plain, pd_bloom = key_sorted(plain), key_sorted(bloomed)
+    assert len(pd_plain) == len(pd_bloom)
+    assert (pd_plain[["k", "lv", "rv"]].to_numpy() == pd_bloom[["k", "lv", "rv"]].to_numpy()).all()
+
+    # semi mode too
+    s_plain = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                        left_on="k", how="semi", num_partitions=4).to_pandas()
+    s_bloom = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                        left_on="k", how="semi", num_partitions=4,
+                        bloom_prefilter_bits=1 << 14).to_pandas()
+    assert sorted(s_plain["lv"]) == sorted(s_bloom["lv"])
+
+    # the filter genuinely drops most non-matching rows (no match → bloom
+    # negative except false positives, bounded by (1-e^{-2n/m})^2)
+    bloom, m = build_key_bloom(ray.data.from_arrow(right), ["k"], 1 << 14)
+    mask = bloom_probe_mask(left, ["k"], bloom, m)
+    true_hits = pd.Series(left.column("k").to_numpy()).isin(right.column("k").to_numpy()).to_numpy()
+    assert mask[true_hits].all()                      # no false negatives
+    fp = mask[~true_hits].mean()
+    assert fp < 0.05                                   # selective enough
+
+    # anti/left must refuse the bloom (they keep unmatched left rows)
+    with pytest.raises(ValueError):
+        hash_join(lds, rds, left_on="k", how="anti", bloom_prefilter_bits=64)
