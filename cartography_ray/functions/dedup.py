@@ -1412,12 +1412,17 @@ def decontaminate(
         return corpus.map_batches(scan, batch_format="pyarrow")
 
     postings = corpus.map_batches(explode, batch_format="pyarrow")
+    # most corpus shingles are NOT in the benchmark — the textbook
+    # selective semi join: a bench-sized bloom drops them before the
+    # posting exchange, so the shuffle carries hits + false positives
+    n_bench = bench_sh.count()
     hits = hash_join(
         postings,
         bench_sh.select_columns(["g"]),
         left_on="g",
         how="semi",
         num_partitions=num_partitions,
+        bloom_prefilter_bits=max(1 << 16, 10 * n_bench),
     )
     contaminated = partial_groupby_agg(
         hits.map_batches(lambda t: t.select(["id"]), batch_format="pyarrow"),
