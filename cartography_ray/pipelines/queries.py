@@ -929,6 +929,66 @@ FROM events
 """
 
 
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_events_winsorized(sf_dir: str):
+    """Outlier trimming by per-group quantile bounds — a pure COMPOSITION
+    of existing operators: exact grouped quantiles (bit-identical to
+    ``quantile_cont``, cf. events_quantiles) → dimension-bounded bounds
+    broadcast → per-batch filter. Keeps events inside [p05, p95] of
+    their type."""
+    import ray
+
+    rd = _rd()
+    from cartography_ray.ops.quantiles import grouped_quantiles
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "event_type", "value"])
+    bounds = grouped_quantiles(
+        ds.map_batches(
+            lambda t: t.select(["event_type", "value"]), batch_format="pyarrow"
+        ),
+        "event_type", "value", [WINSOR_LO, WINSOR_HI],
+        num_partitions=_parts_for(path),
+    ).to_pandas()  # event types are dimension-bounded by contract
+    bmap_ref = ray.put(
+        {r.event_type: (r.p05, r.p95) for r in bounds.itertuples()}
+    )
+
+    def trim(t: pa.Table) -> pa.Table:
+        m = ray.get(bmap_ref)
+        et = t.column("event_type").to_pylist()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        lo = np.fromiter((m[x][0] for x in et), dtype="float64", count=len(et))
+        hi = np.fromiter((m[x][1] for x in et), dtype="float64", count=len(et))
+        keep = (v >= lo) & (v <= hi)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    return ds.map_batches(trim, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINSORIZED = f"""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS lo,
+         quantile_cont(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       CAST(round(e.value * 100) AS BIGINT) AS value_cents
+FROM events e JOIN b USING (event_type)
+WHERE e.value >= b.lo AND e.value <= b.hi
+"""
+
+
 NTILE_N = 4
 
 
@@ -2709,6 +2769,7 @@ QUERIES: dict[str, Callable] = {
     "events_running_sum": q_events_running_sum,
     "events_running_sum_salted": q_events_running_sum_salted,
     "events_ntile": q_events_ntile,
+    "events_winsorized": q_events_winsorized,
     "events_pivot": q_events_pivot,
     "events_sample": q_events_sample,
     "events_stratified": q_events_stratified,
@@ -2784,6 +2845,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_running_sum": SQL_EVENTS_RUNNING_SUM,
         "events_running_sum_salted": SQL_EVENTS_RUNNING_SUM,
         "events_ntile": SQL_EVENTS_NTILE,
+        "events_winsorized": SQL_EVENTS_WINSORIZED,
         "events_pivot": SQL_EVENTS_PIVOT,
         "events_sample": SQL_EVENTS_SAMPLE,
         "events_stratified": SQL_EVENTS_STRATIFIED,
