@@ -524,3 +524,80 @@ def tfidf_topk(
         scored, id_col, "score", k=k, descending=True, tiebreak=["token"],
         num_partitions=num_partitions,
     )
+
+
+def pack_sequences(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    budget: int = 512,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+    chunk_us: int | None = None,
+):
+    """Sequence packing for pretraining: assign every document to a
+    fixed-token-budget training bin within its group (offset binning) —
+    ``bin = exclusive_prefix_tokens // budget`` over the ``(group, id)``
+    order. Output: ``(group_col, id_col, n_tokens, bin)``.
+
+    Bins fill greedily in id order; a document whose tokens straddle a
+    boundary belongs to the bin its FIRST token falls in, so a bin's
+    total is < ``budget + max_doc_tokens`` — the contract used by
+    fixed-length packing with cross-boundary truncation at training
+    time. Deterministic (no RNG), resume-identical.
+
+    Shape: token counting is a shuffle-free ``map_batches`` (ASCII
+    whitespace class, identical in Python re and DuckDB RE2 — see
+    ``chunk_documents``); the global per-group prefix is ONE key shuffle
+    via ``ops.window.running_sum`` (pass ``chunk_us`` to spread a
+    corpus-scale group across reducers); the bin arithmetic is a pure
+    vectorized epilogue. SQL twin: ``(SUM(n) OVER (PARTITION BY group
+    ORDER BY id) - n) // budget``.
+    """
+    from cartography_ray.ops.window import running_sum
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (
+                sum(1 for x in ws.split(t or "") if x)
+                for t in batch.column(text_col).to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+    run = running_sum(
+        counted,
+        key=group_col,
+        order_cols=[id_col],
+        value_col="n_tokens",
+        out_col="__run",
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+        chunk_us=chunk_us,
+        ts_col=id_col if chunk_us is not None else None,
+    )
+
+    def binned(batch: pa.Table) -> pa.Table:
+        prefix = pc.subtract(batch.column("__run"), batch.column("n_tokens"))
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                id_col: batch.column(id_col),
+                "n_tokens": batch.column("n_tokens"),
+                "bin": pc.divide(prefix, pa.scalar(int(budget), pa.int64())),
+            }
+        )
+
+    return run.map_batches(binned, batch_format="pyarrow")

@@ -1364,6 +1364,40 @@ FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN btop USING (doc_id)
 """
 
 
+PACK_BUDGET = 512
+
+
+def q_docs_packed(sf_dir: str):
+    """Sequence packing (functions/text.pack_sequences): per-language
+    token-budget bin assignment — shuffle-free token count, ONE key
+    shuffle (running_sum), vectorized bin epilogue."""
+    rd = _rd()
+    from cartography_ray.functions.text import pack_sequences
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return pack_sequences(
+        ds,
+        budget=PACK_BUDGET,
+        num_partitions=_parts_for(f"{sf_dir}/documents.parquet"),
+    )
+
+
+SQL_DOCS_PACKED = f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\v]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+              - n_tokens) // {PACK_BUDGET}) AS BIGINT) AS bin
+FROM t
+"""
+
+
 DECONTAM_NGRAM = 24
 DECONTAM_BENCH_MOD = 41
 
@@ -2783,6 +2817,7 @@ QUERIES: dict[str, Callable] = {
     "docs_tfidf": q_docs_tfidf,
     "docs_chunks": q_docs_chunks,
     "docs_repetition": q_docs_repetition,
+    "docs_packed": q_docs_packed,
     "docs_pruned": q_docs_pruned,
     "docs_decontam": q_docs_decontam,
     "docs_decontam_joined": q_docs_decontam_joined,
@@ -2862,6 +2897,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_tfidf": SQL_DOCS_TFIDF,
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_repetition": SQL_DOCS_REPETITION,
+        "docs_packed": SQL_DOCS_PACKED,
         "docs_pruned": SQL_DOCS_PRUNED,
         "docs_decontam": SQL_DOCS_DECONTAM,
         # the joined twin is the SAME semantics through the distributed

@@ -958,3 +958,48 @@ def test_hash_join_bloom_prefilter_identity(ray_session):
     # anti/left must refuse the bloom (they keep unmatched left rows)
     with pytest.raises(ValueError):
         hash_join(lds, rds, left_on="k", how="anti", bloom_prefilter_bits=64)
+
+
+def test_pack_sequences_offset_binning(ray_session):
+    """Sequence packing: per-group exclusive-prefix // budget bins in id
+    order, zero-token docs inherit the running prefix, and the chunk_us
+    hot-key plan emits identical rows."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.text import pack_sequences
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "lang": ["en", "en", "en", "en", "de", "de", "en", "de"],
+            "text": [
+                "a b c d",        # en prefix 0  → bin 0
+                "e f g",          # en prefix 4  → bin 0
+                "",               # en prefix 7  → bin 1 (zero tokens)
+                "h i",            # en prefix 7  → bin 1
+                "x",              # de prefix 0  → bin 0
+                "y z w v u",      # de prefix 1  → bin 0
+                "j k l m n o",    # en prefix 9  → bin 1 (straddles 12)
+                "t",              # de prefix 6  → bin 1
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        pack_sequences(ds, budget=6, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_tokens"]) == [4, 3, 0, 2, 1, 5, 6, 1]
+    assert list(out["bin"]) == [0, 0, 1, 1, 0, 0, 1, 1]
+
+    # hot-key fallback (chunk the id axis) must agree row-for-row
+    salted = (
+        pack_sequences(ds, budget=6, num_buckets=8, chunk_us=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, salted[out.columns])
