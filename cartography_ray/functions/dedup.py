@@ -1440,3 +1440,126 @@ def decontaminate(
         num_partitions=num_partitions,
         right_schema=pa.schema([("id", pa.int64())]),
     )
+
+
+def span_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Corpus-wide duplicate-SPAN removal (the MassiveText / RefinedWeb
+    sub-document dedup step, at fixed-window granularity): split every
+    document into ``span_tokens``-token chunks, keep each distinct chunk
+    text only at its globally FIRST occurrence (lexicographic min of
+    ``(doc_id, chunk_idx)``), delete every other occurrence, and
+    reassemble documents from their surviving chunks. Output:
+    ``(id_col, text_col)`` — one row per input document (documents that
+    lose every span keep an empty string; whitespace is normalized to
+    single spaces by the chunking step).
+
+    Shape: chunking is the shuffle-free ``chunk_documents`` flat_map.
+    Keep-first is a per-batch combiner (local argmin per chunk text —
+    any local non-min can never be the global min, so dropping it
+    pre-shuffle is exact) followed by ONE chunk-text-keyed
+    ``partial_groupby_agg`` min over the packed occurrence id
+    ``doc_id·2^20 + chunk_idx``. Reassembly is one survivor-sized
+    doc-keyed shuffle (duplicates are already gone, so it ships LESS
+    than the corpus), and the all-documents outer anchor is an id-only
+    ``hash_join`` (no text). Nothing corpus-sized touches the driver.
+    """
+    import ray.data
+
+    from cartography_ray.functions.text import chunk_documents
+    from cartography_ray.ops.agg import _to_clean_arrow, partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.runtime import drop_empty_blocks
+
+    IDX_BITS = 20
+
+    chunks = chunk_documents(
+        ds, id_col=id_col, text_col=text_col, max_tokens=span_tokens
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype("int64")
+        idx = batch.column("chunk_idx").to_numpy(zero_copy_only=False).astype("int64")
+        if idx.size and int(idx.max()) >= (1 << IDX_BITS):
+            raise ValueError(
+                f"span_dedup: document with ≥2^{IDX_BITS} chunks — raise "
+                "span_tokens or widen the packed occurrence id"
+            )
+        return pa.table(
+            {
+                "chunk_text": batch.column("chunk_text"),
+                "occ": pa.array((ids << IDX_BITS) | idx, pa.int64()),
+            }
+        )
+
+    survivors = partial_groupby_agg(
+        chunks.map_batches(pack, batch_format="pyarrow"),
+        ["chunk_text"],
+        {"occ": ("occ", "min")},
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([("chunk_text", pa.string()), ("occ", pa.int64())]),
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        occ = batch.column("occ").to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                id_col: pa.array(occ >> IDX_BITS, pa.int64()),
+                "chunk_idx": pa.array(occ & ((1 << IDX_BITS) - 1), pa.int64()),
+                "chunk_text": batch.column("chunk_text"),
+            }
+        )
+        h = pd.util.hash_pandas_object(
+            pd.Series(occ >> IDX_BITS), index=False
+        ).to_numpy()
+        return out.append_column(
+            "__gb", pa.array((h % num_buckets).astype("int64"), pa.int64())
+        )
+
+    def assemble(group: pd.DataFrame) -> pa.Table:
+        g = (
+            group.sort_values([id_col, "chunk_idx"], kind="mergesort")
+            .groupby(id_col, sort=False)["chunk_text"]
+            .agg(" ".join)
+            .reset_index(name=text_col)
+        )
+        return _to_clean_arrow(g)
+
+    assembled = (
+        survivors.map_batches(unpack, batch_format="pyarrow")
+        .groupby("__gb", num_partitions=num_partitions)
+        .map_groups(assemble, batch_format="pandas")
+    )
+    anchor = ds.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        anchor,
+        assembled,
+        left_on=id_col,
+        how="left",
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()), (text_col, pa.string())]),
+    )
+    return drop_empty_blocks(
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.column(id_col),
+                    text_col: pc.coalesce(
+                        pc.cast(t.column(text_col), pa.string()), pa.scalar("")
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

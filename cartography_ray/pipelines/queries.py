@@ -1398,6 +1398,55 @@ FROM t
 """
 
 
+# 2-token spans collide heavily on this corpus's 31-word vocabulary
+# (93% duplicate chunks at sf0.01) so the keep-first + reassembly paths
+# are exercised for real; production spans are larger (MassiveText uses
+# ~50-token windows) — the operator is span-size-agnostic.
+SPAN_DEDUP_TOKENS = 2
+
+
+def q_docs_span_dedup(sf_dir: str):
+    """Corpus-wide duplicate-span removal (functions/dedup.span_dedup):
+    chunk → global keep-first per chunk text (combiner + ONE text-keyed
+    min shuffle) → survivor-sized reassembly → id-only outer anchor."""
+    rd = _rd()
+    from cartography_ray.functions.dedup import span_dedup
+
+    parts = _parts_for(f"{sf_dir}/documents.parquet")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return span_dedup(ds, span_tokens=SPAN_DEDUP_TOKENS, num_partitions=parts)
+
+
+SQL_DOCS_SPAN_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\v]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {SPAN_DEDUP_TOKENS}.0) AS BIGINT))) AS i
+  FROM d
+), chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         array_to_string(list_slice(toks, i * {SPAN_DEDUP_TOKENS} + 1,
+                                    least((i + 1) * {SPAN_DEDUP_TOKENS}, len(toks))), ' ')
+           AS chunk_text
+  FROM idx
+), ranked AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+), agg AS (
+  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d0.doc_id, coalesce(a.text, '') AS text
+FROM documents d0 LEFT JOIN agg a USING (doc_id)
+"""
+
+
 DECONTAM_NGRAM = 24
 DECONTAM_BENCH_MOD = 41
 
@@ -2818,6 +2867,7 @@ QUERIES: dict[str, Callable] = {
     "docs_chunks": q_docs_chunks,
     "docs_repetition": q_docs_repetition,
     "docs_packed": q_docs_packed,
+    "docs_span_dedup": q_docs_span_dedup,
     "docs_pruned": q_docs_pruned,
     "docs_decontam": q_docs_decontam,
     "docs_decontam_joined": q_docs_decontam_joined,
@@ -2898,6 +2948,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_repetition": SQL_DOCS_REPETITION,
         "docs_packed": SQL_DOCS_PACKED,
+        "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         "docs_pruned": SQL_DOCS_PRUNED,
         "docs_decontam": SQL_DOCS_DECONTAM,
         # the joined twin is the SAME semantics through the distributed

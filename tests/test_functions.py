@@ -1003,3 +1003,34 @@ def test_pack_sequences_offset_binning(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, salted[out.columns])
+
+
+def test_span_dedup_keep_first_semantics(ray_session):
+    """Duplicate spans survive only at the globally-first (doc_id,
+    chunk_idx); later occurrences vanish even within the SAME doc; docs
+    losing every span come back as empty strings."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.dedup import span_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "a b c d a b",     # spans: "a b", "c d", "a b"(dup of own idx0)
+                "c d x y",         # "c d" dup of doc1 → keeps only "x y"
+                "a b",             # fully duplicated → ""
+                "  p  q ",         # whitespace normalizes to "p q"
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        span_dedup(ds, span_tokens=2, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    assert list(out["text"]) == ["a b c d", "x y", "", "p q"]
