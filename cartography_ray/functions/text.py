@@ -601,3 +601,47 @@ def pack_sequences(
         )
 
     return run.map_batches(binned, batch_format="pyarrow")
+
+
+# PII pattern families, applied IN ORDER (urls first — they may contain
+# '@' or digit runs that the later patterns would chew on). RE2 syntax
+# only: the engine runs them through pyarrow.compute (RE2) and the
+# oracle through DuckDB (also RE2), so match semantics are identical by
+# construction — [0-9] instead of \d (Python-unicode vs RE2-ASCII
+# divergence is impossible because Python re is not involved).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^ \t\n\r\f\v]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("handle", r"@[A-Za-z0-9_]+", "<HANDLE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(ds, id_cols: list[str], text_col: str = "text"):
+    """Redact PII-like spans (URLs, emails, @handles, IPv4s) and count
+    them per row — the scrubbing step before text leaves a curation
+    pipeline. Output: ``id_cols + [text_col] + n_<family>...`` with the
+    text fully redacted and each count taken at its stage (i.e. on the
+    text AFTER the earlier families were replaced, so an email's
+    '@domain' tail is never double-counted as a handle).
+
+    Pure shuffle-free ``map_batches``: both the counts
+    (``count_substring_regex``) and the replacements
+    (``replace_substring_regex``) are Arrow C++ kernels over the column
+    — no per-row Python, no state, trivially scale-free.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch.column(text_col), pa.string())
+        counts: dict[str, pa.Array] = {}
+        for name, pat, token in PII_PATTERNS:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64()
+            )
+            txt = pc.replace_substring_regex(txt, pattern=pat, replacement=token)
+        cols = {c: batch.column(c) for c in id_cols}
+        cols[text_col] = txt
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2451,6 +2451,41 @@ def sql_kg_turns(path: str) -> str:
     return f"SELECT conv_id, turn_idx, role, text FROM read_parquet('{path}')"
 
 
+def q_kg_pii_redacted(sf_dir: str):
+    """PII scrubbing over the transcript turns (functions/text.
+    redact_pii): URL/email/@handle/IPv4 spans replaced with typed
+    tokens + per-family counts — Arrow RE2 kernels, shuffle-free."""
+    rd = _rd()
+    from cartography_ray.functions.text import redact_pii
+
+    path = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    return redact_pii(ds, id_cols=["conv_id", "turn_idx"])
+
+
+def sql_kg_pii_redacted(path: str) -> str:
+    from cartography_ray.functions.text import PII_PATTERNS
+
+    (_, p_url, t_url), (_, p_email, t_email), (_, p_handle, t_handle), (
+        _,
+        p_ipv4,
+        t_ipv4,
+    ) = PII_PATTERNS
+    return f"""
+WITH s0 AS (SELECT conv_id, turn_idx, text AS t0 FROM read_parquet('{path}')),
+s1 AS (SELECT conv_id, turn_idx,
+              CAST(len(regexp_extract_all(t0, '{p_url}')) AS BIGINT) AS n_url,
+              regexp_replace(t0, '{p_url}', '{t_url}', 'g') AS t1 FROM s0),
+s2 AS (SELECT *, CAST(len(regexp_extract_all(t1, '{p_email}')) AS BIGINT) AS n_email,
+              regexp_replace(t1, '{p_email}', '{t_email}', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, CAST(len(regexp_extract_all(t2, '{p_handle}')) AS BIGINT) AS n_handle,
+              regexp_replace(t2, '{p_handle}', '{t_handle}', 'g') AS t3 FROM s2),
+s4 AS (SELECT *, CAST(len(regexp_extract_all(t3, '{p_ipv4}')) AS BIGINT) AS n_ipv4,
+              regexp_replace(t3, '{p_ipv4}', '{t_ipv4}', 'g') AS t4 FROM s3)
+SELECT conv_id, turn_idx, t4 AS text, n_url, n_email, n_handle, n_ipv4 FROM s4
+"""
+
+
 def q_kg_mentions(sf_dir: str):
     _, mentions = _kg_mentions_ds(sf_dir)
     keep = mentions.filter(expr="kind != 'alias'")
@@ -2891,6 +2926,7 @@ QUERIES: dict[str, Callable] = {
     "ont_project_customers": q_ont_project_customers,
     "ont_users_merged": q_ont_users_merged,
     "kg_turns": q_kg_turns,
+    "kg_pii_redacted": q_kg_pii_redacted,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
     "kg_alias_components": q_kg_alias_components,
@@ -2970,6 +3006,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "ont_project_customers": SQL_ONT_PROJECT,
         "ont_users_merged": SQL_ONT_MERGED,
         "kg_turns": sql_kg_turns(path),
+        "kg_pii_redacted": sql_kg_pii_redacted(path),
         "kg_mentions": sql_kg_mentions(path),
         "kg_entities": sql_kg_entities(path),
         "kg_alias_components": sql_kg_alias_components(path),

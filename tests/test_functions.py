@@ -1034,3 +1034,34 @@ def test_span_dedup_keep_first_semantics(ray_session):
     )
     assert list(out["doc_id"]) == [1, 2, 3, 4]
     assert list(out["text"]) == ["a b c d", "x y", "", "p q"]
+
+
+def test_redact_pii_stagewise_counts(ray_session):
+    """Families apply in order (url → email → handle → ipv4): an email's
+    @domain tail never double-counts as a handle, urls swallow their
+    own @s/digits first, and counts reflect the stage they ran at."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.text import redact_pii
+
+    df = pd.DataFrame(
+        {
+            "rid": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "ping bob@example.com or @bob via https://x.io/@bob?u=1",
+                "host 10.0.0.1 and 256.1.2.3 (still matches: no range check)",
+                "no pii here",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = redact_pii(ds, id_cols=["rid"]).to_pandas().sort_values("rid").reset_index(drop=True)
+    assert out.loc[0, "text"] == "ping <EMAIL> or <HANDLE> via <URL>"
+    assert (
+        out.loc[0, ["n_url", "n_email", "n_handle", "n_ipv4"]].tolist() == [1, 1, 1, 0]
+    )
+    assert out.loc[1, "text"] == "host <IP> and <IP> (still matches: no range check)"
+    assert out.loc[1, "n_ipv4"] == 2
+    assert out.loc[2, "text"] == "no pii here"
+    assert out.loc[2, ["n_url", "n_email", "n_handle", "n_ipv4"]].sum() == 0
