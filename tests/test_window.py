@@ -319,6 +319,14 @@ def test_asof_join_chunked_matches_unchunked(ray_session):
             chunked = run(how=how, tolerance_us=tol, chunk_us=700)
             pd.testing.assert_frame_equal(base, chunked)
             assert len(base) > 0
+            if tol is None:
+                # carry-in resolution: broadcast (default limit) above;
+                # force the join fan-back plan and demand equality too
+                joined_plan = run(
+                    how=how, tolerance_us=tol, chunk_us=700,
+                    carry_broadcast_limit=0,
+                )
+                pd.testing.assert_frame_equal(base, joined_plan)
 
 
 def test_asof_join_tolerance_and_empty_right(ray_session):
