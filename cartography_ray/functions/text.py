@@ -400,6 +400,36 @@ def prune_frequent_tokens(
 TFIDF_VOCAB_BROADCAST_LIMIT = 2_000_000
 
 
+def _tf_rows_fn(id_col: str, text_col: str):
+    """Per-batch exact ``(id, token, tf)`` rows: a document's text is ONE
+    input row, so its term counts never span batches and tf needs NO
+    shuffle. Tokenization = ``VOCAB_SPLIT_RE`` over lowered text (C-level
+    Arrow kernels), counting = one vectorized pandas groupby."""
+    import pandas as pd
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        lists = pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE)
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(toks, "")
+        toks, parent = toks.filter(keep), parent.filter(keep)
+        df = pd.DataFrame(
+            {"__row": parent.to_numpy(zero_copy_only=False), "token": toks.to_pandas()}
+        )
+        g = df.groupby(["__row", "token"], sort=False).size().reset_index(name="tf")
+        ids = batch.column(id_col).take(pa.array(g["__row"].to_numpy()))
+        return pa.table(
+            {
+                id_col: ids,
+                "token": pa.array(g["token"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    return tf_rows
+
+
 def tfidf_topk(
     ds,
     n_docs: int,
@@ -429,34 +459,14 @@ def tfidf_topk(
     Output: ``(id_col, token, tf, score, rn)`` with ``rn`` the 1-based
     rank (score desc, token asc).
     """
-    import pandas as pd
-
     from cartography_ray.ops.agg import partial_groupby_agg
     from cartography_ray.ops.window import grouped_topk
 
     limit = TFIDF_VOCAB_BROADCAST_LIMIT if vocab_broadcast_limit is None else vocab_broadcast_limit
 
-    def tf_rows(batch: pa.Table) -> pa.Table:
-        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
-        lists = pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE)
-        toks = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists)
-        keep = pc.not_equal(toks, "")
-        toks, parent = toks.filter(keep), parent.filter(keep)
-        df = pd.DataFrame(
-            {"__row": parent.to_numpy(zero_copy_only=False), "token": toks.to_pandas()}
-        )
-        g = df.groupby(["__row", "token"], sort=False).size().reset_index(name="tf")
-        ids = batch.column(id_col).take(pa.array(g["__row"].to_numpy()))
-        return pa.table(
-            {
-                id_col: ids,
-                "token": pa.array(g["token"].to_numpy(), pa.string()),
-                "tf": pa.array(g["tf"].to_numpy().astype("int64"), pa.int64()),
-            }
-        )
-
-    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    tf_ds = ds.map_batches(
+        _tf_rows_fn(id_col, text_col), batch_format="pyarrow"
+    ).materialize()
     # each (doc, token) appears exactly once above → df = row count/token
     df_ds = partial_groupby_agg(
         tf_ds.map_batches(lambda t: t.select(["token"]), batch_format="pyarrow"),
@@ -645,3 +655,135 @@ def redact_pii(ds, id_cols: list[str], text_col: str = "text"):
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lm_score(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nll_scale: int = 1_000_000,
+    vocab_broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Perplexity-proxy quality scoring with a corpus-trained unigram LM
+    (the CCNet-style "score every document against a language model"
+    filter step, with the corpus itself as the model so the operator is
+    self-contained and cross-engine checkable). For each document:
+    ``nll = Σ_tokens tf·floor(nll_scale·ln(T / c(token)))`` where ``c``
+    is the token's corpus count and ``T`` the corpus token total —
+    an integer-exact negative-log-likelihood sum (consumers divide by
+    ``n_tokens`` for the per-token quality signal; high = surprising /
+    low-quality-or-rare). Output: ``(id_col, n_tokens, nll)``, one row
+    per document with ≥1 token (zero-token docs emit nothing — they have
+    no likelihood; filter them upstream with a quality gate).
+
+    Integer-exact by the same construction as ``tfidf_topk``: ONE libm
+    ``ln`` per distinct token on an int-ratio input — bit-identical in
+    numpy and DuckDB on the same host — then int64 multiply/sum.
+
+    Shape: per-batch exact tf rows (no shuffle, see ``_tf_rows_fn``) →
+    vocab-sized count aggregation (ONE shuffle of per-batch partials) →
+    nll map broadcast ≤ ``vocab_broadcast_limit`` / ``hash_join`` above
+    → doc-keyed sum aggregation (per-batch combiner, ONE shuffle of
+    doc-sized partials). The corpus token stream itself never shuffles.
+    """
+    import ray
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    limit = (
+        TFIDF_VOCAB_BROADCAST_LIMIT
+        if vocab_broadcast_limit is None
+        else vocab_broadcast_limit
+    )
+
+    tf_ds = ds.map_batches(
+        _tf_rows_fn(id_col, text_col), batch_format="pyarrow"
+    ).materialize()
+    id_type = _arrow_field_type(tf_ds, id_col)
+    counts = partial_groupby_agg(
+        tf_ds,
+        ["token"],
+        {"c": ("tf", "sum")},
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([("token", pa.string()), ("c", pa.int64())]),
+    ).materialize()
+    if counts.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [(id_col, id_type), ("n_tokens", pa.int64()), ("nll", pa.int64())]
+            ).empty_table()
+        )
+    total = int(counts.sum("c"))
+
+    def nll_of(c: np.ndarray) -> np.ndarray:
+        return np.floor(
+            nll_scale * np.log(float(total) / c.astype("float64"))
+        ).astype("int64")
+
+    if counts.count() <= limit:
+        vocab = counts.to_pandas()
+        nll_map_ref = ray.put(
+            dict(zip(vocab["token"], nll_of(vocab["c"].to_numpy())))
+        )
+
+        def weigh(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            m = _ray.get(nll_map_ref)
+            toks = t.column("token").to_pandas()
+            nll = toks.map(m).to_numpy().astype("int64")
+            tf = t.column("tf").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "tf": t.column("tf"),
+                    "w": pa.array(tf * nll, pa.int64()),
+                }
+            )
+
+        weighted = tf_ds.map_batches(weigh, batch_format="pyarrow")
+    else:
+        from cartography_ray.ops.joins import hash_join
+
+        nll_ds = counts.map_batches(
+            lambda t: pa.table(
+                {
+                    "token": t.column("token"),
+                    "nll": pa.array(
+                        nll_of(t.column("c").to_numpy(zero_copy_only=False)),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        weighted = hash_join(
+            tf_ds, nll_ds, left_on="token", num_partitions=num_partitions
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "tf": t.column("tf"),
+                    "w": pc.multiply(t.column("tf"), t.column("nll")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return partial_groupby_agg(
+        weighted,
+        [id_col],
+        {"n_tokens": ("tf", "sum"), "nll": ("w", "sum")},
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [(id_col, id_type), ("n_tokens", pa.int64()), ("nll", pa.int64())]
+        ),
+    )
+
+
+def _arrow_field_type(ds, col: str) -> pa.DataType:
+    schema = ds.schema()
+    return schema.base_schema.field(col).type if hasattr(
+        schema, "base_schema"
+    ) else schema.field(col).type

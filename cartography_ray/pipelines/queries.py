@@ -1248,6 +1248,40 @@ SELECT doc_id, token, tf, score, rn FROM (
 """
 
 
+def q_docs_lm_score(sf_dir: str):
+    """Perplexity-proxy quality scoring against a corpus-trained unigram
+    LM (functions/text.lm_score) — integer-exact NLL sums (ONE libm ln
+    per distinct token), token stream never shuffles."""
+    rd = _rd()
+    from cartography_ray.functions.text import lm_score
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    return lm_score(ds, num_partitions=_parts_for(path))
+
+
+SQL_DOCS_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY 1, 2
+), c AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+), nll AS (
+  SELECT token, CAST(floor(1000000 * ln(
+      CAST((SELECT SUM(c) FROM c) AS DOUBLE) / c)) AS BIGINT) AS nll
+  FROM c
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * nll.nll) AS BIGINT) AS nll
+FROM tf JOIN nll USING (token)
+GROUP BY 1
+"""
+
+
 def q_docs_heavy_tokens(sf_dir: str):
     """Shuffle-free Misra-Gries heavy hitters over the token stream
     (ops/sketches.heavy_hitters) — the sketch-path twin of
@@ -2899,6 +2933,7 @@ QUERIES: dict[str, Callable] = {
     "docs_token_freq": q_docs_token_freq,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_tfidf": q_docs_tfidf,
+    "docs_lm_score": q_docs_lm_score,
     "docs_chunks": q_docs_chunks,
     "docs_repetition": q_docs_repetition,
     "docs_packed": q_docs_packed,
@@ -2981,6 +3016,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # property-tested instead
         "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
         "docs_tfidf": SQL_DOCS_TFIDF,
+        "docs_lm_score": SQL_DOCS_LM_SCORE,
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_repetition": SQL_DOCS_REPETITION,
         "docs_packed": SQL_DOCS_PACKED,

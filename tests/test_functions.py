@@ -1065,3 +1065,44 @@ def test_redact_pii_stagewise_counts(ray_session):
     assert out.loc[1, "n_ipv4"] == 2
     assert out.loc[2, "text"] == "no pii here"
     assert out.loc[2, ["n_url", "n_email", "n_handle", "n_ipv4"]].sum() == 0
+
+
+def test_lm_score_vs_bruteforce_and_strategies(ray_session):
+    """Unigram-LM NLL sums equal a numpy brute force, and the broadcast
+    and join vocab strategies emit identical rows."""
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.text import lm_score
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["a b a", "b c", "a a a a", "???"],  # doc 3: no tokens
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = lm_score(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # corpus: a=6, b=2, c=1, T=9
+    def nll(c):
+        return math.floor(1_000_000 * math.log(9.0 / c))
+
+    want = {
+        0: (3, 2 * nll(6) + nll(2)),
+        1: (2, nll(2) + nll(1)),
+        2: (4, 4 * nll(6)),
+    }
+    assert list(out["doc_id"]) == [0, 1, 2]  # zero-token doc emits nothing
+    for _, row in out.iterrows():
+        assert (row["n_tokens"], row["nll"]) == want[row["doc_id"]]
+
+    joined = (
+        lm_score(ds, vocab_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, joined[out.columns])
