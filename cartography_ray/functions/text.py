@@ -787,3 +787,67 @@ def _arrow_field_type(ds, col: str) -> pa.DataType:
     return schema.base_schema.field(col).type if hasattr(
         schema, "base_schema"
     ) else schema.field(col).type
+
+
+# explicit ASCII whitespace inside the class (no \s: Python re is
+# unicode-aware where RE2 is ASCII) so engine and oracle tokenize URLs
+# identically; group 1 is the host
+URL_DOMAIN_RE = r"https?://([^/ \t\n\r\f\v:]+)"
+
+
+def domain_frequency(ds, text_col: str = "text", top_n: int = 100,
+                     num_partitions: int | None = None):
+    """Top source domains by URL mention count (the web-curation
+    blocklist / per-domain mixing sweep): extract every URL host from
+    the text, lowercase, count corpus-wide, return the top ``top_n``
+    as ``(domain, n)`` — count desc, domain asc.
+
+    Same shape as ``token_frequency``: per-batch extract+count combiner
+    (compiled ``findall`` per row is the only per-row work — C-level
+    regex scan) → ONE domain-keyed shuffle of domain-sized partials →
+    per-block prune → candidate-only global sort. SQL twin:
+    ``regexp_extract_all(text, pat, 1)`` + GROUP BY.
+    """
+    import pandas as pd
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.runtime import drop_empty_blocks
+
+    pat = re.compile(URL_DOMAIN_RE)
+
+    def extract_count(batch: pa.Table) -> pa.Table:
+        doms: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                doms.extend(pat.findall(t))
+        vc = pd.Series([d.lower() for d in doms], dtype="object").value_counts(
+            sort=False
+        )
+        return pa.table(
+            {
+                "domain": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    totals = partial_groupby_agg(
+        ds.map_batches(extract_count, batch_format="pyarrow"),
+        ["domain"], {"n": ("n", "sum")}, num_partitions=num_partitions,
+        empty_schema=pa.schema([("domain", pa.string()), ("n", pa.int64())]),
+    ).materialize()
+    if totals.count() == 0:
+        return totals
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "domain"], ascending=[False, True], kind="mergesort"
+        ).head(top_n)
+        return pa.table(
+            {
+                "domain": pa.array(df["domain"].to_numpy(), pa.string()),
+                "n": pa.array(df["n"].to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    pruned = drop_empty_blocks(totals.map_batches(prune, batch_format="pyarrow"))
+    return pruned.sort(["n", "domain"], descending=[True, False]).limit(top_n)

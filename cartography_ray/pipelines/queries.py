@@ -2520,6 +2520,31 @@ SELECT conv_id, turn_idx, t4 AS text, n_url, n_email, n_handle, n_ipv4 FROM s4
 """
 
 
+def q_kg_domains(sf_dir: str):
+    """Top source domains by URL mention count over the transcript turns
+    (functions/text.domain_frequency) — the web-curation blocklist /
+    per-domain mixing sweep; combiner → one domain-keyed shuffle."""
+    rd = _rd()
+    from cartography_ray.functions.text import domain_frequency
+
+    path = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["text"])
+    return domain_frequency(ds, top_n=50, num_partitions=_parts_for(path))
+
+
+def sql_kg_domains(path: str) -> str:
+    from cartography_ray.functions.text import URL_DOMAIN_RE
+
+    return f"""
+WITH urls AS (
+  SELECT lower(unnest(regexp_extract_all(text, '{URL_DOMAIN_RE}', 1))) AS domain
+  FROM read_parquet('{path}')
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n
+FROM urls GROUP BY 1 ORDER BY n DESC, domain ASC LIMIT 50
+"""
+
+
 def q_kg_mentions(sf_dir: str):
     _, mentions = _kg_mentions_ds(sf_dir)
     keep = mentions.filter(expr="kind != 'alias'")
@@ -2962,6 +2987,7 @@ QUERIES: dict[str, Callable] = {
     "ont_users_merged": q_ont_users_merged,
     "kg_turns": q_kg_turns,
     "kg_pii_redacted": q_kg_pii_redacted,
+    "kg_domains": q_kg_domains,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
     "kg_alias_components": q_kg_alias_components,
@@ -3043,6 +3069,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "ont_users_merged": SQL_ONT_MERGED,
         "kg_turns": sql_kg_turns(path),
         "kg_pii_redacted": sql_kg_pii_redacted(path),
+        "kg_domains": sql_kg_domains(path),
         "kg_mentions": sql_kg_mentions(path),
         "kg_entities": sql_kg_entities(path),
         "kg_alias_components": sql_kg_alias_components(path),

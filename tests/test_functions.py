@@ -1106,3 +1106,29 @@ def test_lm_score_vs_bruteforce_and_strategies(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, joined[out.columns])
+
+
+def test_domain_frequency_topn(ray_session):
+    """URL-host extraction + corpus counts: multiple urls per row, hosts
+    lowercased, port/path stripped, ties order domain asc, top_n cuts."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.text import domain_frequency
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "see https://A.com/x and http://b.org/y?z=1",
+                "again https://a.com:8080/p plus https://c.net",
+                "no urls here",
+                "https://b.org",
+            ]
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = domain_frequency(ds, top_n=2).to_pandas()
+    assert list(out["domain"]) == ["a.com", "b.org"]  # 2, 2 → tie, asc
+    assert list(out["n"]) == [2, 2]
+    full = domain_frequency(ds, top_n=10).to_pandas()
+    assert dict(zip(full["domain"], full["n"])) == {"a.com": 2, "b.org": 2, "c.net": 1}
