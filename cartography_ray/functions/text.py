@@ -851,3 +851,47 @@ def domain_frequency(ds, text_col: str = "text", top_n: int = 100,
 
     pruned = drop_empty_blocks(totals.map_batches(prune, batch_format="pyarrow"))
     return pruned.sort(["n", "domain"], descending=[True, False]).limit(top_n)
+
+
+# GPT-2-style pre-tokenizer, RE2-compatible (ASCII classes, no
+# lookahead — RE2 has none): contractions, then optionally-space-
+# prefixed letter runs / digit runs / punctuation runs. No whitespace
+# alternative: the scan simply skips unmatched whitespace, so counting
+# matches counts pre-tokens directly. The engine counts it with Arrow's
+# RE2 and the oracle with DuckDB's RE2, so Python re (whose quantifier
+# semantics could differ) is never involved.
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\r\f\v]+"
+)
+
+
+def bpe_token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Token counting the way a BPE training-data budget does it
+    (SURVEY §2.13 "whitespace + a BPE-ish regex"): per document, the
+    whitespace token count AND the GPT-2-style pre-token count
+    (``BPE_SPLIT_RE`` matches — the units a byte-pair tokenizer would
+    start from, a far better proxy for model tokens than whitespace
+    words on code/punctuation-heavy text).
+    Output: ``(id_col, n_ws_tokens, n_bpe_tokens)``.
+
+    Shuffle-free ``map_batches``; both counts are single Arrow RE2
+    kernels over the column — no per-row Python.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch.column(text_col), pa.string())
+        # whitespace tokens = non-whitespace runs
+        n_ws = pc.count_substring_regex(txt, r"[^ \t\n\r\f\v]+")
+        n_bpe = pc.count_substring_regex(txt, BPE_SPLIT_RE)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_ws_tokens": pc.cast(n_ws, pa.int64()),
+                "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

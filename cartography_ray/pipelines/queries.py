@@ -1248,6 +1248,33 @@ SELECT doc_id, token, tf, score, rn FROM (
 """
 
 
+def q_docs_bpe_tokens(sf_dir: str):
+    """Whitespace + GPT-2-style BPE pre-token counts per document
+    (functions/text.bpe_token_count) — both Arrow RE2 kernels,
+    shuffle-free; the training-token budget proxy."""
+    rd = _rd()
+    from cartography_ray.functions.text import bpe_token_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_token_count(ds)
+
+
+def _sql_docs_bpe_tokens() -> str:
+    from cartography_ray.functions.text import BPE_SPLIT_RE as _raw
+
+    # the contraction alternative contains single quotes — double them
+    # for the SQL string literal
+    BPE_SPLIT_RE = _raw.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_SPLIT_RE}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_docs_lm_score(sf_dir: str):
     """Perplexity-proxy quality scoring against a corpus-trained unigram
     LM (functions/text.lm_score) — integer-exact NLL sums (ONE libm ln
@@ -2958,6 +2985,7 @@ QUERIES: dict[str, Callable] = {
     "docs_token_freq": q_docs_token_freq,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_tfidf": q_docs_tfidf,
+    "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_lm_score": q_docs_lm_score,
     "docs_chunks": q_docs_chunks,
     "docs_repetition": q_docs_repetition,
@@ -3042,6 +3070,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # property-tested instead
         "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
         "docs_tfidf": SQL_DOCS_TFIDF,
+        "docs_bpe_tokens": _sql_docs_bpe_tokens(),
         "docs_lm_score": SQL_DOCS_LM_SCORE,
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_repetition": SQL_DOCS_REPETITION,

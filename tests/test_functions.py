@@ -1132,3 +1132,28 @@ def test_domain_frequency_topn(ray_session):
     assert list(out["n"]) == [2, 2]
     full = domain_frequency(ds, top_n=10).to_pandas()
     assert dict(zip(full["domain"], full["n"])) == {"a.com": 2, "b.org": 2, "c.net": 1}
+
+
+def test_bpe_token_count_pretokens(ray_session):
+    """GPT-2-style pre-token counts: contractions split, punctuation
+    runs separate, space prefixes absorbed, whitespace skipped."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.text import bpe_token_count
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "it's done, v2.0 works!",   # it|'s| done|,| v|2|.|0| works|!
+                "  spaced   out  ",
+                "",
+                "a=1;b=2 // comment",       # a|=|1|;|b|=|2| //| comment
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = bpe_token_count(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_bpe_tokens"]) == [10, 2, 0, 9]
+    assert list(out["n_ws_tokens"]) == [4, 2, 0, 3]
