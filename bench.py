@@ -128,6 +128,13 @@ def run_queries(sf_dir: str) -> dict:
         "docs_decontam",
         "docs_pruned",
         "docs_repetition",
+        "docs_packed",
+        "docs_span_dedup",
+        "docs_lm_score",
+        "docs_bpe_tokens",
+        "events_attribution_salted",
+        "kg_pii_redacted",
+        "kg_domains",
     ]
     out = {}
     for name in names:
