@@ -316,6 +316,45 @@ def deterministic_sample(ds, id_col: str, rate: float, salt: int = 0):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def hash_split(ds, key_col: str, fractions: dict[str, float], salt: int = 0):
+    """Leakage-safe deterministic dataset split: label every row
+    ``train``/``val``/``test`` (any labels) by hashing ``key_col`` into
+    cumulative fraction bands. All rows sharing a key land in the SAME
+    split — split by conversation/user/document id, not by row, so no
+    train/test leakage through shared keys. RNG-free and
+    order-independent (``sample_hash``), so resumed runs and the SQL
+    twin assign identical labels.
+
+    ``fractions``: ordered ``label → fraction`` (must sum to 1 within
+    1e-9; the last band absorbs integer-rounding remainder). Output: the
+    input columns + ``split``. Pure per-batch append — no shuffle.
+    SQL twin: ``CASE WHEN h < c1 THEN l1 WHEN h < c2 THEN l2 ... END``
+    over the sample_hash expression.
+    """
+    import pyarrow as pa
+
+    labels = list(fractions)
+    if len(labels) < 2:
+        raise ValueError("hash_split: need at least two labels")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"hash_split: fractions must sum to 1, got {total}")
+    cuts = []
+    acc = 0.0
+    for lab in labels[:-1]:
+        acc += fractions[lab]
+        cuts.append(int(acc * SAMPLE_MOD))
+    cuts_arr = np.array(cuts, dtype=np.int64)
+    labels_arr = np.array(labels, dtype=object)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(key_col).to_numpy(zero_copy_only=False)
+        band = np.searchsorted(cuts_arr, sample_hash(ids, salt), side="right")
+        return t.append_column("split", pa.array(labels_arr[band], pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def mix_sources(sources, id_col: str):
     """Deterministic weighted corpus mixing (training-data assembly):
     each source contributes a Bernoulli-by-hash sample at its own rate,

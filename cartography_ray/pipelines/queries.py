@@ -740,6 +740,42 @@ WHERE (CAST(event_id AS UBIGINT) % 4294967296) * 2654435761 % 4294967296
 """
 
 
+SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_events_split(sf_dir: str):
+    """Leakage-safe train/val/test split (ops/window.hash_split): every
+    event labeled by its USER's hash band, so one user's events never
+    straddle splits — per-batch append, no shuffle, RNG-free."""
+    rd = _rd()
+    from cartography_ray.ops.window import hash_split
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return hash_split(ds, "user_id", SPLIT_FRACS)
+
+
+def _sql_events_split() -> str:
+    mod = 1 << 32
+    c1 = int(SPLIT_FRACS["train"] * mod)
+    c2 = int((SPLIT_FRACS["train"] + SPLIT_FRACS["val"]) * mod)
+    return f"""
+SELECT event_id, user_id,
+       CASE WHEN h < {c1} THEN 'train'
+            WHEN h < {c2} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT event_id, user_id,
+         (CAST(user_id AS UBIGINT) % 4294967296) * 2654435761 % 4294967296 AS h
+  FROM events
+)
+"""
+
+
+SQL_EVENTS_SPLIT = _sql_events_split()
+
+
 def q_events_stratified(sf_dir: str):
     """Exactly-k-per-group deterministic sample (grouped_topk over the
     sampling score — per-batch combiner bounds shuffle volume)."""
@@ -2976,6 +3012,7 @@ QUERIES: dict[str, Callable] = {
     "events_winsorized": q_events_winsorized,
     "events_pivot": q_events_pivot,
     "events_sample": q_events_sample,
+    "events_split": q_events_split,
     "events_stratified": q_events_stratified,
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_hll": q_events_distinct_users_hll,
@@ -3058,6 +3095,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_winsorized": SQL_EVENTS_WINSORIZED,
         "events_pivot": SQL_EVENTS_PIVOT,
         "events_sample": SQL_EVENTS_SAMPLE,
+        "events_split": SQL_EVENTS_SPLIT,
         "events_stratified": SQL_EVENTS_STRATIFIED,
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         # events_distinct_users_hll is approximate-by-design → rows-only

@@ -964,3 +964,39 @@ def test_with_ntile_matches_sql_semantics(ray_session):
     for k, sz in sizes.items():
         expect.extend(ref_ntile(sz, 4))
     assert list(out["tile"]) == expect
+
+
+def test_hash_split_key_cohesion(ray_session):
+    """All rows of one key land in the same split, labels cover the
+    fraction bands, and malformed fractions raise."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from cartography_ray.ops.window import hash_split
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype="int64"),
+            "key": (np.arange(n, dtype="int64") * 7) % 200,  # 20 rows/key
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = hash_split(ds, "key", {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    assert len(out) == n
+    per_key = out.groupby("key")["split"].nunique()
+    assert (per_key == 1).all()  # leakage-safe: one split per key
+    shares = out["split"].value_counts(normalize=True)
+    assert shares["train"] > 0.6 and shares["train"] < 0.95
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # determinism across a second invocation
+    again = hash_split(ds, "key", {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("rid").reset_index(drop=True),
+        again.sort_values("rid").reset_index(drop=True),
+    )
+    with pytest.raises(ValueError):
+        hash_split(ds, "key", {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        hash_split(ds, "key", {"all": 1.0})
