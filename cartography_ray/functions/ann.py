@@ -658,3 +658,83 @@ def knn_ivf_indexed(
     sub = ray.data.read_parquet(hit_files, columns=[id_col, vec_col])
     stats["rows_scanned"] = _parquet_row_count(hit_files)
     return knn_brute(sub, queries, k=k, id_col=id_col, vec_col=vec_col), stats
+
+
+def pca_fit(ds, vec_col: str = "embedding", k: int = 8):
+    """Distributed PCA fit over an embedding column: per-batch moment
+    partials (count, Σx, X·Xᵀ-sum as ONE float64 GEMM per batch) → a
+    block-count-sized collect → d×d covariance eigendecomposition on the
+    driver (d is the embedding width — driver work is O(d²) memory and
+    O(d³) flops regardless of corpus size; the corpus streams once and
+    never gathers).
+
+    Returns ``(mean, components)``: ``mean`` shape (d,), ``components``
+    shape (d, k) — top-k eigenvectors of the population covariance,
+    eigenvalue-descending, each sign-fixed so its largest-|entry| is
+    positive (deterministic across block orders and engines).
+    """
+    import ray.data  # noqa: F401  (ds is already a Dataset)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix_of(batch, vec_col)
+        if x.size == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.float64())),
+                    "ss": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "ss": pa.array([(x.T @ x).ravel().tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        raise ValueError("pca_fit: empty input")
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack([np.asarray(v) for v in parts["s"]]), axis=0)
+    ss = np.sum(np.stack([np.asarray(v) for v in parts["ss"]]), axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]
+    # sign convention: the largest-|entry| of each component is positive
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    return mean, comps * flip
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                out_col: str = "pca"):
+    """Project every embedding onto fitted PCA components: one float64
+    GEMM per batch against the broadcast (d×k) basis — shuffle-free,
+    stateless, streaming. Output: ``(id_col, out_col)`` with ``out_col``
+    a list<double> of length k."""
+    import ray
+
+    basis_ref = ray.put((np.asarray(mean), np.asarray(components)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        mu, comps = _ray.get(basis_ref)
+        x = _matrix_of(batch, vec_col)
+        proj = (x - mu) @ comps if x.size else np.zeros((0, comps.shape[1]))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                out_col: pa.array(
+                    [row.tolist() for row in proj], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2074,6 +2074,25 @@ SELECT id_a, id_b, sim6 FROM p WHERE sim6 >= {EMB_NEARDUP_TAU}
 """
 
 
+PCA_K = 8
+
+
+def q_emb_pca(sf_dir: str):
+    """Distributed PCA (functions/ann.pca_fit/pca_project): streaming
+    per-batch moment partials → driver d×d eigh → broadcast basis →
+    per-batch projection GEMM. Rows-only (eigendecomposition is not
+    SQL-expressible); invariants are property-tested against numpy
+    (tests/test_functions.py::test_pca_matches_numpy_reference)."""
+    rd = _rd()
+    from cartography_ray.functions.ann import pca_fit, pca_project
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mean, comps = pca_fit(ds, k=PCA_K)
+    return pca_project(ds, mean, comps)
+
+
 def q_emb_semantic_dedup(sf_dir: str):
     """Semantic dedup: one keeper (min vec_id) per near-duplicate
     CLUSTER — transitive closure over the cosine near-dup pairs via the
@@ -3043,6 +3062,7 @@ QUERIES: dict[str, Callable] = {
     "emb_knn_lsh": q_emb_knn_lsh,
     "emb_knn_ivf": q_emb_knn_ivf,
     "emb_neardup": q_emb_neardup,
+    "emb_pca": q_emb_pca,
     "emb_semantic_dedup": q_emb_semantic_dedup,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "one_to_many_part_words": q_one_to_many_part_words,

@@ -1157,3 +1157,52 @@ def test_bpe_token_count_pretokens(ray_session):
     out = bpe_token_count(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(out["n_bpe_tokens"]) == [10, 2, 0, 9]
     assert list(out["n_ws_tokens"]) == [4, 2, 0, 3]
+
+
+def test_pca_matches_numpy_reference(ray_session):
+    """Distributed moment-partial PCA equals a single-machine numpy
+    reference (same sign convention) to float tolerance; components are
+    orthonormal, variances descend, and full-rank projection preserves
+    pairwise distances."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.ann import pca_fit, pca_project
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 12
+    # anisotropic cloud so the spectrum is distinct
+    x = rng.normal(size=(n, d)) * np.linspace(5, 0.2, d)
+    df = pd.DataFrame(
+        {
+            "vec_id": pa.array(np.arange(n, dtype="int64"), pa.int64()),
+            "embedding": [row.astype(np.float32).tolist() for row in x],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    k = 4
+    mean, comps = pca_fit(ds, k=k)
+
+    xf = x.astype(np.float32).astype(np.float64)  # what the engine saw
+    mu = xf.mean(axis=0)
+    cov = (xf - mu).T @ (xf - mu) / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    ref = evecs[:, order]
+    flip = np.sign(ref[np.abs(ref).argmax(axis=0), np.arange(k)])
+    ref = ref * flip
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-6)
+    assert np.allclose(comps.T @ comps, np.eye(k), atol=1e-9)  # orthonormal
+    var = ((xf - mu) @ comps).var(axis=0)
+    assert (np.diff(var) <= 1e-9).all()  # variance descends
+
+    proj = (
+        pca_project(ds, mean, comps)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = np.stack([np.asarray(v) for v in proj["pca"]])
+    assert np.allclose(got, (xf - mu) @ comps, atol=1e-9)
