@@ -1449,6 +1449,8 @@ def span_dedup(
     span_tokens: int = 8,
     num_buckets: int = 64,
     num_partitions: int | None = None,
+    payload: str = "text",
+    bloom_bits: int = 1 << 22,
 ):
     """Corpus-wide duplicate-SPAN removal (the MassiveText / RefinedWeb
     sub-document dedup step, at fixed-window granularity): split every
@@ -1461,14 +1463,28 @@ def span_dedup(
     single spaces by the chunking step).
 
     Shape: chunking is the shuffle-free ``chunk_documents`` flat_map.
-    Keep-first is a per-batch combiner (local argmin per chunk text —
+    Keep-first is a per-batch combiner (local argmin per chunk key —
     any local non-min can never be the global min, so dropping it
-    pre-shuffle is exact) followed by ONE chunk-text-keyed
-    ``partial_groupby_agg`` min over the packed occurrence id
-    ``doc_id·2^20 + chunk_idx``. Reassembly is one survivor-sized
-    doc-keyed shuffle (duplicates are already gone, so it ships LESS
-    than the corpus), and the all-documents outer anchor is an id-only
-    ``hash_join`` (no text). Nothing corpus-sized touches the driver.
+    pre-shuffle is exact) followed by ONE keyed ``partial_groupby_agg``
+    min over the packed occurrence id ``doc_id·2^20 + chunk_idx``.
+    Reassembly is one survivor-sized doc-keyed shuffle, and the
+    all-documents outer anchor is an id-only ``hash_join`` (no text).
+    Nothing corpus-sized touches the driver.
+
+    ``payload`` picks what the DEDUP shuffle ships (the minhash payload
+    pattern):
+    - ``"text"`` (default, exact): the chunk text is the groupby key.
+    - ``"hash"`` (the 100-TB posture): the dedup exchange ships only
+      ``(h1, h2, occ)`` — a 128-bit siphash of the chunk text in two
+      independently-keyed 64-bit halves — and survivor text is fetched
+      afterwards with a bloom-prefiltered semi-join of the (cheaply
+      recomputed) chunk stream against the skinny survivor occ set, so
+      non-surviving chunk text never enters ANY exchange. One more
+      (skinny) exchange than ``"text"``, but exchange bytes no longer
+      scale with span width. Equal-hash distinct spans are treated as
+      duplicates (128-bit: negligible; false bloom positives only waste
+      shuffle rows, never correctness). Output-identical to ``"text"``
+      (test-asserted, and the catalogue twin shares the oracle).
     """
     import ray.data
 
@@ -1476,6 +1492,9 @@ def span_dedup(
     from cartography_ray.ops.agg import _to_clean_arrow, partial_groupby_agg
     from cartography_ray.ops.joins import hash_join
     from cartography_ray.runtime import drop_empty_blocks
+
+    if payload not in ("text", "hash"):
+        raise ValueError(f"span_dedup: payload must be text|hash, got {payload!r}")
 
     IDX_BITS = 20
 
@@ -1498,14 +1517,60 @@ def span_dedup(
             }
         )
 
-    survivors = partial_groupby_agg(
-        chunks.map_batches(pack, batch_format="pyarrow"),
-        ["chunk_text"],
-        {"occ": ("occ", "min")},
-        num_buckets=num_buckets,
-        num_partitions=num_partitions,
-        empty_schema=pa.schema([("chunk_text", pa.string()), ("occ", pa.int64())]),
-    )
+    packed = chunks.map_batches(pack, batch_format="pyarrow")
+
+    if payload == "text":
+        survivors = partial_groupby_agg(
+            packed,
+            ["chunk_text"],
+            {"occ": ("occ", "min")},
+            num_buckets=num_buckets,
+            num_partitions=num_partitions,
+            empty_schema=pa.schema(
+                [("chunk_text", pa.string()), ("occ", pa.int64())]
+            ),
+        )
+    else:
+        packed = packed.materialize()  # consumed twice: skinny agg + probe
+
+        def skinny(batch: pa.Table) -> pa.Table:
+            s = pd.Series(batch.column("chunk_text").to_pandas())
+            h1 = pd.util.hash_pandas_object(s, index=False, hash_key="0123456789123456")
+            h2 = pd.util.hash_pandas_object(s, index=False, hash_key="fedcba9876543210")
+            return pa.table(
+                {
+                    "h1": pa.array(h1.to_numpy().view("int64"), pa.int64()),
+                    "h2": pa.array(h2.to_numpy().view("int64"), pa.int64()),
+                    "occ": batch.column("occ"),
+                }
+            )
+
+        surv_occ = partial_groupby_agg(
+            packed.map_batches(skinny, batch_format="pyarrow"),
+            ["h1", "h2"],
+            {"occ": ("occ", "min")},
+            num_buckets=num_buckets,
+            num_partitions=num_partitions,
+            empty_schema=pa.schema(
+                [("h1", pa.int64()), ("h2", pa.int64()), ("occ", pa.int64())]
+            ),
+        ).map_batches(lambda t: t.select(["occ"]), batch_format="pyarrow")
+        survivors = hash_join(
+            packed,
+            surv_occ,
+            left_on="occ",
+            how="semi",
+            num_buckets=num_buckets,
+            num_partitions=num_partitions,
+            left_schema=pa.schema(
+                [("chunk_text", pa.string()), ("occ", pa.int64())]
+            ),
+            right_schema=pa.schema([("occ", pa.int64())]),
+            bloom_prefilter_bits=bloom_bits,
+        )
+        # zero-row join blocks skip the unpack UDF below and reach the
+        # reassembly shuffle without __gb (Ray 2.49 empty-block rule)
+        survivors = drop_empty_blocks(survivors)
 
     def unpack(batch: pa.Table) -> pa.Table:
         occ = batch.column("occ").to_numpy(zero_copy_only=False)

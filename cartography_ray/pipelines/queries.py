@@ -1514,6 +1514,21 @@ def q_docs_span_dedup(sf_dir: str):
     return span_dedup(ds, span_tokens=SPAN_DEDUP_TOKENS, num_partitions=parts)
 
 
+def q_docs_span_dedup_hashed(sf_dir: str):
+    """The 100-TB plan twin of ``docs_span_dedup``: the dedup exchange
+    ships (128-bit hash, occ) only; survivor text is fetched by a
+    bloom-prefiltered semi-join. Same oracle — plan equivalence proved
+    through the driver gate."""
+    rd = _rd()
+    from cartography_ray.functions.dedup import span_dedup
+
+    parts = _parts_for(f"{sf_dir}/documents.parquet")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return span_dedup(
+        ds, span_tokens=SPAN_DEDUP_TOKENS, num_partitions=parts, payload="hash"
+    )
+
+
 SQL_DOCS_SPAN_DEDUP = f"""
 WITH d AS (
   SELECT doc_id,
@@ -3047,6 +3062,7 @@ QUERIES: dict[str, Callable] = {
     "docs_repetition": q_docs_repetition,
     "docs_packed": q_docs_packed,
     "docs_span_dedup": q_docs_span_dedup,
+    "docs_span_dedup_hashed": q_docs_span_dedup_hashed,
     "docs_pruned": q_docs_pruned,
     "docs_decontam": q_docs_decontam,
     "docs_decontam_joined": q_docs_decontam_joined,
@@ -3134,6 +3150,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_repetition": SQL_DOCS_REPETITION,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
+        # plan twin through the hash-payload + bloom-semi-join path —
+        # identical oracle proves plan equivalence
+        "docs_span_dedup_hashed": SQL_DOCS_SPAN_DEDUP,
         "docs_pruned": SQL_DOCS_PRUNED,
         "docs_decontam": SQL_DOCS_DECONTAM,
         # the joined twin is the SAME semantics through the distributed

@@ -1035,6 +1035,18 @@ def test_span_dedup_keep_first_semantics(ray_session):
     assert list(out["doc_id"]) == [1, 2, 3, 4]
     assert list(out["text"]) == ["a b c d", "x y", "", "p q"]
 
+    # the skinny hash-payload plan (128-bit dedup key + bloom-semi-join
+    # text fetch) must emit identical rows
+    import pandas as _pd
+
+    hashed = (
+        span_dedup(ds, span_tokens=2, num_buckets=8, payload="hash")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    _pd.testing.assert_frame_equal(out, hashed[out.columns])
+
 
 def test_redact_pii_stagewise_counts(ray_session):
     """Families apply in order (url → email → handle → ipv4): an email's
