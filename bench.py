@@ -135,6 +135,10 @@ def run_queries(sf_dir: str) -> dict:
         "events_attribution_salted",
         "kg_pii_redacted",
         "kg_domains",
+        "events_rolling",
+        "events_retention",
+        "events_funnel",
+        "docs_bigrams",
     ]
     out = {}
     for name in names:

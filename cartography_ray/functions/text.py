@@ -165,13 +165,30 @@ def token_frequency(ds, text_col: str = "text", top_n: int = 100,
             }
         )
 
-    totals = partial_groupby_agg(
+    return _count_topn(
         ds.map_batches(tokenize_count, batch_format="pyarrow"),
-        ["token"], {"n": ("n", "sum")}, num_partitions=num_partitions,
+        key_col="token", top_n=top_n, num_partitions=num_partitions,
+    )
+
+
+def _count_topn(partials, key_col: str, top_n: int,
+                num_partitions: int | None = None):
+    """Shared tail of the frequency sweeps: exact totals over per-batch
+    (key, n) count partials → per-block top-n prune → candidate sort.
+    After the groupby every key's total lives in exactly one block, so
+    the global top-n is a subset of the per-block top-ns."""
+    import pandas as pd
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.runtime import drop_empty_blocks
+
+    totals = partial_groupby_agg(
+        partials,
+        [key_col], {"n": ("n", "sum")}, num_partitions=num_partitions,
         # a whitespace-only / fully-filtered corpus yields zero tokens —
         # a realistic state after an upstream quality filter; return a
         # typed empty instead of crashing the shuffle finalize
-        empty_schema=pa.schema([("token", pa.string()), ("n", pa.int64())]),
+        empty_schema=pa.schema([(key_col, pa.string()), ("n", pa.int64())]),
     )
     # vocab-sized: pin once so the count probe and the prune+sort below
     # read cached blocks instead of re-running the shuffle
@@ -181,18 +198,68 @@ def token_frequency(ds, text_col: str = "text", top_n: int = 100,
 
     def prune(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(
-            ["n", "token"], ascending=[False, True], kind="mergesort"
+            ["n", key_col], ascending=[False, True], kind="mergesort"
         )
         out = df.head(top_n)
         return pa.table(
             {
-                "token": pa.array(out["token"].to_numpy(), pa.string()),
+                key_col: pa.array(out[key_col].to_numpy(), pa.string()),
                 "n": pa.array(out["n"].to_numpy().astype("int64"), pa.int64()),
             }
         )
 
     pruned = drop_empty_blocks(totals.map_batches(prune, batch_format="pyarrow"))
-    return pruned.sort(["n", "token"], descending=[True, False]).limit(top_n)
+    return pruned.sort(["n", key_col], descending=[True, False]).limit(top_n)
+
+
+def bigram_frequency(ds, text_col: str = "text", top_n: int = 100,
+                     num_partitions: int | None = None):
+    """Corpus collocation sweep: global adjacent-token-pair → count,
+    top ``top_n`` by count (the n-gram statistics / collocation-mining
+    member of the text family; bigrams never cross document bounds).
+
+    Same shape as ``token_frequency``: per-batch tokenize + pair + count
+    combiner (all C-level Arrow kernels — ``list_parent_indices`` keeps
+    pairs within their document, ``binary_join_element_wise`` forms the
+    pair key) → ONE bigram-keyed shuffle of vocab-sized partials →
+    ``_count_topn``. Ordering: count desc, bigram asc (SQL twin
+    ``ORDER BY n DESC, bigram ASC LIMIT n``).
+    """
+    import pandas as pd
+
+    empty = pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+
+    def pair_count(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        lists = pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+            parent = parent.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return empty
+        same = pc.equal(parent.slice(0, n - 1), parent.slice(1, n - 1))
+        left = flat.slice(0, n - 1).filter(same)
+        if len(left) == 0:
+            return empty
+        bg = pc.binary_join_element_wise(left, flat.slice(1, n - 1).filter(same), " ")
+        vc = pd.Series(bg.to_pandas()).value_counts(sort=False)
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    return _count_topn(
+        ds.map_batches(pair_count, batch_format="pyarrow"),
+        key_col="bigram", top_n=top_n, num_partitions=num_partitions,
+    )
 
 
 def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",

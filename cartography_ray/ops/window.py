@@ -279,6 +279,180 @@ def with_lag(
     )
 
 
+def rolling_sum(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int,
+    out_col: str = "roll",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Per-key bounded-frame rolling sum ordered by ``order_cols`` — SQL
+    ``SUM(value) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    window_rows-1 PRECEDING AND CURRENT ROW)``. Output: the input
+    columns + ``out_col``.
+
+    Exact for integer ``value_col``: computed as the key-local cumsum
+    minus the cumsum ``window_rows`` back (both int64), never through
+    pandas' float rolling kernel — so the SQL window-function twin
+    hash-matches bit-for-bit.
+
+    Same shape and partitioning assumption as ``with_lag``: one hash
+    shuffle on ``key``, vectorized kernel per bucket; a corpus-scale hot
+    key wants the ``running_sum(chunk_us=...)`` salting pattern, which
+    applies unchanged here because the frame is row-bounded (carry-in =
+    last ``window_rows`` rows of the previous chunk).
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        cs = pdf.groupby(key, sort=False)[value_col].cumsum().to_numpy()
+        kn = pdf[key].to_numpy()
+        k = window_rows
+        prior = np.zeros(len(pdf), dtype=cs.dtype)
+        if len(pdf) > k:
+            same = kn[k:] == kn[:-k]
+            prior[k:] = np.where(same, cs[:-k], prior[k:])
+        pdf[out_col] = cs - prior
+        return _to_clean_arrow(pdf)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )
+
+
+def cohort_retention(ds, key: str, day_col: str,
+                     num_buckets: int = 64, num_partitions: int | None = None):
+    """Cohort retention matrix: how many ``key``s active on their
+    cohort day (first-ever activity day) are still active ``age`` days
+    later. Input: rows of ``(key, day_col)`` activity (``day_col`` an
+    int64 day index; duplicates fine). Output: ``(cohort_day, age_days,
+    users)`` — one row per observed (cohort, age) cell.
+
+    Plan: per-batch distinct combiner (activity collapses to ≤ one row
+    per (key, day) per batch before the exchange) → ONE key-hash
+    shuffle → per-bucket kernel (exact distinct, cohort = per-key min
+    day, age = day − cohort) → count partials over the (cohort, age)
+    grid, which is time-span-bounded (days²), never activity-sized.
+    Same hot-key contract as the rest of the family: one key's distinct
+    days fit one reducer (trivially true here — a key has ≤ one row per
+    day after the combiner).
+    """
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.runtime import drop_empty_blocks
+
+    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(
+            _with_bucket(batch.drop_duplicates([key, day_col]), [key], num_buckets)
+        )
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = group.drop(columns="__gb").drop_duplicates([key, day_col])
+        cohort = pdf.groupby(key, sort=False)[day_col].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": cohort.to_numpy(dtype="int64"),
+                "age_days": pdf[day_col].to_numpy(dtype="int64")
+                - cohort.to_numpy(dtype="int64"),
+            }
+        )
+        return _to_clean_arrow(out)
+
+    cells = drop_empty_blocks(
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__gb", num_partitions=num_partitions)
+        .map_groups(kernel, batch_format="pandas")
+    )
+    # each (key, day) row is one distinct active user in its cell
+    return partial_groupby_agg(
+        cells, ["cohort_day", "age_days"], {"users": (None, "count")},
+        num_partitions=num_partitions,
+    )
+
+
+def funnel_counts(ds, key: str, step_col: str, steps: list[str],
+                  order_cols: list[str], num_buckets: int = 64,
+                  num_partitions: int | None = None):
+    """Ordered funnel: ``users`` reaching step i = keys with a step-i
+    event strictly after their step-(i−1) anchor, anchors chained
+    greedily from the first step-1 event (each step's anchor is the
+    FIRST qualifying event). Output: ``(step, step_name, users)`` —
+    exactly ``len(steps)`` rows.
+
+    ONE key-hash shuffle; the per-bucket kernel is positional transforms
+    over the (key, order) sort — no per-user loop: step-i candidacy is a
+    vectorized mask (event is step i AND its position exceeds the row's
+    per-key step-(i−1) anchor), the anchor a grouped ``transform('min')``.
+    Per-bucket partial counts then fold through the dimension-bounded
+    final phase (``len(steps)`` groups).
+
+    ``order_cols`` must be a total order (pass a unique id last) so
+    "strictly after" is well-defined — matches a SQL twin comparing
+    ``(ts, id)`` tuples.
+    """
+    from cartography_ray.ops.agg import bounded_groupby_agg
+    from cartography_ray.runtime import drop_empty_blocks
+
+    steps = list(steps)
+
+    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pos = np.arange(len(pdf), dtype="float64")
+        kv = pdf[key].to_numpy()
+        sv = pdf[step_col].to_numpy()
+        users = []
+        anchor = None  # per-row: the row's key's step-(i-1) anchor position
+        for i, st in enumerate(steps):
+            is_st = sv == st
+            cand = np.where(
+                is_st if i == 0 else (is_st & (pos > anchor)), pos, np.nan
+            )
+            anchor = (
+                pd.Series(cand).groupby(kv, sort=False).transform("min").to_numpy()
+            )
+            users.append(pd.unique(kv[~np.isnan(anchor)]).size)
+        out = pd.DataFrame(
+            {
+                "step": np.arange(1, len(steps) + 1, dtype="int64"),
+                "step_name": steps,
+                "users": np.asarray(users, dtype="int64"),
+            }
+        )
+        return _to_clean_arrow(out)
+
+    partials = drop_empty_blocks(
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__gb", num_partitions=num_partitions)
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return bounded_groupby_agg(
+        partials, ["step", "step_name"], {"users": ("users", "sum")}
+    )
+
+
 # multiplier from Knuth's MMIX / Fibonacci hashing — chosen because both
 # engines can evaluate it exactly in int64 (SQL: (id*K)%2^32), unlike
 # library hash functions which differ between pandas and DuckDB

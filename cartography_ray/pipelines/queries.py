@@ -540,6 +540,112 @@ SELECT user_id, event_type, MIN(event_id) AS first_event_id
 FROM events GROUP BY 1, 2
 """
 
+DAY_US = 86_400_000_000
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix (ops/window.cohort_retention): users
+    active `age` days after their first-ever activity day, grouped by
+    cohort day. Distinct-activity combiner → one user-keyed shuffle →
+    grid-sized count exchange."""
+    rd = _rd()
+    from cartography_ray.ops.window import cohort_retention
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                # trunc == floor for the always-positive epoch (SQL `//`)
+                "day": pc.divide(pc.cast(t.column("ts"), pa.int64()), pa.scalar(DAY_US, pa.int64())),
+            }
+        )
+
+    return cohort_retention(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", day_col="day", num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+fi AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1)
+SELECT fi.cohort_day, ud.day - fi.cohort_day AS age_days,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM ud JOIN fi USING (user_id)
+GROUP BY 1, 2
+"""
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel (ops/window.funnel_counts): users reaching each
+    step of view → click → purchase, every step strictly after the
+    previous step's first qualifying event (ties impossible: the order
+    is the (ts, event_id) total order on both sides)."""
+    rd = _rd()
+    from cartography_ray.ops.window import funnel_counts
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+            }
+        )
+
+    return funnel_counts(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", step_col="event_type", steps=FUNNEL_STEPS,
+        order_cols=["ts_us", "event_id"], num_partitions=_parts_for(path),
+    )
+
+
+# rn filtered in an explicit outer WHERE, not QUALIFY: DuckDB 1.0
+# silently skips a QUALIFY on a select-alias inside these joined CTEs
+# (observed: s2 kept all rn up to 22)
+SQL_EVENTS_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, t, e FROM (
+    SELECT user_id, epoch_us(ts) AS t, event_id AS e,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{FUNNEL_STEPS[0]}'
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT user_id, t, e FROM (
+    SELECT ev.user_id, epoch_us(ev.ts) AS t, ev.event_id AS e,
+           ROW_NUMBER() OVER (PARTITION BY ev.user_id ORDER BY ev.ts, ev.event_id) AS rn
+    FROM events ev JOIN s1 ON ev.user_id = s1.user_id
+    WHERE ev.event_type = '{FUNNEL_STEPS[1]}' AND (epoch_us(ev.ts), ev.event_id) > (s1.t, s1.e)
+  ) WHERE rn = 1
+),
+s3 AS (
+  SELECT user_id FROM (
+    SELECT ev.user_id,
+           ROW_NUMBER() OVER (PARTITION BY ev.user_id ORDER BY ev.ts, ev.event_id) AS rn
+    FROM events ev JOIN s2 ON ev.user_id = s2.user_id
+    WHERE ev.event_type = '{FUNNEL_STEPS[2]}' AND (epoch_us(ev.ts), ev.event_id) > (s2.t, s2.e)
+  ) WHERE rn = 1
+)
+SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+"""
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
@@ -965,6 +1071,51 @@ FROM events
 """
 
 
+ROLLING_FRAME_ROWS = 5
+
+
+def q_events_rolling(sf_dir: str):
+    """Per-user bounded-frame moving spend (ops/window.rolling_sum) —
+    the ROWS-BETWEEN window-frame member of the windowed family.
+    Integer-exact: key-local cumsum minus the cumsum frame-size back,
+    never a float rolling kernel, so the SQL twin hash-matches."""
+    rd = _rd()
+    from cartography_ray.ops.window import rolling_sum
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "v_cents": _cents(t.column("value")),
+            }
+        )
+
+    rs = rolling_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="v_cents",
+        window_rows=ROLLING_FRAME_ROWS,
+        out_col="roll_cents",
+        num_partitions=_parts_for(path),
+    )
+    return rs.select_columns(["event_id", "user_id", "ts_us", "roll_cents"])
+
+
+SQL_EVENTS_ROLLING = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {ROLLING_FRAME_ROWS - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+FROM events
+"""
+
+
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
@@ -1239,6 +1390,37 @@ FROM toks WHERE token <> ''
 GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT {VOCAB_TOP_N}
+"""
+
+BIGRAM_TOP_N = 100
+
+
+def q_docs_bigrams(sf_dir: str):
+    """Corpus collocation top-N (functions/text.bigram_frequency):
+    adjacent-token pairs within each document, counted corpus-wide —
+    same one-vocab-shuffle shape as docs_token_freq."""
+    rd = _rd()
+    from cartography_ray.functions.text import bigram_frequency
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["text"])
+    return bigram_frequency(ds, top_n=BIGRAM_TOP_N, num_partitions=_parts_for(path))
+
+
+SQL_DOCS_BIGRAMS = f"""
+WITH tl AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+bg AS (
+  SELECT l[CAST(i AS INTEGER)] || ' ' || l[CAST(i AS INTEGER) + 1] AS bigram
+  FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tl)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {BIGRAM_TOP_N}
 """
 
 
@@ -3016,6 +3198,36 @@ def q_kg_pagerank(sf_dir: str):
     return topk(pr.map_batches(proj, batch_format="pyarrow"), "rank9", 50, tiebreak=["node"])
 
 
+def q_kg_triangles(sf_dir: str):
+    """Triangle enumeration over the co-mention graph
+    (ops/graph.triangles — degree-ordered wedge plan, so a hub entity
+    never enumerates deg² wedges). One row per triangle, id-sorted
+    (node_a < node_b < node_c); the DuckDB twin is a plain triple
+    self-join over the same co-mention edge CTE."""
+    from cartography_ray.ops.graph import triangles
+
+    pairs = q_kg_co_mentions(sf_dir)
+
+    def edge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t.column("entity_a"), pa.string()),
+                "dst": pc.cast(t.column("entity_b"), pa.string()),
+            }
+        )
+
+    return triangles(pairs.map_batches(edge, batch_format="pyarrow"))
+
+
+def sql_kg_triangles(path: str) -> str:
+    return _KG_RESOLVED_SQL.format(path=path) + _KG_CO_CTE + """
+SELECT a.entity_a AS node_a, a.entity_b AS node_b, b.entity_b AS node_c
+FROM co a
+JOIN co b ON b.entity_a = a.entity_b
+JOIN co c ON c.entity_a = a.entity_a AND c.entity_b = b.entity_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Catalogue
 # --------------------------------------------------------------------------
@@ -3096,6 +3308,11 @@ QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_co_mentions": q_kg_co_mentions,
     "kg_pagerank": q_kg_pagerank,
+    "kg_triangles": q_kg_triangles,
+    "events_retention": q_events_retention,
+    "events_funnel": q_events_funnel,
+    "events_rolling": q_events_rolling,
+    "docs_bigrams": q_docs_bigrams,
 }
 
 
@@ -3183,6 +3400,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_triples": sql_kg_triples(path),
         "kg_co_mentions": sql_kg_co_mentions(path),
         "kg_pagerank": sql_kg_pagerank(path),
+        "kg_triangles": sql_kg_triangles(path),
+        "events_retention": SQL_EVENTS_RETENTION,
+        "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_rolling": SQL_EVENTS_ROLLING,
+        "docs_bigrams": SQL_DOCS_BIGRAMS,
         # docs_minhash_pairs / docs_simhash_pairs / emb_knn_lsh are
         # approximate-by-design → rows-only checks (recall asserted in tests)
     }

@@ -1218,3 +1218,34 @@ def test_pca_matches_numpy_reference(ray_session):
     )
     got = np.stack([np.asarray(v) for v in proj["pca"]])
     assert np.allclose(got, (xf - mu) @ comps, atol=1e-9)
+
+
+def test_bigram_frequency_matches_reference(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.functions.text import bigram_frequency
+
+    docs = [
+        "the cat sat on the mat",
+        "the cat ran. The cat sat!",
+        "on the mat, on the mat",
+        "single",
+        "",
+    ]
+    ds = ray.data.from_arrow(pa.table({"text": docs}))
+    out = bigram_frequency(ds, top_n=5).to_pandas()
+
+    # reference: adjacent pairs of [a-z0-9]+ runs, never across docs
+    import re
+    from collections import Counter
+
+    c: Counter = Counter()
+    for d in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", d.lower()) if t]
+        c.update(" ".join(p) for p in zip(toks, toks[1:]))
+    ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out["bigram"], out["n"])) == ref
+    # non-vacuous: counts aggregate across documents ("the cat" spans
+    # docs 0+1; "on the" gets 2 from doc 2 and 1 from doc 0)
+    assert dict(ref)["the cat"] == 3 and dict(ref)["on the"] == 3

@@ -88,3 +88,61 @@ def test_pagerank_unweighted_and_empty(ray_session):
     res_int = pagerank(ray.data.from_arrow(empty_int), "src", "dst", iters=2)
     sch = res_int.schema()
     assert sch.base_schema.field("node").type == pa.int64()
+
+
+def test_triangles_matches_bruteforce(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.ops.graph import triangles
+
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in zip(
+                rng.choice(nodes, 150), rng.choice(nodes, 150)
+            )
+            if a != b
+        }
+    )
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = sorted(
+        (a, b, c)
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj.get(a, ()) and c in adj.get(a, ()) and c in adj.get(b, ())
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    )
+    out = (
+        triangles(ds)
+        .to_pandas()
+        .sort_values(["node_a", "node_b", "node_c"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.to_numpy())) == ref
+    assert len(ref) > 0  # non-vacuous
+
+
+def test_triangles_empty_and_triangle_free(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.ops.graph import triangles
+
+    cols = ["node_a", "node_b", "node_c"]
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    e = triangles(empty)
+    assert e.count() == 0 and e.schema().names == cols
+    path = ray.data.from_arrow(pa.table({"src": ["a", "b"], "dst": ["b", "c"]}))
+    t = triangles(path)
+    assert t.count() == 0 and t.schema().names == cols

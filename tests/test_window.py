@@ -1000,3 +1000,121 @@ def test_hash_split_key_cohesion(ray_session):
         hash_split(ds, "key", {"train": 0.5, "val": 0.1})
     with pytest.raises(ValueError):
         hash_split(ds, "key", {"all": 1.0})
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import rolling_sum
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),
+            "ts": rng.integers(0, 10_000_000, n).astype("int64"),
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.integers(-50, 100, n).astype("int64"),
+        }
+    )
+    out = (
+        rolling_sum(
+            ray.data.from_pandas(df), key="k", order_cols=["ts", "id"],
+            value_col="v", window_rows=5, out_col="roll", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "ts", "id"], kind="mergesort")
+    ref = ref.assign(
+        roll=ref.groupby("k")["v"].rolling(5, min_periods=1).sum().droplevel(0)
+    ).sort_values("id").reset_index(drop=True)
+    assert (out["roll"].to_numpy() == ref["roll"].to_numpy().astype("int64")).all()
+    # window_rows=1 degenerates to the value itself
+    out1 = (
+        rolling_sum(
+            ray.data.from_pandas(df), key="k", order_cols=["ts", "id"],
+            value_col="v", window_rows=1, out_col="roll",
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert (out1["roll"].to_numpy() == df["v"].to_numpy()).all()
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import cohort_retention
+
+    rng = np.random.default_rng(22)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 120, n),
+            "day": rng.integers(100, 130, n).astype("int64"),
+        }
+    )
+    out = (
+        cohort_retention(ray.data.from_pandas(df), key="u", day_col="day")
+        .to_pandas()
+        .sort_values(["cohort_day", "age_days"])
+        .reset_index(drop=True)
+    )
+    ud = df.drop_duplicates(["u", "day"]).copy()
+    ud["cohort_day"] = ud.groupby("u")["day"].transform("min")
+    ud["age_days"] = ud["day"] - ud["cohort_day"]
+    ref = (
+        ud.groupby(["cohort_day", "age_days"]).size().rename("users").reset_index()
+        .sort_values(["cohort_day", "age_days"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["cohort_day", "age_days", "users"]].astype("int64"),
+        ref.astype("int64"),
+    )
+    # every cohort's age-0 cell counts each of its users exactly once
+    firsts = ud.groupby("u")["cohort_day"].first().value_counts()
+    got0 = out[out.age_days == 0].set_index("cohort_day")["users"]
+    assert (got0.sort_index() == firsts.sort_index()).all()
+
+
+def test_funnel_counts_matches_bruteforce(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import funnel_counts
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    steps = ["a", "b", "c"]
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 200, n),
+            "ts": rng.integers(0, 1000, n).astype("int64"),
+            "id": np.arange(n, dtype="int64"),
+            "typ": rng.choice(["a", "b", "c", "x"], n, p=[0.2, 0.2, 0.1, 0.5]),
+        }
+    )
+    out = (
+        funnel_counts(
+            ray.data.from_pandas(df), key="u", step_col="typ", steps=steps,
+            order_cols=["ts", "id"],
+        )
+        .to_pandas().sort_values("step").reset_index(drop=True)
+    )
+    # brute force: greedy first-qualifying chain per user
+    reached = np.zeros(len(steps), dtype="int64")
+    for _, g in df.sort_values(["ts", "id"], kind="mergesort").groupby("u"):
+        anchor = -1
+        typs = g["typ"].to_numpy()
+        for i, st in enumerate(steps):
+            idx = np.nonzero((typs == st) & (np.arange(len(g)) > anchor))[0]
+            if i == 0:
+                idx = np.nonzero(typs == st)[0]
+            if len(idx) == 0:
+                break
+            anchor = idx[0]
+            reached[i] += 1
+    assert (out["users"].to_numpy() == reached).all()
+    assert list(out["step_name"]) == steps
+    # funnel counts are monotone non-increasing by construction
+    assert (np.diff(out["users"].to_numpy()) <= 0).all()
