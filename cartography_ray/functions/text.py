@@ -794,22 +794,36 @@ def lm_score(
             dict(zip(vocab["token"], nll_of(vocab["c"].to_numpy())))
         )
 
-        def weigh(t: pa.Table) -> pa.Table:
+        # a document's tf rows all live in ONE tf_ds block (see
+        # _tf_rows_fn), so the per-doc fold is a per-batch groupby —
+        # the broadcast path needs NO doc-keyed shuffle at all (it was
+        # a third fixed-cost exchange; assumes unique ids, like every
+        # documents-table operator here)
+        def weigh_fold(t: pa.Table) -> pa.Table:
+            import pandas as pd
             import ray as _ray
 
             m = _ray.get(nll_map_ref)
             toks = t.column("token").to_pandas()
             nll = toks.map(m).to_numpy().astype("int64")
             tf = t.column("tf").to_numpy(zero_copy_only=False)
+            df = pd.DataFrame(
+                {
+                    "__id": t.column(id_col).to_numpy(zero_copy_only=False),
+                    "n_tokens": tf,
+                    "nll": tf * nll,
+                }
+            )
+            g = df.groupby("__id", sort=False, as_index=False).sum()
             return pa.table(
                 {
-                    id_col: t.column(id_col),
-                    "tf": t.column("tf"),
-                    "w": pa.array(tf * nll, pa.int64()),
+                    id_col: pa.array(g["__id"].to_numpy(), id_type),
+                    "n_tokens": pa.array(g["n_tokens"].to_numpy().astype("int64"), pa.int64()),
+                    "nll": pa.array(g["nll"].to_numpy().astype("int64"), pa.int64()),
                 }
             )
 
-        weighted = tf_ds.map_batches(weigh, batch_format="pyarrow")
+        return tf_ds.map_batches(weigh_fold, batch_format="pyarrow")
     else:
         from cartography_ray.ops.joins import hash_join
 
