@@ -138,7 +138,9 @@ def run_queries(sf_dir: str) -> dict:
         "events_rolling",
         "events_retention",
         "events_funnel",
+        "events_rank",
         "docs_bigrams",
+        "emb_clusters",
     ]
     out = {}
     for name in names:

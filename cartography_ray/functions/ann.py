@@ -738,3 +738,36 @@ def pca_project(ds, mean: np.ndarray, components: np.ndarray,
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id",
+                  vec_col: str = "embedding", out_col: str = "cluster_id"):
+    """Assign every vector to its nearest (cosine) centroid — the
+    labeling half of distributed clustering (semantic bucketing for
+    curation / per-cluster sampling). Centroids are broadcast once via
+    ``ray.put``; each batch is one normalize + GEMM + argmax, so the
+    corpus streams and nothing vector-sized leaves the workers.
+    Output: ``(id_col, out_col)`` int64 cluster ids in centroid order.
+    """
+    import ray
+
+    c_ref = ray.put(_normalize(np.asarray(centroids, dtype="float64")))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(c_ref)
+        mat = _normalize(_matrix_of(batch, vec_col))
+        assign = (
+            np.argmax(mat @ c.T, axis=1).astype("int64")
+            if mat.size
+            else np.zeros(0, dtype="int64")
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                out_col: pa.array(assign, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -870,3 +870,74 @@ def with_ntile(
             kernel, batch_format="pandas"
         )
     )
+
+
+def with_rank(
+    ds,
+    key: str,
+    order_cols: list[str],
+    rank_col: str | None = "rnk",
+    dense_col: str | None = None,
+    rownum_col: str | None = None,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """SQL ``RANK()`` / ``DENSE_RANK()`` / ``ROW_NUMBER()`` ``OVER
+    (PARTITION BY key ORDER BY order_cols)`` — any subset in ONE pass
+    (pass the output column name to request a mode, ``None`` to skip).
+    Ties (equal ``order_cols`` tuples) share a rank; RANK leaves gaps,
+    DENSE_RANK doesn't; ROW_NUMBER breaks ties by shuffle-stable
+    mergesort order, so give it a total order for determinism.
+
+    Same shape and partitioning assumption as ``with_lag``: one hash
+    shuffle on ``key``, vectorized change-flag arithmetic per bucket
+    (no per-group loop).
+    """
+    if not (rank_col or dense_col or rownum_col):
+        raise ValueError("with_rank: request at least one output column")
+
+    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(pdf)
+        kv = pdf[key].to_numpy()
+        rn = (pdf.groupby(key, sort=False).cumcount() + 1).to_numpy(dtype="int64")
+        if rownum_col:
+            pdf[rownum_col] = rn
+        if rank_col or dense_col:
+            changed = np.ones(n, dtype=bool)  # row 0 and every key start
+            if n > 1:
+                same_key = kv[1:] == kv[:-1]
+                same_vals = np.ones(n - 1, dtype=bool)
+                for c in order_cols:
+                    a = pdf[c].to_numpy()
+                    same_vals &= a[1:] == a[:-1]
+                changed[1:] = ~(same_key & same_vals)
+            if dense_col:
+                pdf[dense_col] = (
+                    pd.Series(changed.astype("int64"))
+                    .groupby(kv, sort=False)
+                    .cumsum()
+                    .to_numpy()
+                )
+            if rank_col:
+                anchored = pd.Series(np.where(changed, rn.astype("float64"), np.nan))
+                pdf[rank_col] = (
+                    anchored.groupby(kv, sort=False).ffill().to_numpy().astype("int64")
+                )
+        return _to_clean_arrow(pdf)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )

@@ -1211,6 +1211,43 @@ FROM events
 """
 
 
+def q_events_rank(sf_dir: str):
+    """Per-user RANK + DENSE_RANK over spend (ops/window.with_rank —
+    both modes in the one key shuffle). Cent values tie, so the gap
+    (rnk) vs no-gap (drnk) semantics genuinely diverge here."""
+    rd = _rd()
+    from cartography_ray.ops.window import with_rank
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "v_cents": _cents(t.column("value")),
+            }
+        )
+
+    ranked = with_rank(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", order_cols=["v_cents"],
+        rank_col="rnk", dense_col="drnk",
+        num_partitions=_parts_for(path),
+    )
+    return ranked.select_columns(["event_id", "user_id", "rnk", "drnk"])
+
+
+SQL_EVENTS_RANK = """
+SELECT event_id, user_id,
+       RANK() OVER w AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(round(value * 100) AS BIGINT))
+"""
+
+
 def q_events_attribution(sf_dir: str, chunk_us: int | None = None):
     """Purchase→click attribution: each purchase matched to the user's
     most recent preceding click (distributed as-of join, ops/joins.py)."""
@@ -2290,6 +2327,27 @@ def q_emb_pca(sf_dir: str):
     return pca_project(ds, mean, comps)
 
 
+KMEANS_K = 16
+
+
+def q_emb_clusters(sf_dir: str):
+    """Distributed spherical k-means clustering exposed as a first-class
+    operator (functions/ann.train_kmeans_ivf + kmeans_assign): train on
+    streaming moment partials, then one broadcast-GEMM labeling pass per
+    batch. Rows-only (Lloyd float folds are not bit-deterministic across
+    block orders — same contract as emb_knn_ivf); invariants
+    (row preservation, argmax self-consistency, k bound) are
+    property-tested in tests/test_functions.py."""
+    rd = _rd()
+    from cartography_ray.functions.ann import kmeans_assign, train_kmeans_ivf
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = train_kmeans_ivf(ds, n_centroids=KMEANS_K, iters=4)
+    return kmeans_assign(ds, cent)
+
+
 def q_emb_semantic_dedup(sf_dir: str):
     """Semantic dedup: one keeper (min vec_id) per near-duplicate
     CLUSTER — transitive closure over the cosine near-dup pairs via the
@@ -3291,6 +3349,7 @@ QUERIES: dict[str, Callable] = {
     "emb_knn_ivf": q_emb_knn_ivf,
     "emb_neardup": q_emb_neardup,
     "emb_pca": q_emb_pca,
+    "emb_clusters": q_emb_clusters,
     "emb_semantic_dedup": q_emb_semantic_dedup,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "one_to_many_part_words": q_one_to_many_part_words,
@@ -3312,6 +3371,7 @@ QUERIES: dict[str, Callable] = {
     "events_retention": q_events_retention,
     "events_funnel": q_events_funnel,
     "events_rolling": q_events_rolling,
+    "events_rank": q_events_rank,
     "docs_bigrams": q_docs_bigrams,
 }
 
@@ -3404,6 +3464,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_retention": SQL_EVENTS_RETENTION,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_rolling": SQL_EVENTS_ROLLING,
+        "events_rank": SQL_EVENTS_RANK,
         "docs_bigrams": SQL_DOCS_BIGRAMS,
         # docs_minhash_pairs / docs_simhash_pairs / emb_knn_lsh are
         # approximate-by-design → rows-only checks (recall asserted in tests)

@@ -1249,3 +1249,34 @@ def test_bigram_frequency_matches_reference(ray_session):
     # non-vacuous: counts aggregate across documents ("the cat" spans
     # docs 0+1; "on the" gets 2 from doc 2 and 1 from doc 0)
     assert dict(ref)["the cat"] == 3 and dict(ref)["on the"] == 3
+
+
+def test_kmeans_assign_invariants(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.functions.ann import (
+        _matrix_of,
+        _normalize,
+        kmeans_assign,
+        train_kmeans_ivf,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d, k = 400, 8, 5
+    vecs = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype="int64")),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    cent = train_kmeans_ivf(ds, n_centroids=k, iters=3)
+    out = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    # every vector labeled exactly once, labels within [0, k)
+    assert len(out) == n and out["vec_id"].is_unique
+    assert out["cluster_id"].between(0, len(cent) - 1).all()
+    # self-consistency: the label IS the cosine argmax against the centroids
+    ref = np.argmax(_normalize(vecs) @ _normalize(np.asarray(cent)).T, axis=1)
+    assert (out["cluster_id"].to_numpy() == ref).all()

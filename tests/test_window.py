@@ -1118,3 +1118,35 @@ def test_funnel_counts_matches_bruteforce(ray_session):
     assert list(out["step_name"]) == steps
     # funnel counts are monotone non-increasing by construction
     assert (np.diff(out["users"].to_numpy()) <= 0).all()
+
+
+def test_with_rank_matches_pandas(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import with_rank
+
+    rng = np.random.default_rng(24)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n),
+            "v": rng.integers(0, 40, n).astype("int64"),  # heavy ties
+            "id": np.arange(n, dtype="int64"),
+        }
+    )
+    out = (
+        with_rank(
+            ray.data.from_pandas(df), key="k", order_cols=["v"],
+            rank_col="rnk", dense_col="drnk", rownum_col="rn",
+            num_partitions=4,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    g = df.sort_values("id").groupby("k")["v"]
+    assert (out["rnk"].to_numpy() == g.rank(method="min").to_numpy().astype("int64")).all()
+    assert (out["drnk"].to_numpy() == g.rank(method="dense").to_numpy().astype("int64")).all()
+    # row_number is a permutation of 1..group_size and consistent with rnk
+    sizes = df.groupby("k").size()
+    got_max = out.groupby("k")["rn"].max()
+    assert (got_max.sort_index() == sizes.sort_index()).all()
+    assert (out["rnk"] <= out["rn"]).all() and (out["drnk"] <= out["rnk"]).all()
