@@ -236,6 +236,7 @@ def hash_join(
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
     bloom_prefilter_bits: int | None = None,
+    skew_salt: int | None = None,
 ):
     """Reduce-side hash join of two Datasets (both sides shuffled once).
 
@@ -267,12 +268,32 @@ def hash_join(
     is IDENTICAL (bloom negatives cannot match; positives are verified by
     the join itself — asserted in tests/test_functions.py). Invalid for
     left/outer/anti, which must keep unmatched left rows.
+
+    ``skew_salt=R``: hot-key fallback for a SKEWED left side (the join
+    analogue of the window family's ``chunk_us``). Every left row's
+    bucket is drawn from R salted sub-keys, so one corpus-scale key
+    spreads over up to R reducers instead of landing a whole key's rows
+    in one pandas merge; the right side is replicated R× (each copy to
+    one sub-key), which is the classic replication trade — use when
+    right is per-key small but left is skewed. Output is IDENTICAL to
+    the unsalted plan for inner/left/semi/anti (each left row still
+    meets its key's full right set exactly once — equality-tested).
+    Invalid for ``outer``: unmatched RIGHT rows would surface once per
+    replica.
     """
     left_on = [left_on] if isinstance(left_on, str) else list(left_on)
     right_on = left_on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
     filter_only = how in ("semi", "anti")
+    if skew_salt is not None:
+        if how == "outer":
+            raise ValueError(
+                "hash_join: skew_salt is invalid for how='outer' "
+                "(unmatched right rows would surface once per replica)"
+            )
+        if skew_salt < 2:
+            skew_salt = None  # R=1 is the unsalted plan
     lschema = left_schema if left_schema is not None else _arrow_schema(left)
     rschema = right_schema if right_schema is not None else _arrow_schema(right)
     if bloom_prefilter_bits:
@@ -317,8 +338,13 @@ def hash_join(
     for name, c in zip(r_out, rcols):
         types.setdefault(name, rschema.field(c).type)
     out_schema = pa.schema([(c, types[c]) for c in all_cols])
+    # __salt disambiguates right replicas when two sub-keys of one key
+    # collide into the same bucket (the per-bucket merge joins on the
+    # ORIGINAL key, so without it a left row would match every colliding
+    # replica); constant 0 on the unsalted plan
     work_schema = pa.schema(
-        [("__bucket", pa.int64()), ("__side", pa.int8())] + list(zip(all_cols, [types[c] for c in all_cols]))
+        [("__bucket", pa.int64()), ("__side", pa.int8()), ("__salt", pa.int64())]
+        + list(zip(all_cols, [types[c] for c in all_cols]))
     )
 
     def prep(side: int, in_names: list[str], out_names: list[str]):
@@ -332,16 +358,42 @@ def hash_join(
             key = pc.cast(batch.column(key_out[0]), pa.string())
             for k in key_out[1:]:
                 key = pc.binary_join_element_wise(key, pc.cast(batch.column(k), pa.string()), "\x1f")
-            bucket = _bucket_of(pd.Series(key.to_numpy(zero_copy_only=False)), num_buckets)
-            cols = [pa.array(bucket, pa.int64()), pa.array(np.full(n, side, dtype=np.int8))]
+            keys = pd.Series(key.to_numpy(zero_copy_only=False))
+            data_cols = []
             for c in all_cols:
                 if c in batch.column_names:
                     col = batch.column(c)
                     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                    cols.append(col.cast(types[c]))
+                    data_cols.append(col.cast(types[c]))
                 else:
-                    cols.append(_typed_nulls(n, types[c]))
-            return pa.Table.from_arrays(cols, schema=work_schema)
+                    data_cols.append(_typed_nulls(n, types[c]))
+            side_col = pa.array(np.full(n, side, dtype=np.int8))
+
+            def tbl(bucket: np.ndarray, salt: np.ndarray) -> pa.Table:
+                return pa.Table.from_arrays(
+                    [pa.array(bucket, pa.int64()), side_col, pa.array(salt, pa.int64()), *data_cols],
+                    schema=work_schema,
+                )
+
+            zeros = np.zeros(n, dtype="int64")
+            if skew_salt is None:
+                return tbl(_bucket_of(keys, num_buckets), zeros)
+            if side == 0:
+                # any per-row spread is correct (each left row meets its
+                # key's full right set in its sub-bucket); round-robin is
+                # the cheapest even one
+                salt = (np.arange(n) % skew_salt).astype("int64")
+                return tbl(
+                    _bucket_of(keys + "\x1e" + pd.Series(salt).astype(str), num_buckets),
+                    salt,
+                )
+            # right side: one replica per sub-key
+            return pa.concat_tables(
+                [
+                    tbl(_bucket_of(keys + f"\x1e{i}", num_buckets), zeros + i)
+                    for i in range(skew_salt)
+                ]
+            )
 
         return fn
 
@@ -352,33 +404,35 @@ def hash_join(
     pd_how = {"inner": "inner", "left": "left", "outer": "outer",
               "semi": "semi", "anti": "anti"}[how]
 
+    join_on = left_on + ["__salt"]
+
     def merge_bucket(group: pa.Table) -> pa.Table:
         pdf = group.to_pandas()
-        lhs = pdf[pdf["__side"] == 0][left_on + l_value]
+        lhs = pdf[pdf["__side"] == 0][join_on + l_value]
         if pd_how in ("semi", "anti"):
-            rhs_keys = pdf[pdf["__side"] == 1][left_on].dropna().drop_duplicates()
+            rhs_keys = pdf[pdf["__side"] == 1][join_on].dropna().drop_duplicates()
             nullk = lhs[left_on].isna().any(axis=1)
             flagged = lhs[~nullk].merge(
-                rhs_keys, on=left_on, how="left", indicator="__m"
+                rhs_keys, on=join_on, how="left", indicator="__m"
             )
             want = "both" if pd_how == "semi" else "left_only"
             out = flagged[flagged["__m"] == want][all_cols]
             if pd_how == "anti" and nullk.any():
-                out = pd.concat([out, lhs[nullk]], ignore_index=True)
+                out = pd.concat([out, lhs[nullk][all_cols]], ignore_index=True)
             return pa.Table.from_pandas(
                 out, schema=out_schema, preserve_index=False
             ).replace_schema_metadata(None)
         # NULL join keys never match (SQL semantics) — pd.merge pairs NaNs
-        rhs_all = pdf[pdf["__side"] == 1][left_on + r_value]
+        rhs_all = pdf[pdf["__side"] == 1][join_on + r_value]
         rhs_nullk = rhs_all[left_on].isna().any(axis=1)
         rhs = rhs_all[~rhs_nullk]
         if pd_how == "inner":
             lhs = lhs.dropna(subset=left_on)
-            out = lhs.merge(rhs, on=left_on, how=pd_how)[all_cols]
+            out = lhs.merge(rhs, on=join_on, how=pd_how)[all_cols]
         else:
             # left/outer: null-key rows survive unmatched (other side null)
             nullk = lhs[left_on].isna().any(axis=1)
-            out = lhs[~nullk].merge(rhs, on=left_on, how=pd_how)
+            out = lhs[~nullk].merge(rhs, on=join_on, how=pd_how)
             parts = [out] + [lhs[nullk]] * int(nullk.any())
             if pd_how == "outer" and rhs_nullk.any():
                 parts.append(rhs_all[rhs_nullk])

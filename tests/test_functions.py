@@ -1280,3 +1280,41 @@ def test_kmeans_assign_invariants(ray_session):
     # self-consistency: the label IS the cosine argmax against the centroids
     ref = np.argmax(_normalize(vecs) @ _normalize(np.asarray(cent)).T, axis=1)
     assert (out["cluster_id"].to_numpy() == ref).all()
+
+
+def test_hash_join_skew_salt_equals_unsalted(ray_session):
+    """The skew_salt plan must emit exactly the unsalted row multiset
+    for every mode it supports, on a pathologically skewed left side
+    (90% one key) with dup right keys and null left keys."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.ops.joins import hash_join
+
+    rng = np.random.default_rng(33)
+    n = 2000
+    k = np.where(rng.random(n) < 0.9, 7.0, rng.integers(0, 20, n).astype("float64"))
+    k[:5] = np.nan  # null join keys
+    left = pd.DataFrame({"k": k, "x": [f"l{i}" for i in range(n)]})
+    right = pd.DataFrame(
+        {"k": [7.0, 7.0, 3.0, 99.0], "y": ["a", "b", "c", "d"]}
+    )
+
+    def run(how, salt):
+        out = hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            left_on="k", how=how, num_buckets=16, skew_salt=salt,
+        ).to_pandas()
+        cols = [c for c in ["k", "x", "y"] if c in out.columns]
+        return sorted(map(tuple, out[cols].astype(str).to_numpy()))
+
+    for how in ["inner", "left", "semi", "anti"]:
+        assert run(how, 8) == run(how, None), how
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            left_on="k", how="outer", skew_salt=4,
+        )
