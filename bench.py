@@ -100,6 +100,7 @@ def run_queries(sf_dir: str) -> dict:
     names = [
         "pricing_summary",
         "revenue_by_nation",
+        "revenue_by_nation_salted",
         "filter_project",
         "customers_without_orders",
         "events_hourly",
@@ -140,6 +141,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_funnel",
         "events_rank",
         "docs_bigrams",
+        "kg_triangles",
         "emb_clusters",
     ]
     out = {}

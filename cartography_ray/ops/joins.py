@@ -341,9 +341,11 @@ def hash_join(
     # __salt disambiguates right replicas when two sub-keys of one key
     # collide into the same bucket (the per-bucket merge joins on the
     # ORIGINAL key, so without it a left row would match every colliding
-    # replica); constant 0 on the unsalted plan
+    # replica); the unsalted plan omits the column entirely — no
+    # per-row exchange overhead when the fallback isn't engaged
+    salt_fields = [("__salt", pa.int64())] if skew_salt is not None else []
     work_schema = pa.schema(
-        [("__bucket", pa.int64()), ("__side", pa.int8()), ("__salt", pa.int64())]
+        [("__bucket", pa.int64()), ("__side", pa.int8()), *salt_fields]
         + list(zip(all_cols, [types[c] for c in all_cols]))
     )
 
@@ -369,6 +371,16 @@ def hash_join(
                     data_cols.append(_typed_nulls(n, types[c]))
             side_col = pa.array(np.full(n, side, dtype=np.int8))
 
+            if skew_salt is None:
+                return pa.Table.from_arrays(
+                    [
+                        pa.array(_bucket_of(keys, num_buckets), pa.int64()),
+                        side_col,
+                        *data_cols,
+                    ],
+                    schema=work_schema,
+                )
+
             def tbl(bucket: np.ndarray, salt: np.ndarray) -> pa.Table:
                 return pa.Table.from_arrays(
                     [pa.array(bucket, pa.int64()), side_col, pa.array(salt, pa.int64()), *data_cols],
@@ -376,8 +388,6 @@ def hash_join(
                 )
 
             zeros = np.zeros(n, dtype="int64")
-            if skew_salt is None:
-                return tbl(_bucket_of(keys, num_buckets), zeros)
             if side == 0:
                 # any per-row spread is correct (each left row meets its
                 # key's full right set in its sub-bucket); round-robin is
@@ -404,7 +414,7 @@ def hash_join(
     pd_how = {"inner": "inner", "left": "left", "outer": "outer",
               "semi": "semi", "anti": "anti"}[how]
 
-    join_on = left_on + ["__salt"]
+    join_on = left_on + (["__salt"] if skew_salt is not None else [])
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         pdf = group.to_pandas()

@@ -212,7 +212,11 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 REVENUE_CUST_BROADCAST_LIMIT = 2_000_000
 
 
-def q_revenue_by_nation(sf_dir: str, cust_broadcast_limit: int | None = None):
+def q_revenue_by_nation(
+    sf_dir: str,
+    cust_broadcast_limit: int | None = None,
+    skew_salt: int | None = None,
+):
     """Join chain lineitem→orders→customer→nation + agg.
 
     Scale posture: lineitem, orders AND customer are all fact tables
@@ -225,6 +229,10 @@ def q_revenue_by_nation(sf_dir: str, cust_broadcast_limit: int | None = None):
     and a driver read OOMs first). The only unconditional broadcast is
     the genuinely fixed 25-row nation map. Both plans hash the same
     oracle; the forced-limit twin is asserted equal in tests.
+
+    ``skew_salt`` threads into the fact⋈orders join — the
+    ``revenue_by_nation_salted`` twin runs it to prove the salted plan
+    hashes the same oracle end-to-end (the *_salted precedent).
     """
     rd = _rd()
     import pyarrow.parquet as pq
@@ -269,6 +277,7 @@ def q_revenue_by_nation(sf_dir: str, cust_broadcast_limit: int | None = None):
         num_partitions=_parts_for(
             f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
         ),
+        skew_salt=skew_salt,
     )
     def combine_by_cust(t: pa.Table) -> pa.Table:
         # map-side partial before shuffle #2: each block collapses to one
@@ -324,6 +333,15 @@ def q_revenue_by_nation(sf_dir: str, cust_broadcast_limit: int | None = None):
         "n_name",
         {"revenue_cents": ("revenue_cents", "sum"), "n_items": ("n_li", "sum")},
     )
+
+
+def q_revenue_by_nation_salted(sf_dir: str):
+    """Hot-key fallback plan of ``revenue_by_nation``: the fact⋈orders
+    ``hash_join`` runs with ``skew_salt=8`` (left rows round-robined over
+    8 salted sub-buckets, orders replicated 8×) against the SAME oracle —
+    plan equivalence proved the way the window-family *_salted twins
+    prove ``chunk_us``."""
+    return q_revenue_by_nation(sf_dir, skew_salt=8)
 
 
 SQL_REVENUE_NATION = """
@@ -3295,6 +3313,7 @@ QUERIES: dict[str, Callable] = {
     "lineitem_rollup": q_lineitem_rollup,
     "lineitem_cube": q_lineitem_cube,
     "revenue_by_nation": q_revenue_by_nation,
+    "revenue_by_nation_salted": q_revenue_by_nation_salted,
     "top_orders": q_top_orders,
     "filter_project": q_filter_project,
     "customers_without_orders": q_customers_without_orders,
@@ -3385,6 +3404,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "lineitem_cube": SQL_LINEITEM_CUBE,
         "revenue_by_nation": SQL_REVENUE_NATION,
+        # skew_salt=8 plan of the same join chain — identical oracle
+        # proves the salted hash_join plan (like the window *_salted twins)
+        "revenue_by_nation_salted": SQL_REVENUE_NATION,
         "top_orders": SQL_TOP_ORDERS,
         "filter_project": SQL_FILTER_PROJECT,
         "customers_without_orders": SQL_CUST_NO_ORDERS,
