@@ -273,8 +273,18 @@ def _pagerank_join(
     return ranks
 
 
+# below this edge count the whole graph fits trivially in driver memory
+# and the 5 fixed-cost exchanges (degree agg, 2 degree joins, wedge self
+# join, closure semi join) dominate any distributed strategy — same
+# two-tier split as canonicalize.DRIVER_CC_LIMIT (measured: ~11 s of
+# shuffle orchestration for an 83k-edge graph whose driver-local
+# enumeration takes well under a second)
+DRIVER_TRI_LIMIT = 200_000
+
+
 def triangles(edges, src: str = "src", dst: str = "dst",
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              driver_limit: int | None = None):
     """Distributed triangle enumeration over an UNDIRECTED edge Dataset.
 
     Input contract: one row per undirected edge with ``src < dst`` (id
@@ -292,6 +302,12 @@ def triangles(edges, src: str = "src", dst: str = "dst",
     hub size. Cost: 2 degree joins + 1 self join + 1 semi join, all
     reduce-side ``hash_join`` — nothing node- or edge-sized on the
     driver.
+
+    Below ``driver_limit`` edges (default ``DRIVER_TRI_LIMIT``, from the
+    materialized count) the SAME degree-ordered kernels run driver-local
+    in pandas/numpy instead — per-exchange fixed cost dominates at that
+    size (the connected_components two-tier precedent). Both tiers are
+    equality-tested; ``driver_limit=0`` forces the distributed plan.
     """
     import pyarrow.compute as pc  # noqa: F401
     import ray.data
@@ -316,10 +332,64 @@ def triangles(edges, src: str = "src", dst: str = "dst",
             pa.table({f.name: pa.array([], f.type) for f in out_schema})
         )
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return _empty()
     edges = edges.select_columns([src, dst])
     edge_schema = pa.schema([(src, node_t), (dst, node_t)])
+
+    limit = DRIVER_TRI_LIMIT if driver_limit is None else driver_limit
+    if n_edges <= limit:
+        import pandas as pd
+
+        pdf = edges.to_pandas()
+        s = pdf[src].to_numpy()
+        d = pdf[dst].to_numpy()
+        deg = pd.concat([pdf[src], pdf[dst]], ignore_index=True).value_counts()
+        sd = pdf[src].map(deg).to_numpy()
+        dd = pdf[dst].map(deg).to_numpy()
+        # orient from the lower-(deg, id) endpoint — identical tie-break
+        # to the distributed orient kernel
+        src_apex = (sd < dd) | ((sd == dd) & (s < d))
+        ori = pd.DataFrame(
+            {
+                "u": np.where(src_apex, s, d),
+                "v": np.where(src_apex, d, s),
+                "vd": np.where(src_apex, dd, sd),
+            }
+        )
+        w = ori.merge(ori, on="u", suffixes=("", "_r"))
+        v, rv = w["v"].to_numpy(), w["v_r"].to_numpy()
+        vd, rvd = w["vd"].to_numpy(), w["vd_r"].to_numpy()
+        # each unordered wedge once, legs ordered by the same (deg, id)
+        # rank (drops self-pairs) — identical to the distributed wedge
+        keep = (vd < rvd) | ((vd == rvd) & (v < rv))
+        u, v, rv = w["u"].to_numpy()[keep], v[keep], rv[keep]
+        lo = v < rv
+        cand = pd.DataFrame(
+            {
+                "u": u,
+                "n2": v,
+                "n3": rv,
+                "__ca": np.where(lo, v, rv),
+                "__cb": np.where(lo, rv, v),
+            }
+        )
+        # closure: edges are unique (src<dst, no dups by contract) so an
+        # inner merge IS the semi join
+        closed = cand.merge(
+            pdf.rename(columns={src: "__ca", dst: "__cb"}), on=["__ca", "__cb"]
+        )
+        tri = np.stack(
+            [closed["u"].to_numpy(), closed["n2"].to_numpy(), closed["n3"].to_numpy()]
+        )
+        tri.sort(axis=0)
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(tri[0], node_t), pa.array(tri[1], node_t), pa.array(tri[2], node_t)],
+                schema=out_schema,
+            )
+        )
 
     def both_ends(t: pa.Table) -> pa.Table:
         s = t.column(src).combine_chunks()

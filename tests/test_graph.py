@@ -121,13 +121,17 @@ def test_triangles_matches_bruteforce(ray_session):
     ds = ray.data.from_arrow(
         pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
     )
-    out = (
-        triangles(ds)
-        .to_pandas()
-        .sort_values(["node_a", "node_b", "node_c"])
-        .reset_index(drop=True)
-    )
-    assert list(map(tuple, out.to_numpy())) == ref
+    # both tiers of the size split: driver-local (default limit) and the
+    # distributed wedge plan (forced with driver_limit=0) must equal the
+    # brute-force reference exactly
+    for forced_limit in (None, 0):
+        out = (
+            triangles(ds, driver_limit=forced_limit)
+            .to_pandas()
+            .sort_values(["node_a", "node_b", "node_c"])
+            .reset_index(drop=True)
+        )
+        assert list(map(tuple, out.to_numpy())) == ref, f"limit={forced_limit}"
     assert len(ref) > 0  # non-vacuous
 
 
