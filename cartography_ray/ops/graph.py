@@ -31,6 +31,14 @@ from cartography_ray.ops.agg import _to_clean_arrow
 
 BROADCAST_NODE_LIMIT = 2_000_000
 
+# below this edge count the whole graph fits trivially in driver memory
+# and the per-iteration Ray rounds (20 by default) dominate: measured
+# ~18 s of round orchestration for an 83k-edge graph whose driver-local
+# power iteration takes ~50 ms. Same two-tier split as
+# canonicalize.DRIVER_CC_LIMIT / triangles.DRIVER_TRI_LIMIT. Only the
+# "auto" strategy takes it — explicit broadcast/join always distribute.
+DRIVER_PR_LIMIT = 200_000
+
 
 def _as_node_col(ds, col: str):
     """select+rename via an explicit Arrow map — Dataset.rename_columns
@@ -84,12 +92,16 @@ def pagerank(
     strategy: str = "auto",
     broadcast_limit: int = BROADCAST_NODE_LIMIT,
     num_partitions: int | None = None,
+    driver_limit: int | None = None,
 ):
     """Weighted PageRank over a directed edge Dataset. Returns a Dataset
     ``(node, rank)`` with ranks summing to 1.
 
-    ``strategy``: ``broadcast`` | ``join`` | ``auto`` (broadcast while
-    the node count fits ``broadcast_limit``, else join).
+    ``strategy``: ``broadcast`` | ``join`` | ``auto`` (driver-local
+    below ``driver_limit`` edges — default ``DRIVER_PR_LIMIT``, the
+    identical iteration math with zero Ray rounds — then broadcast
+    while the node count fits ``broadcast_limit``, else join). All
+    three tiers are numpy-reference-tested to ≤1e-12.
     """
     from cartography_ray.ops.agg import partial_groupby_agg
 
@@ -115,8 +127,12 @@ def pagerank(
             pa.table({"node": pa.array([], node_t), "rank": pa.array([], pa.float64())})
         )
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return _empty_result()
+    limit = DRIVER_PR_LIMIT if driver_limit is None else driver_limit
+    if strategy == "auto" and n_edges <= limit:
+        return _pagerank_local(edges, src, dst, weight, damping, iters)
     norm_edges, outw = _edge_norm_weights(edges, src, dst, weight, num_partitions)
     # node table = distinct src ∪ dst
     srcs = _as_node_col(outw, src)
@@ -140,6 +156,47 @@ def pagerank(
         return _pagerank_broadcast(norm_edges, nodes, outw, src, dst, damping, iters, n_nodes)
     return _pagerank_join(
         norm_edges, nodes, outw, src, dst, damping, iters, n_nodes, num_partitions
+    )
+
+
+def _pagerank_local(edges, src, dst, weight, damping, iters):
+    """Driver tier: the exact per-iteration formula of the distributed
+    strategies (out-weight-normalized contributions + dangling mass
+    redistributed uniformly), run as a single numpy loop. Bounded by
+    ``DRIVER_PR_LIMIT`` edges at the ``pagerank`` gate."""
+    import ray.data
+
+    sch = edges.schema()
+    try:
+        node_t = sch.base_schema.field(src).type
+    except AttributeError:  # pandas-backed blocks: let Arrow infer below
+        node_t = None
+    pdf = edges.to_pandas()
+    s = pdf[src].to_numpy()
+    d = pdf[dst].to_numpy()
+    w = (
+        pdf[weight].to_numpy(dtype="float64")
+        if weight
+        else np.ones(len(pdf), dtype="float64")
+    )
+    node_ids = np.unique(np.concatenate([s, d]))
+    idx = pd.Series(np.arange(len(node_ids)), index=node_ids)
+    si = idx.reindex(s).to_numpy(dtype="int64")
+    di = idx.reindex(d).to_numpy(dtype="int64")
+    n = len(node_ids)
+    outw = np.zeros(n)
+    np.add.at(outw, si, w)
+    has_out = outw > 0
+    wn = w / outw[si]
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        acc = np.zeros(n)
+        np.add.at(acc, di, rank[si] * wn)
+        dangling = rank[~has_out].sum()
+        rank = (1.0 - damping) / n + damping * (acc + dangling / n)
+    node_arr = pa.array(node_ids, node_t) if node_t is not None else pa.array(node_ids)
+    return ray.data.from_arrow(
+        pa.table({"node": node_arr, "rank": pa.array(rank, pa.float64())})
     )
 
 

@@ -3113,14 +3113,29 @@ def sql_kg_conversations(path: str) -> str:
 def q_kg_co_mentions(sf_dir: str):
     """2-hop graph-derived pair join (reference pattern
     intel/aws/ec2/instances.py:517-552 — the instance→profile→role
-    ASSUMES chain): entities co-mentioned in the same turn, via an
-    edge⋈edge SELF-join of the MENTIONS edge stream through
-    ``ops.joins.hash_join`` (reduce-side; both sides are fact-sized)."""
+    ASSUMES chain): entities co-mentioned in the same turn. All
+    (turn, entity) rows co-locate with ONE turn-bucket shuffle
+    (``groupby(__kb).map_groups``); dedup and ordered-pair formation are
+    bucket-local (a vectorized self-merge on ``turn_uid``), so the old
+    plan's distinct exchange + double-shuffled self ``hash_join``
+    collapse into a single exchange ahead of the pair-count aggregate.
+    Pair volume per turn is quadratic in that turn's DISTINCT entity
+    count, which mention detection bounds — no hot-bucket risk.
+
+    The counted pair table is checkpointed next to the sorted/mentions
+    checkpoints (same ``_SUCCESS`` discipline): three catalogue queries
+    consume it (co_mentions, pagerank, triangles), so each session pays
+    the resolve+pair pipeline once."""
+    rd = _rd()
     from cartography_ray.ops.agg import partial_groupby_agg
-    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.pipelines.kg import _checkpoint
     from cartography_ray.runtime import drop_empty_blocks
     from cartography_ray.stages.canonicalize import resolve_keys
     from cartography_ray.stages.link import LinkScorer
+
+    pairs_path = os.path.join(_kg_work_dir(sf_dir), "co_pairs")
+    if os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
+        return rd.read_parquet(pairs_path)
 
     _, mentions = _kg_mentions_ds(sf_dir)
     labels = _kg_labels(sf_dir, mentions)
@@ -3138,29 +3153,24 @@ def q_kg_co_mentions(sf_dir: str):
         pdf["__kb"] = (h % 64).astype("int64")
         return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
 
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["turn_uid", "entity_id"])[["turn_uid", "entity_id"]]
-
-    edges = drop_empty_blocks(
-        drop_empty_blocks(resolved.map_batches(local_distinct, batch_format="pyarrow"))
-        .groupby("__kb")
-        .map_groups(bucket_distinct, batch_format="pandas")
-    )
-    joined = hash_join(
-        edges, edges, left_on="turn_uid", right_on="turn_uid", right_prefix="r_"
-    )
-
-    def ordered_pairs(t: pa.Table) -> pa.Table:
-        mask = pc.less(t.column("entity_id"), t.column("r_entity_id"))
-        t = t.filter(mask)
-        return pa.table(
-            {"entity_a": t.column("entity_id"), "entity_b": t.column("r_entity_id")}
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ents = g.drop_duplicates(["turn_uid", "entity_id"])[["turn_uid", "entity_id"]]
+        m = ents.merge(ents, on="turn_uid")
+        m = m[m["entity_id_x"] < m["entity_id_y"]]
+        return pd.DataFrame(
+            {"entity_a": m["entity_id_x"], "entity_b": m["entity_id_y"]}
         )
 
-    pairs = joined.map_batches(ordered_pairs, batch_format="pyarrow")
-    return partial_groupby_agg(
+    pairs = drop_empty_blocks(
+        drop_empty_blocks(resolved.map_batches(local_distinct, batch_format="pyarrow"))
+        .groupby("__kb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    counted = partial_groupby_agg(
         pairs, ["entity_a", "entity_b"], {"n_turns": (None, "count")}
     )
+    _checkpoint(counted, pairs_path)
+    return rd.read_parquet(pairs_path)
 
 
 _KG_CO_CTE = """

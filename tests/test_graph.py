@@ -35,7 +35,7 @@ def _numpy_pagerank(e: pd.DataFrame, iters: int, damping: float = 0.85):
     return ids, r
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+@pytest.mark.parametrize("strategy", ["auto", "broadcast", "join"])
 def test_pagerank_matches_numpy(ray_session, strategy):
     import ray.data
 
