@@ -2298,6 +2298,9 @@ def q_emb_knn_ivf(sf_dir: str):
 
 
 EMB_NEARDUP_TAU = 0.4
+# semantic-dedup drop set: broadcast the non-root member ids below this
+# count (same size-guarded contract as REVENUE_CUST_BROADCAST_LIMIT)
+SEMANTIC_DROP_BROADCAST_LIMIT = 2_000_000
 
 
 def q_emb_neardup(sf_dir: str):
@@ -2366,13 +2369,15 @@ def q_emb_clusters(sf_dir: str):
     return kmeans_assign(ds, cent)
 
 
-def q_emb_semantic_dedup(sf_dir: str):
+def q_emb_semantic_dedup(sf_dir: str, drop_broadcast_limit: int | None = None):
     """Semantic dedup: one keeper (min vec_id) per near-duplicate
     CLUSTER — transitive closure over the cosine near-dup pairs via the
     engine's own distributed connected_components, then an anti-join
     drops every non-root member. Composes three existing distributed
-    pieces (triangle GEMM pair join → union-find CC → hash anti-join);
-    nothing corpus-sized on the driver."""
+    pieces (triangle GEMM pair join → union-find CC → anti-join); the
+    drop side auto-switches (broadcast key-set filter ≤
+    ``SEMANTIC_DROP_BROADCAST_LIMIT``, distributed hash anti-join on a
+    mostly-duplicate corpus) so nothing UNBOUNDED lands on the driver."""
     rd = _rd()
     from cartography_ray.functions.ann import cosine_neardup_pairs
     from cartography_ray.ops.joins import hash_join
@@ -2400,6 +2405,22 @@ def q_emb_semantic_dedup(sf_dir: str):
     ids = ds.map_batches(
         lambda t: t.select(["vec_id"]), batch_format="pyarrow"
     )
+    # the drop set is component-member-sized; while it fits the broadcast
+    # limit a ray.put key-set filter beats the anti join's double shuffle
+    # (the resolve_keys / revenue_by_nation size-guard pattern). Above
+    # the limit — a mostly-duplicate corpus — fall back to the
+    # distributed anti hash_join.
+    from cartography_ray.ops.joins import broadcast_semi_anti
+
+    limit = (
+        SEMANTIC_DROP_BROADCAST_LIMIT
+        if drop_broadcast_limit is None
+        else drop_broadcast_limit
+    )
+    dropped = dropped.materialize()
+    if dropped.count() <= limit:
+        keys = dropped.to_pandas()["vec_id"].astype(str).tolist()
+        return broadcast_semi_anti(ids, keys, on="vec_id", anti=True)
     return hash_join(
         ids, dropped, left_on="vec_id", how="anti",
         left_schema=pa.schema([("vec_id", pa.int64())]),

@@ -1282,6 +1282,20 @@ def test_kmeans_assign_invariants(ray_session):
     assert (out["cluster_id"].to_numpy() == ref).all()
 
 
+def test_semantic_dedup_drop_paths_equal(ray_session):
+    """The broadcast key-set drop filter and the distributed anti
+    hash_join must keep exactly the same vec_ids (forced-limit twin,
+    the revenue_by_nation precedent)."""
+    from cartography_ray.pipelines.queries import q_emb_semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    bc = sorted(q_emb_semantic_dedup(sf).to_pandas()["vec_id"])
+    hj = sorted(
+        q_emb_semantic_dedup(sf, drop_broadcast_limit=0).to_pandas()["vec_id"]
+    )
+    assert bc == hj and len(bc) > 0
+
+
 def test_hash_join_skew_salt_equals_unsalted(ray_session):
     """The skew_salt plan must emit exactly the unsalted row multiset
     for every mode it supports, on a pathologically skewed left side
