@@ -141,6 +141,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_funnel",
         "events_rank",
         "docs_bigrams",
+        "docs_shuffled",
         "kg_triangles",
         "emb_clusters",
     ]

@@ -490,6 +490,28 @@ def deterministic_sample(ds, id_col: str, rate: float, salt: int = 0):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def epoch_shuffle(ds, id_col: str, epoch: int = 0):
+    """Deterministic epoch shuffle for training-data ordering: every row
+    gets ``shuffle_pos = sample_hash(id, salt=epoch)`` (a per-batch
+    append, no coordination) and the Dataset is globally sorted by
+    ``(shuffle_pos, id)`` — the sort is the ONE all-to-all, and it is
+    exactly the exchange a real shuffle needs at any scale. RNG-free, so
+    a resumed/retried run reproduces the same permutation, and each
+    ``epoch`` value yields a different deterministic order (the
+    standard per-epoch reshuffle without materializing an index).
+    SQL twin of the position: the ``sample_hash`` expression with the
+    epoch added before the multiply."""
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shuffle_pos", pa.array(sample_hash(ids, epoch), pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort(["shuffle_pos", id_col])
+
+
 def hash_split(ds, key_col: str, fractions: dict[str, float], salt: int = 0):
     """Leakage-safe deterministic dataset split: label every row
     ``train``/``val``/``test`` (any labels) by hashing ``key_col`` into

@@ -900,6 +900,28 @@ FROM (
 SQL_EVENTS_SPLIT = _sql_events_split()
 
 
+def q_docs_shuffled(sf_dir: str):
+    """Deterministic epoch shuffle (ops/window.epoch_shuffle): every doc
+    gets its epoch-1 hash position and the table is globally sorted by
+    it — the RNG-free per-epoch training-order permutation. The sort is
+    the one all-to-all; positions are a per-batch append. The driver's
+    compare is order-insensitive, so the oracle checks the POSITIONS;
+    the cross-block global ordering is asserted in tests."""
+    rd = _rd()
+    from cartography_ray.ops.window import epoch_shuffle
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return epoch_shuffle(ds, "doc_id", epoch=1)
+
+
+SQL_DOCS_SHUFFLED = """
+SELECT doc_id,
+       CAST(((CAST(doc_id AS UBIGINT) % 4294967296 + 1) % 4294967296)
+            * 2654435761 % 4294967296 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 def q_events_stratified(sf_dir: str):
     """Exactly-k-per-group deterministic sample (grouped_topk over the
     sampling score — per-batch combiner bounds shuffle volume)."""
@@ -3367,6 +3389,7 @@ QUERIES: dict[str, Callable] = {
     "events_pivot": q_events_pivot,
     "events_sample": q_events_sample,
     "events_split": q_events_split,
+    "docs_shuffled": q_docs_shuffled,
     "events_stratified": q_events_stratified,
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_hll": q_events_distinct_users_hll,
@@ -3462,6 +3485,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_pivot": SQL_EVENTS_PIVOT,
         "events_sample": SQL_EVENTS_SAMPLE,
         "events_split": SQL_EVENTS_SPLIT,
+        "docs_shuffled": SQL_DOCS_SHUFFLED,
         "events_stratified": SQL_EVENTS_STRATIFIED,
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         # events_distinct_users_hll is approximate-by-design → rows-only

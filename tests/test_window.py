@@ -1150,3 +1150,38 @@ def test_with_rank_matches_pandas(ray_session):
     got_max = out.groupby("k")["rn"].max()
     assert (got_max.sort_index() == sizes.sort_index()).all()
     assert (out["rnk"] <= out["rn"]).all() and (out["drnk"] <= out["rnk"]).all()
+
+
+def test_epoch_shuffle_global_order_and_epochs(ray_session):
+    """epoch_shuffle must be globally sorted ACROSS blocks, reproduce
+    identically on a second run, and permute differently per epoch."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.ops.window import epoch_shuffle, sample_hash
+
+    ids = np.arange(5000, dtype="int64")
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(8)
+
+    def run(epoch):
+        out = epoch_shuffle(ds, "doc_id", epoch=epoch)
+        pos = []
+        for b in out.iter_batches(batch_format="pandas", batch_size=512):
+            pos.append(b)
+        pdf = pd.concat(pos, ignore_index=True)
+        return pdf
+
+    a = run(1)
+    # global non-decreasing order across every block boundary
+    assert (np.diff(a["shuffle_pos"].to_numpy()) >= 0).all()
+    # positions are the sample_hash scores (the SQL-twin arithmetic)
+    assert (
+        a.sort_values("doc_id")["shuffle_pos"].to_numpy() == sample_hash(ids, 1)
+    ).all()
+    # deterministic: a second run yields the identical permutation
+    b = run(1)
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    # a different epoch is a different permutation of the same rows
+    c = run(2)
+    assert sorted(c["doc_id"]) == sorted(a["doc_id"])
+    assert (c["doc_id"].to_numpy() != a["doc_id"].to_numpy()).any()
