@@ -322,3 +322,67 @@ def cube_groupby_agg(
         num_partitions=num_partitions,
         empty_schema=empty_schema,
     )
+
+
+def grouped_mode(
+    ds,
+    keys: list[str] | str,
+    value_col: str,
+    out_col: str = "mode_value",
+    count_col: str | None = "mode_count",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Per-group most-frequent value with a DETERMINISTIC tie-break:
+    highest count first, then SMALLEST value. SQL engines leave
+    ``mode()`` ties unspecified, so the oracle twin must spell out the
+    same ``ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, value)`` window.
+
+    Two-phase like ``partial_groupby_agg``, but the shuffle buckets on
+    ``keys`` ONLY (all of a key's candidate values must meet in one
+    reducer): the per-batch combiner collapses each block to one
+    (keys, value, partial-count) row per distinct pair, so a hot key
+    costs one row per distinct value per block — never its raw rows —
+    and the reducer's work is bounded by the key's value cardinality.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def combine(batch: pd.DataFrame) -> pa.Table:
+        part = (
+            batch.groupby(keys + [value_col], sort=False, dropna=False)
+            .size()
+            .rename("__c")
+            .reset_index()
+        )
+        h = pd.util.hash_pandas_object(part[keys], index=False).to_numpy()
+        part["__gb"] = (h % num_buckets).astype("int64")
+        return _to_clean_arrow(part)
+
+    def pick(group: pd.DataFrame) -> pa.Table:
+        summed = (
+            group.groupby(keys + [value_col], sort=False, dropna=False)["__c"]
+            .sum()
+            .reset_index()
+        )
+        ordered = summed.sort_values(
+            keys + ["__c", value_col],
+            ascending=[True] * len(keys) + [False, True],
+            kind="mergesort",
+        )
+        top = ordered.groupby(keys, sort=False, dropna=False).head(1)
+        out = top.rename(columns={value_col: out_col})
+        if count_col:
+            out = out.rename(columns={"__c": count_col})
+            out[count_col] = out[count_col].astype("int64")
+        else:
+            out = out.drop(columns="__c")
+        return _to_clean_arrow(out.reset_index(drop=True))
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    partials = ds.map_batches(combine, batch_format="pandas")
+    return drop_empty_blocks(
+        partials.groupby("__gb", num_partitions=num_partitions).map_groups(
+            pick, batch_format="pandas"
+        )
+    )

@@ -963,3 +963,63 @@ def with_rank(
             kernel, batch_format="pandas"
         )
     )
+
+
+def interval_union(
+    ds,
+    key: str,
+    start_col: str,
+    end_col: str,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Per-key union of (possibly overlapping) intervals — the classic
+    gaps-and-islands merge: intervals of one key are coalesced wherever
+    the next start is ≤ the running max end (touching intervals merge;
+    half-open semantics would use ``<`` — this matches the SQL oracle's
+    ``start > MAX(end) OVER preceding`` island flag). Emits one row per
+    merged island: ``key, island_start, island_end, n_iv`` (input
+    intervals absorbed). The coverage/availability primitive (e.g. total
+    time covered by any session, union of validity ranges).
+
+    Same shape and partitioning assumption as ``with_lag``: ONE hash
+    shuffle on ``key``, then a fully vectorized kernel (mergesort +
+    per-key running cummax + island cumsum — no per-row Python). Island
+    membership is order-independent for ties in (start, end), so the
+    result is deterministic without a total order.
+    """
+
+    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, start_col, end_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        s = pdf[start_col].to_numpy()
+        prev_max_end = (
+            pdf.groupby(key, sort=False)[end_col].cummax().shift().to_numpy()
+        )
+        first_of_key = pdf.groupby(key, sort=False).cumcount().to_numpy() == 0
+        new_island = first_of_key | (s > prev_max_end)
+        pdf["__isl"] = np.cumsum(new_island)
+        g = pdf.groupby([key, "__isl"], sort=False)
+        out = pd.DataFrame(
+            {
+                "island_start": g[start_col].min(),
+                "island_end": g[end_col].max(),
+                "n_iv": g[start_col].size().astype("int64"),
+            }
+        ).reset_index()
+        return _to_clean_arrow(out.drop(columns="__isl"))
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )

@@ -3361,6 +3361,134 @@ JOIN co c ON c.entity_a = a.entity_a AND c.entity_b = b.entity_b
 # Catalogue
 # --------------------------------------------------------------------------
 
+def q_events_user_mode(sf_dir: str):
+    """Per-user modal event type (ops/agg.grouped_mode): combiner-first
+    single shuffle keyed on user only, deterministic count-desc /
+    value-asc tie-break spelled out identically in the SQL twin."""
+    rd = _rd()
+    from cartography_ray.ops.agg import grouped_mode
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["user_id", "event_type"])
+    return grouped_mode(
+        ds,
+        keys="user_id",
+        value_col="event_type",
+        out_col="mode_event",
+        count_col="mode_count",
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_USER_MODE = """
+SELECT user_id, event_type AS mode_event, cnt AS mode_count FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+
+
+# interval half-length: cents(value) × 6 s — sized so the sf0.01 event
+# stream (median per-user gap ≈ 7.3 h, mean value ≈ 50) yields a healthy
+# mix of merged islands and singletons; integer-exact on both engines
+COVERAGE_US_PER_CENT = 6_000_000
+
+
+def q_events_coverage(sf_dir: str):
+    """Per-user union of event 'activity intervals' [ts, ts + value-scaled
+    duration) — the gaps-and-islands interval merge
+    (ops/window.interval_union: ONE key shuffle, vectorized running-cummax
+    kernel). Emits one row per merged island."""
+    rd = _rd()
+    from cartography_ray.ops.window import interval_union
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["user_id", "ts", "value"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.cast(t.column("ts"), pa.int64())
+        dur = pc.multiply(
+            _cents(t.column("value")), pa.scalar(COVERAGE_US_PER_CENT, pa.int64())
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "s_us": s,
+                "e_us": pc.add(s, dur),
+            }
+        )
+
+    return interval_union(
+        ds.map_batches(iv, batch_format="pyarrow"),
+        key="user_id",
+        start_col="s_us",
+        end_col="e_us",
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_COVERAGE = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * {COVERAGE_US_PER_CENT} AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+), f AS (
+  SELECT user_id, s, e,
+         CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag
+  FROM m
+), g AS (
+  -- RANGE framing gives tied (s, e) peers the same island id, matching
+  -- the engine's order-independent island membership
+  SELECT user_id, s, e,
+         SUM(flag) OVER (PARTITION BY user_id ORDER BY s, e) AS isl
+  FROM f
+)
+SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_iv
+FROM g GROUP BY user_id, isl
+"""
+
+
+def q_customers_fuzzy_names(sf_dir: str):
+    """Levenshtein ≤ 1 fuzzy self-join over customer names
+    (functions/fuzzy.edit_distance_pairs: symmetric-delete blocking —
+    candidate-complete — + banded-DP vectorized verify). The full
+    O(n²)-levenshtein DuckDB twin is the oracle; the TPC-H-style
+    'Customer#000000123' name space has thousands of true distance-1
+    pairs (single-digit substitutions), so the join is non-vacuous."""
+    rd = _rd()
+    from cartography_ray.functions.fuzzy import edit_distance_pairs
+
+    path = f"{sf_dir}/customer.parquet"
+    ds = rd.read_parquet(path, columns=["c_custkey", "c_name"])
+    return edit_distance_pairs(
+        ds,
+        id_col="c_custkey",
+        str_col="c_name",
+        max_dist=1,
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_CUSTOMERS_FUZZY_NAMES = """
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "pricing_summary": q_pricing_summary,
     "lineitem_rollup": q_lineitem_rollup,
@@ -3446,6 +3574,9 @@ QUERIES: dict[str, Callable] = {
     "events_rolling": q_events_rolling,
     "events_rank": q_events_rank,
     "docs_bigrams": q_docs_bigrams,
+    "events_user_mode": q_events_user_mode,
+    "events_coverage": q_events_coverage,
+    "customers_fuzzy_names": q_customers_fuzzy_names,
 }
 
 
@@ -3543,6 +3674,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_rolling": SQL_EVENTS_ROLLING,
         "events_rank": SQL_EVENTS_RANK,
         "docs_bigrams": SQL_DOCS_BIGRAMS,
+        "events_user_mode": SQL_EVENTS_USER_MODE,
+        "events_coverage": SQL_EVENTS_COVERAGE,
+        "customers_fuzzy_names": SQL_CUSTOMERS_FUZZY_NAMES,
         # docs_minhash_pairs / docs_simhash_pairs / emb_knn_lsh are
         # approximate-by-design → rows-only checks (recall asserted in tests)
     }

@@ -112,3 +112,35 @@ def test_pivot_groupby_sum_matches_pandas(ray_session):
         s = df[df["cat"] == c].groupby("k")["v"].sum()
         want[f"{c}_sum"] = want["k"].map(s).fillna(0).astype("int64")
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_grouped_mode_matches_pandas(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.agg import grouped_mode
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, n).astype("int64"),
+            "v": rng.choice(list("pqrst"), n),
+        }
+    )
+    got = (
+        grouped_mode(
+            ray.data.from_pandas(df).repartition(5), "k", "v",
+            out_col="mode_v", count_col="n", num_buckets=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    counts = df.groupby(["k", "v"]).size().rename("n").reset_index()
+    ordered = counts.sort_values(["k", "n", "v"], ascending=[True, False, True])
+    want = (
+        ordered.groupby("k").head(1).rename(columns={"v": "mode_v"})
+        .sort_values("k").reset_index(drop=True)[["k", "mode_v", "n"]]
+    )
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got[["k", "mode_v", "n"]], want)

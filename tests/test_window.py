@@ -1185,3 +1185,52 @@ def test_epoch_shuffle_global_order_and_epochs(ray_session):
     c = run(2)
     assert sorted(c["doc_id"]) == sorted(a["doc_id"])
     assert (c["doc_id"].to_numpy() != a["doc_id"].to_numpy()).any()
+
+
+def test_interval_union_matches_reference(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import interval_union
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n).astype("int64"),
+            "s": rng.integers(0, 100_000, n).astype("int64"),
+        }
+    )
+    df["e"] = df["s"] + rng.integers(1, 3000, n).astype("int64")
+    # seed exact duplicates and touching intervals (s == prev island end)
+    df.loc[:50, ["k", "s", "e"]] = df.loc[51:101, ["k", "s", "e"]].to_numpy()
+
+    got = (
+        interval_union(
+            ray.data.from_pandas(df).repartition(5), key="k",
+            start_col="s", end_col="e", num_buckets=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "island_start"])
+        .reset_index(drop=True)
+    )
+
+    # per-key python sweep reference
+    rows = []
+    for k, grp in df.sort_values(["k", "s", "e"]).groupby("k"):
+        cur_s = cur_e = None
+        n_iv = 0
+        for s, e in zip(grp["s"], grp["e"]):
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    rows.append((k, cur_s, cur_e, n_iv))
+                cur_s, cur_e, n_iv = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n_iv += 1
+        if cur_s is not None:
+            rows.append((k, cur_s, cur_e, n_iv))
+    want = pd.DataFrame(rows, columns=["k", "island_start", "island_end", "n_iv"])
+    want["n_iv"] = want["n_iv"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["k", "island_start", "island_end", "n_iv"]], want
+    )
