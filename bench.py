@@ -144,6 +144,10 @@ def run_queries(sf_dir: str) -> dict:
         "docs_shuffled",
         "kg_triangles",
         "emb_clusters",
+        "events_user_mode",
+        "events_coverage",
+        "customers_fuzzy_names",
+        "kg_kcore",
     ]
     out = {}
     for name in names:

@@ -548,3 +548,169 @@ def triangles(edges, src: str = "src", dst: str = "dst",
     if out.count() == 0:
         return _empty()
     return out
+
+
+DRIVER_KCORE_LIMIT = 200_000
+
+
+def _node_dtype(sch, col: str) -> pa.DataType:
+    """Node dtype from a Dataset schema — handles Arrow-block schemas
+    (``base_schema`` is a pyarrow.Schema) AND pandas-block ones (numpy
+    dtypes; ``object`` means strings here)."""
+    if sch is None or col not in sch.names:
+        return pa.string()
+    base = getattr(sch, "base_schema", None)
+    if base is not None and hasattr(base, "field"):
+        return base.field(col).type
+    try:
+        t = sch.types[list(sch.names).index(col)]
+        if isinstance(t, pa.DataType):
+            return t
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        return pa.string()
+
+
+def kcore(
+    edges,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+    driver_limit: int | None = None,
+    max_rounds: int = 10_000,
+):
+    """k-core decomposition for a fixed ``k``: the (unique) maximal
+    induced subgraph in which every node has degree ≥ k. Returns
+    ``(node, core_deg)`` — the k-core's nodes with their in-core degree.
+
+    Input contract: one row per UNDIRECTED edge with ``src < dst``,
+    unique, no self-loops (the co-mention pair shape, same as
+    ``triangles``).
+
+    Iterative peeling to FIXPOINT — each round removes every node whose
+    degree in the surviving subgraph is < k; the result is unique
+    regardless of removal order, so the unrolled-SQL oracle and both
+    tiers agree exactly. Fourth iterative family next to union-find,
+    IVF k-means and PageRank.
+
+    Tiers (the ``DRIVER_PR_LIMIT`` / ``DRIVER_TRI_LIMIT`` precedent):
+    below ``driver_limit`` edges the peel loop runs driver-local
+    (numpy ``bincount`` per round — the whole loop is milliseconds at
+    that size); above it, each round is one degree aggregation
+    (per-batch endpoint combiner → ``partial_groupby_agg``) plus two
+    semi ``hash_join``s filtering the edge set to survivors — nothing
+    node- or edge-sized on the driver, edge volume only shrinks.
+    Parallel-peeling round count is worst-case O(peel depth) (a k=2
+    path graph peels from the ends); ``max_rounds`` is a runaway guard
+    that RAISES rather than returning a truncated (superset) core.
+    """
+    import ray.data
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.runtime import drop_empty_blocks
+
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+
+    edges = edges.materialize()
+    node_t = _node_dtype(edges.schema(), src)
+    out_schema = pa.schema([("node", node_t), ("core_deg", pa.int64())])
+
+    def _empty():
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return _empty()
+    edges = edges.select_columns([src, dst])
+    edge_schema = pa.schema([(src, node_t), (dst, node_t)])
+
+    limit = DRIVER_KCORE_LIMIT if driver_limit is None else driver_limit
+    if n_edges <= limit:
+        pdf = edges.to_pandas()
+        codes, uniques = pd.factorize(
+            pd.concat([pdf[src], pdf[dst]], ignore_index=True)
+        )
+        n = len(uniques)
+        sc = codes[: len(pdf)]
+        dc = codes[len(pdf) :]
+        alive = np.ones(len(pdf), dtype=bool)
+        deg = np.bincount(sc, minlength=n) + np.bincount(dc, minlength=n)
+        while True:
+            ok = deg >= k
+            nxt = alive & ok[sc] & ok[dc]
+            if (nxt == alive).all():
+                break
+            alive = nxt
+            deg = np.bincount(sc[alive], minlength=n) + np.bincount(
+                dc[alive], minlength=n
+            )
+        keep = (deg >= k) & (deg > 0)
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [
+                    pa.array(np.asarray(uniques)[keep], node_t),
+                    pa.array(deg[keep].astype("int64"), pa.int64()),
+                ],
+                schema=out_schema,
+            )
+        )
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        s = t.column(src).combine_chunks()
+        d = t.column(dst).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([s, d])})
+
+    deg_schema = pa.schema([("node", node_t), ("deg", pa.int64())])
+    surv_schema = pa.schema([("node", node_t)])
+    cur, cur_count = edges, n_edges
+    for _ in range(max_rounds):
+        deg = partial_groupby_agg(
+            cur.map_batches(both_ends, batch_format="pyarrow"),
+            ["node"],
+            {"deg": (None, "count")},
+            num_partitions=num_partitions,
+        )
+
+        def ge_k(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.greater_equal(t.column("deg"), pa.scalar(k, pa.int64()))
+            return t.filter(m)
+
+        survivors = drop_empty_blocks(
+            deg.map_batches(ge_k, batch_format="pyarrow")
+        ).materialize()  # consumed by two semi joins
+        if survivors.count() == 0:
+            return _empty()
+        surv_nodes = survivors.select_columns(["node"])
+        nxt = hash_join(
+            cur, surv_nodes, left_on=src, right_on="node", how="semi",
+            left_schema=edge_schema, right_schema=surv_schema,
+            num_partitions=num_partitions,
+        )
+        nxt = hash_join(
+            nxt, surv_nodes, left_on=dst, right_on="node", how="semi",
+            left_schema=edge_schema, right_schema=surv_schema,
+            num_partitions=num_partitions,
+        ).materialize()
+        nxt_count = nxt.count()
+        if nxt_count == cur_count:
+            # fixpoint: every endpoint degree is ≥ k; survivors IS the core
+            def rename(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"node": t.column("node"), "core_deg": t.column("deg")}
+                )
+
+            return survivors.map_batches(rename, batch_format="pyarrow")
+        if nxt_count == 0:
+            return _empty()
+        cur, cur_count = nxt, nxt_count
+    raise RuntimeError(
+        f"kcore: no fixpoint within max_rounds={max_rounds} "
+        f"(pathological peel depth; raise max_rounds)"
+    )

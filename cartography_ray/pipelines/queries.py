@@ -3489,6 +3489,66 @@ FROM customer a JOIN customer b
 """
 
 
+# sf0.01 co-mention graph: 3539 nodes / 8247 edges; the 4-core has 998
+# nodes and needs SIX parallel peel rounds to converge — multi-round
+# peeling is genuinely live. Oracle unrolls 2× that depth.
+KCORE_K = 4
+KCORE_ORACLE_ROUNDS = 12
+
+
+def q_kg_kcore(sf_dir: str):
+    """k-core of the co-mention graph (ops/graph.kcore: iterative
+    peeling to fixpoint — driver tier below 200k edges, degree-agg +
+    two-semi-join rounds above; the core is UNIQUE regardless of peel
+    order, so the unrolled-CTE DuckDB twin matches exactly)."""
+    from cartography_ray.ops.graph import kcore
+
+    pairs = q_kg_co_mentions(sf_dir)
+
+    def edge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t.column("entity_a"), pa.string()),
+                "dst": pc.cast(t.column("entity_b"), pa.string()),
+            }
+        )
+
+    return kcore(pairs.map_batches(edge, batch_format="pyarrow"), k=KCORE_K)
+
+
+def sql_kg_kcore(
+    path: str, k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS
+) -> str:
+    """Peel loop unrolled as a CTE chain (the ``sql_kg_pagerank``
+    fixed-iteration idiom — a shrinking set is inexpressible under
+    WITH RECURSIVE's append-only semantics). ``rounds`` must exceed the
+    graph's parallel peel depth (6 at sf0.01; 2× margin); extra rounds
+    are no-ops at fixpoint, so over-unrolling is safe, never wrong."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one 3× — the unrolled chain would
+    # otherwise expand to 3^rounds transcript scans (observed as an
+    # fd-exhaustion IO error, not just slowness)
+    parts = [", r0 AS MATERIALIZED (SELECT entity_a AS a, entity_b AS b FROM co)"]
+    for i in range(rounds):
+        parts.append(
+            f""", s{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT a AS node FROM r{i} UNION ALL SELECT b FROM r{i}
+  ) GROUP BY node HAVING COUNT(*) >= {k})
+, r{i + 1} AS MATERIALIZED (
+  SELECT r.a, r.b FROM r{i} r
+  JOIN s{i} x ON r.a = x.node JOIN s{i} y ON r.b = y.node)"""
+        )
+    final = f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+  SELECT a AS node FROM r{rounds} UNION ALL SELECT b FROM r{rounds}
+) GROUP BY node HAVING COUNT(*) >= {k}
+"""
+    return (
+        _KG_RESOLVED_SQL.format(path=path) + _KG_CO_CTE + "".join(parts) + final
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "pricing_summary": q_pricing_summary,
     "lineitem_rollup": q_lineitem_rollup,
@@ -3577,6 +3637,7 @@ QUERIES: dict[str, Callable] = {
     "events_user_mode": q_events_user_mode,
     "events_coverage": q_events_coverage,
     "customers_fuzzy_names": q_customers_fuzzy_names,
+    "kg_kcore": q_kg_kcore,
 }
 
 
@@ -3669,6 +3730,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_co_mentions": sql_kg_co_mentions(path),
         "kg_pagerank": sql_kg_pagerank(path),
         "kg_triangles": sql_kg_triangles(path),
+        "kg_kcore": sql_kg_kcore(path),
         "events_retention": SQL_EVENTS_RETENTION,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_rolling": SQL_EVENTS_ROLLING,

@@ -150,3 +150,74 @@ def test_triangles_empty_and_triangle_free(ray_session):
     path = ray.data.from_arrow(pa.table({"src": ["a", "b"], "dst": ["b", "c"]}))
     t = triangles(path)
     assert t.count() == 0 and t.schema().names == cols
+
+
+def _kcore_ref(edges_df, k):
+    """Reference peel loop (pure python sets)."""
+    adj = {}
+    for a, b in zip(edges_df["src"], edges_df["dst"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(s) for n, s in adj.items() if s}
+
+
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_kcore_matches_reference(ray_session, force_distributed):
+    import ray.data
+
+    from cartography_ray.ops.graph import kcore
+
+    rng = np.random.default_rng(47)
+    # random graph + a long path appendage (forces multi-round peeling
+    # at k=2: the path erodes from its ends, one layer per round)
+    n, m = 400, 1200
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    df = pd.DataFrame({"src": lo, "dst": hi}).drop_duplicates()
+    # a path appendage erodes one layer per round at k=2 — keep it short
+    # on the distributed tier (each round = 1 agg + 2 semi joins)
+    path_len = 8 if force_distributed else 30
+    path_nodes = np.arange(n, n + path_len)
+    df = pd.concat(
+        [df, pd.DataFrame({"src": path_nodes[:-1], "dst": path_nodes[1:]})],
+        ignore_index=True,
+    ).astype("int64")
+
+    for k in (2, 5) if force_distributed else (2, 3, 5):
+        want = _kcore_ref(df, k)
+        got = kcore(
+            ray.data.from_pandas(df).repartition(4), k=k,
+            driver_limit=0 if force_distributed else None,
+            num_partitions=4,
+        ).to_pandas()
+        if len(got) == 0:
+            # an all-empty to_pandas() loses the schema (Ray 2.49) —
+            # compare emptiness only
+            assert want == {}, f"k={k}: engine empty, reference {len(want)} nodes"
+            continue
+        assert dict(zip(got["node"], got["core_deg"])) == want
+
+
+def test_kcore_empty_and_total_peel(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.graph import kcore
+
+    tri = pd.DataFrame({"src": [0, 0, 1], "dst": [1, 2, 2]}).astype("int64")
+    ds = ray.data.from_pandas(tri)
+    # k=3 peels the triangle away entirely — both tiers
+    assert kcore(ds, k=3).count() == 0
+    assert kcore(ds, k=3, driver_limit=0, num_partitions=2).count() == 0
+    # k=2 keeps it whole
+    got = kcore(ds, k=2).to_pandas()
+    assert sorted(got["core_deg"]) == [2, 2, 2]
