@@ -148,6 +148,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_coverage",
         "customers_fuzzy_names",
         "kg_kcore",
+        "events_user_path",
     ]
     out = {}
     for name in names:

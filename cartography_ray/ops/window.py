@@ -1023,3 +1023,55 @@ def interval_union(
             kernel, batch_format="pandas"
         )
     )
+
+
+def sequence_paths(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    max_len: int = 20,
+    sep: str = ">",
+    out_col: str = "path",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Per-key ordered event SEQUENCE (behavior path): the first
+    ``max_len`` values of ``value_col`` ordered by ``order_cols``,
+    joined into one ``sep``-delimited string — the session-path /
+    action-sequence extraction step of behavioral training data
+    (emits ``key, out_col, n`` with ``n`` = values included).
+
+    Combiner-first: each input batch keeps at most ``max_len`` rows per
+    key (the global first-``max_len`` is a subset of the union of
+    per-batch first-``max_len``s — the ``grouped_topk`` argument), so
+    the shuffle is candidate-sized, then ONE key shuffle and a kernel
+    that truncates and joins. ``order_cols`` should be a total order
+    for a deterministic (oracle-stable) path; ``sep`` must not occur in
+    the values if the output is to be unambiguous.
+    """
+
+    def prune(batch: pd.DataFrame) -> "pd.DataFrame":
+        s = batch.sort_values([key, *order_cols], kind="mergesort")
+        s = s.groupby(key, sort=False).head(max_len)
+        return _to_clean_arrow(_with_bucket(s, [key], num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pdf = pdf[pdf.groupby(key, sort=False).cumcount() < max_len]
+        g = pdf.groupby(key, sort=False)[value_col]
+        out = pd.DataFrame({out_col: g.agg(sep.join), "n": g.size().astype("int64")})
+        return _to_clean_arrow(out.reset_index())
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return drop_empty_blocks(
+        pruned.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )

@@ -3489,6 +3489,41 @@ FROM customer a JOIN customer b
 """
 
 
+PATH_MAX_LEN = 20
+
+
+def q_events_user_path(sf_dir: str):
+    """Per-user ordered action sequence — the first 20 event types by
+    (ts, event_id), '>'-joined (ops/window.sequence_paths: per-batch
+    first-k combiner → one key shuffle → truncate + join kernel)."""
+    rd = _rd()
+    from cartography_ray.ops.window import sequence_paths
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["user_id", "ts", "event_id", "event_type"])
+    return sequence_paths(
+        ds,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="event_type",
+        max_len=PATH_MAX_LEN,
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_USER_PATH = f"""
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= {PATH_MAX_LEN}
+GROUP BY user_id
+"""
+
+
 # sf0.01 co-mention graph: 3539 nodes / 8247 edges; the 4-core has 998
 # nodes and needs SIX parallel peel rounds to converge — multi-round
 # peeling is genuinely live. Oracle unrolls 2× that depth.
@@ -3638,6 +3673,7 @@ QUERIES: dict[str, Callable] = {
     "events_coverage": q_events_coverage,
     "customers_fuzzy_names": q_customers_fuzzy_names,
     "kg_kcore": q_kg_kcore,
+    "events_user_path": q_events_user_path,
 }
 
 
@@ -3731,6 +3767,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": sql_kg_pagerank(path),
         "kg_triangles": sql_kg_triangles(path),
         "kg_kcore": sql_kg_kcore(path),
+        "events_user_path": SQL_EVENTS_USER_PATH,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_rolling": SQL_EVENTS_ROLLING,

@@ -1234,3 +1234,35 @@ def test_interval_union_matches_reference(ray_session):
     pd.testing.assert_frame_equal(
         got[["k", "island_start", "island_end", "n_iv"]], want
     )
+
+
+def test_sequence_paths_matches_reference(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import sequence_paths
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n).astype("int64"),
+            "o": rng.permutation(n).astype("int64"),
+            "v": rng.choice(list("abcde"), n),
+        }
+    )
+    got = (
+        sequence_paths(
+            ray.data.from_pandas(df).repartition(6), key="k",
+            order_cols=["o"], value_col="v", max_len=7, sep="-",
+            num_buckets=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["k", "o"]).groupby("k").head(7)
+    g = s.groupby("k")["v"]
+    want = pd.DataFrame(
+        {"path": g.agg("-".join), "n": g.size().astype("int64")}
+    ).reset_index()
+    pd.testing.assert_frame_equal(got[["k", "path", "n"]], want)
