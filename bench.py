@@ -149,6 +149,7 @@ def run_queries(sf_dir: str) -> dict:
         "customers_fuzzy_names",
         "kg_kcore",
         "events_user_path",
+        "docs_bpe_merges",
     ]
     out = {}
     for name in names:

@@ -3489,6 +3489,27 @@ FROM customer a JOIN customer b
 """
 
 
+BPE_N_MERGES = 40
+
+
+def q_docs_bpe_merges(sf_dir: str):
+    """BPE vocabulary induction over the document corpus
+    (functions/bpe.train_bpe_merges): the 40 highest-frequency merges,
+    deterministic lexicographic tie-breaks. Rows-only — the iterative
+    argmax+rewrite loop is not SQL-expressible; correctness is the
+    pure-python Sennrich reference-equality test plus the
+    driver≡distributed tier test in tests/test_functions.py."""
+    rd = _rd()
+    from cartography_ray.functions.bpe import train_bpe_merges
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["text"])
+    return train_bpe_merges(
+        ds, text_col="text", n_merges=BPE_N_MERGES,
+        num_partitions=_parts_for(path),
+    )
+
+
 PATH_MAX_LEN = 20
 
 
@@ -3674,6 +3695,7 @@ QUERIES: dict[str, Callable] = {
     "customers_fuzzy_names": q_customers_fuzzy_names,
     "kg_kcore": q_kg_kcore,
     "events_user_path": q_events_user_path,
+    "docs_bpe_merges": q_docs_bpe_merges,
 }
 
 
