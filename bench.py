@@ -150,6 +150,7 @@ def run_queries(sf_dir: str) -> dict:
         "kg_kcore",
         "events_user_path",
         "docs_bpe_merges",
+        "events_outliers",
     ]
     out = {}
     for name in names:

@@ -3489,6 +3489,122 @@ FROM customer a JOIN customer b
 """
 
 
+# distinct users scale with SF (not a dimension): broadcast the per-user
+# moment table only below this bound, hash_join above (the resolve_keys /
+# revenue_by_nation size-guard precedent)
+OUTLIER_BROADCAST_LIMIT = 2_000_000
+
+
+def q_events_outliers(sf_dir: str, broadcast_limit: int | None = None):
+    """Per-user 3-sigma outlier events — anomaly flagging with
+    INTEGER-EXACT moments and mirrored-IEEE flag arithmetic: per-batch
+    (cents, cents²) combiner → one user-keyed moment aggregation, then
+    flag x iff (n·x − s)² > 9·(n·q − s²). The squares would overflow
+    BIGINT, so BOTH engines evaluate them in float64 with the identical
+    expression tree (n, s, q, x are int64-exact first; IEEE ops are
+    per-op deterministic, so the hash compare holds — the
+    integer-cents convention extended to second moments)."""
+    import ray
+
+    rd = _rd()
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    limit = OUTLIER_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _cents(t.column("value"))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value_cents": x,
+                "__x2": pc.multiply(x, x),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    stats = partial_groupby_agg(
+        prepped.map_batches(
+            lambda t: t.select(["user_id", "value_cents", "__x2"]),
+            batch_format="pyarrow",
+        ),
+        ["user_id"],
+        {"n": (None, "count"), "s": ("value_cents", "sum"), "q": ("__x2", "sum")},
+        num_partitions=_parts_for(path),
+    ).materialize()
+
+    def flag_arrays(x, n, s, q):
+        nf = n.astype("float64")
+        xf = x.astype("float64")
+        sf_ = s.astype("float64")
+        qf = q.astype("float64")
+        a = nf * xf - sf_
+        return (a * a) > (9.0 * (nf * qf - sf_ * sf_))
+
+    if stats.count() <= limit:
+        import pandas as pd
+
+        spdf = stats.to_pandas().set_index("user_id").sort_index()
+        smap_ref = ray.put(spdf)
+
+        def flag_bcast(t: pa.Table) -> pa.Table:
+            m: pd.DataFrame = ray.get(smap_ref)
+            u = t.column("user_id").to_numpy(zero_copy_only=False)
+            x = t.column("value_cents").to_numpy(zero_copy_only=False)
+            # vectorized gather: every event's user is in the moment
+            # table by construction (it was aggregated from this input)
+            pos = m.index.get_indexer(u)
+            n = m["n"].to_numpy()[pos]
+            s = m["s"].to_numpy()[pos]
+            q = m["q"].to_numpy()[pos]
+            t = t.filter(pa.array(flag_arrays(x, n, s, q)))
+            return t.select(["event_id", "user_id", "value_cents"])
+
+        return prepped.map_batches(flag_bcast, batch_format="pyarrow")
+
+    from cartography_ray.ops.joins import hash_join
+
+    joined = hash_join(
+        prepped.map_batches(
+            lambda t: t.select(["event_id", "user_id", "value_cents"]),
+            batch_format="pyarrow",
+        ),
+        stats,
+        left_on="user_id",
+        right_on="user_id",
+        num_partitions=_parts_for(path),
+    )
+
+    def flag_joined(t: pa.Table) -> pa.Table:
+        x = t.column("value_cents").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(flag_arrays(x, n, s, q)))
+        return t.select(["event_id", "user_id", "value_cents"])
+
+    return joined.map_batches(flag_joined, batch_format="pyarrow")
+
+
+SQL_EVENTS_OUTLIERS = """
+WITH x AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS xc FROM events
+), st AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS s, CAST(SUM(xc * xc) AS BIGINT) AS q
+  FROM x GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.xc AS value_cents
+FROM x e JOIN st USING (user_id)
+WHERE (CAST(st.n AS DOUBLE) * CAST(e.xc AS DOUBLE) - CAST(st.s AS DOUBLE))
+      * (CAST(st.n AS DOUBLE) * CAST(e.xc AS DOUBLE) - CAST(st.s AS DOUBLE))
+      > 9.0 * (CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
+               - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+"""
+
+
 BPE_N_MERGES = 40
 
 
@@ -3696,6 +3812,7 @@ QUERIES: dict[str, Callable] = {
     "kg_kcore": q_kg_kcore,
     "events_user_path": q_events_user_path,
     "docs_bpe_merges": q_docs_bpe_merges,
+    "events_outliers": q_events_outliers,
 }
 
 
@@ -3790,6 +3907,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_triangles": sql_kg_triangles(path),
         "kg_kcore": sql_kg_kcore(path),
         "events_user_path": SQL_EVENTS_USER_PATH,
+        "events_outliers": SQL_EVENTS_OUTLIERS,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_rolling": SQL_EVENTS_ROLLING,

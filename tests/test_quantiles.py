@@ -144,3 +144,22 @@ def test_grouped_mode_matches_pandas(ray_session):
     )
     want["n"] = want["n"].astype("int64")
     pd.testing.assert_frame_equal(got[["k", "mode_v", "n"]], want)
+
+
+def test_events_outliers_plans_agree(ray_session):
+    """The size-guarded broadcast plan and the forced hash_join plan must
+    produce identical outlier sets (the resolve_keys twin-plan idiom)."""
+    from cartography_ray.pipelines.queries import q_events_outliers
+
+    def run(**kw):
+        return (
+            q_events_outliers("/root/testdata/sf0.001", **kw)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "user_id", "value_cents"]]
+        )
+
+    a = run()
+    b = run(broadcast_limit=0)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
