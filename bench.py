@@ -151,6 +151,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_user_path",
         "docs_bpe_merges",
         "events_outliers",
+        "regional_supplier_revenue",
     ]
     out = {}
     for name in names:

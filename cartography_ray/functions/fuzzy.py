@@ -35,6 +35,13 @@ common short tokens) can be capped with ``df_cap`` at the price of
 completeness for those variants only (every surviving pair is still
 exact-verified). 100-TB posture: postings hash-partition, nothing is
 driver-resident, and the verify is embarrassingly parallel.
+
+Intended domain: names / tokens / identifiers (tens of characters).
+Postings carry the original string alongside the 8-byte variant hash so
+buckets verify locally without a fetch join — for long strings that
+payload multiplies by the neighborhood size; at document scale, swap
+the payload for the id and bloom-semi-join the text back (the
+``span_dedup`` ``payload="hash"`` pattern).
 """
 
 from __future__ import annotations

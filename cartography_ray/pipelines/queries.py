@@ -3489,6 +3489,174 @@ FROM customer a JOIN customer b
 """
 
 
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def q_regional_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue by nation for orders whose customer and
+    line-item supplier share a nation inside one region, over a date
+    window — the deepest join pipeline in the catalogue (lineitem ⋈
+    orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region).
+
+    Plan (scale posture): the two genuinely fixed dims (region 5,
+    nation 25) resolve driver-side into a nationkey set + name map;
+    customer and supplier are FACTS (∝ SF) — each is filtered to the
+    region per batch, then joined reduce-side. Join order puts the
+    selective joins first: date-filtered orders ⋈ region-filtered
+    customer (~1/5 survive), and the big lineitem join probes THAT
+    result with a bloom prefilter, so ~4/5 of lineitem rows never enter
+    the exchange; the supplier join is bloom-prefiltered the same way.
+    The final group-by is nation-bounded (driver fold)."""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    from cartography_ray.ops.agg import bounded_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rkeys = set(region[region["r_name"] == Q5_REGION]["r_regionkey"])
+    in_region = nation[nation["n_regionkey"].isin(rkeys)]
+    nkeys = frozenset(int(k) for k in in_region["n_nationkey"])
+    name_of = {int(r.n_nationkey): r.n_name for r in in_region.itertuples()}
+
+    lo = np.datetime64(Q5_DATE_LO, "us")
+    hi = np.datetime64(Q5_DATE_HI, "us")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        m = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi))
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    def nation_filter(key_col: str, nat_col: str):
+        keys = nkeys
+
+        def fn(t: pa.Table) -> pa.Table:
+            nk = t.column(nat_col).to_numpy(zero_copy_only=False)
+            m = np.isin(nk, np.fromiter(keys, dtype="int64"))
+            return t.filter(pa.array(m)).select([key_col, nat_col])
+
+        return fn
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(nation_filter("c_custkey", "c_nationkey"), batch_format="pyarrow")
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(nation_filter("s_suppkey", "s_nationkey"), batch_format="pyarrow")
+
+    parts = _parts_for(f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet")
+    cust_orders = hash_join(
+        orders.map_batches(date_filter, batch_format="pyarrow"),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        num_partitions=parts,
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]), batch_format="pyarrow"
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "revenue_cents": _cents(disc),
+            }
+        )
+
+    li_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("revenue_cents", pa.int64())]
+    )
+    co_schema = pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())])
+    j2 = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        cust_orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=parts,
+        left_schema=li_schema,
+        right_schema=co_schema,
+        bloom_prefilter_bits=1 << 22,
+    )
+    j2_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("revenue_cents", pa.int64()), ("o_orderkey", pa.int64()),
+         ("c_nationkey", pa.int64())]
+    )
+    supp_schema = pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())])
+    j3 = hash_join(
+        j2,
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        num_partitions=parts,
+        left_schema=j2_schema,
+        right_schema=supp_schema,
+        bloom_prefilter_bits=1 << 20,
+    )
+
+    names = name_of
+
+    def local_only(t: pa.Table) -> pa.Table:
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(cn == sn))
+        cn = t.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[int(k)] for k in cn], pa.string()),
+                "revenue_cents": t.column("revenue_cents"),
+            }
+        )
+
+    return bounded_groupby_agg(
+        j3.map_batches(local_only, batch_format="pyarrow"),
+        ["n_name"],
+        {"revenue_cents": ("revenue_cents", "sum"), "n_items": (None, "count")},
+    )
+
+
+SQL_REGIONAL_SUPPLIER_REVENUE = f"""
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY 1
+"""
+
+
 # distinct users scale with SF (not a dimension): broadcast the per-user
 # moment table only below this bound, hash_join above (the resolve_keys /
 # revenue_by_nation size-guard precedent)
@@ -3813,6 +3981,7 @@ QUERIES: dict[str, Callable] = {
     "events_user_path": q_events_user_path,
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_outliers": q_events_outliers,
+    "regional_supplier_revenue": q_regional_supplier_revenue,
 }
 
 
@@ -3908,6 +4077,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_kcore": sql_kg_kcore(path),
         "events_user_path": SQL_EVENTS_USER_PATH,
         "events_outliers": SQL_EVENTS_OUTLIERS,
+        "regional_supplier_revenue": SQL_REGIONAL_SUPPLIER_REVENUE,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_rolling": SQL_EVENTS_ROLLING,
