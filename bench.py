@@ -152,6 +152,8 @@ def run_queries(sf_dir: str) -> dict:
         "docs_bpe_merges",
         "events_outliers",
         "regional_supplier_revenue",
+        "kg_top_partners",
+        "docs_token_freq_cms",
     ]
     out = {}
     for name in names:

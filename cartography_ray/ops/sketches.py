@@ -261,3 +261,72 @@ def heavy_hitters(
             }
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: mergeable point-frequency estimation
+# --------------------------------------------------------------------------
+
+def _mix_cms(h: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64-style per-row mixer with a per-row seed offset —
+    depth independent hash rows from one base hash (the minhash
+    hash-family lesson: derived hashes must actually permute)."""
+    # fold the seed offset in Python ints first: numpy warns on SCALAR
+    # uint64 overflow even though array wraparound is silent
+    x = h + np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def cms_partial(values: pd.Series, width: int, depth: int) -> np.ndarray:
+    """(depth, width) int64 count-min partial for one batch of values —
+    vectorized: one base hash pass + one mix + one bincount per row of
+    the sketch. Partials MERGE BY ADDITION (exactly — a fold of partials
+    is bit-equal to a single-pass build), which is what makes the sketch
+    a fixed-size per-block shuffle/fold footprint at any corpus size."""
+    sk = np.zeros((depth, width), dtype="int64")
+    if not len(values):
+        return sk
+    base = _hash64(values.astype(str))
+    for d in range(depth):
+        idx = (_mix_cms(base, d + 1) % np.uint64(width)).astype("int64")
+        sk[d] += np.bincount(idx, minlength=width)
+    return sk
+
+
+def cms_query(sketch: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Point-frequency estimates: min over depth rows. Guarantees (classic
+    CMS): estimate ≥ true count always; estimate ≤ true + 2N/width with
+    probability ≥ 1 − 2^(−depth) per query (N = total stream length)."""
+    depth, width = sketch.shape
+    base = _hash64(values.astype(str))
+    est = np.full(len(values), np.iinfo(np.int64).max, dtype="int64")
+    for d in range(depth):
+        idx = (_mix_cms(base, d + 1) % np.uint64(width)).astype("int64")
+        est = np.minimum(est, sketch[d][idx])
+    return est
+
+
+def cms_build(ds, value_col: str, width: int = 16384, depth: int = 4) -> np.ndarray:
+    """Distributed count-min build: per-batch partial sketches (fixed
+    depth×width int64 each) streamed through a driver-side fold — the
+    ``heavy_hitters``/``bounded_groupby_agg`` shape: driver memory is
+    O(depth × width), independent of corpus size, and no shuffle at all.
+    Merge with ``+`` composes across datasets/epochs (tested
+    merge-exact)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pd.Series(batch.column(value_col).to_pandas())
+        sk = cms_partial(vals, width, depth)
+        return pa.table({"sk": pa.array([sk.ravel().tolist()],
+                                        pa.list_(pa.int64()))})
+
+    acc = np.zeros(depth * width, dtype="int64")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in b.column("sk").to_pylist():
+            acc += np.asarray(row, dtype="int64")
+    return acc.reshape(depth, width)

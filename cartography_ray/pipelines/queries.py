@@ -3489,6 +3489,114 @@ FROM customer a JOIN customer b
 """
 
 
+CMS_WIDTH, CMS_DEPTH = 4096, 4
+
+
+def q_docs_token_freq_cms(sf_dir: str):
+    """Count-min-sketch token frequencies vs exact (ops/sketches.cms_*):
+    the fixed-memory frequency-estimation path — per-block (depth×width)
+    partials folded driver-side, NO shuffle at any corpus size. Emits
+    the exact top-100 tokens with exact and estimated counts; CMS
+    guarantees est ≥ exact (asserted in tests). Rows-only: the sketch's
+    collision pattern is hash-family-specific, not SQL-reproducible."""
+    rd = _rd()
+    from cartography_ray.functions.text import VOCAB_SPLIT_RE, token_frequency
+    from cartography_ray.ops.sketches import cms_build, cms_query
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(t.column("text"), pa.string()))
+        toks = pc.list_flatten(pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE))
+        return pa.table({"token": toks.filter(pc.not_equal(toks, ""))})
+
+    sk = cms_build(
+        ds.map_batches(tokens, batch_format="pyarrow"),
+        "token", width=CMS_WIDTH, depth=CMS_DEPTH,
+    )
+    exact = token_frequency(
+        ds, text_col="text", top_n=100, num_partitions=_parts_for(path)
+    ).to_pandas()  # 100 rows by construction
+    import pandas as pd
+
+    est = cms_query(sk, exact["token"])
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(exact["token"].astype(str), pa.string()),
+                "n": pa.array(exact["n"].to_numpy().astype("int64"), pa.int64()),
+                "n_est": pa.array(est, pa.int64()),
+            }
+        )
+    )
+
+
+TOP_PARTNERS_K = 3
+
+
+def q_kg_top_partners(sf_dir: str):
+    """Top-3 co-mention partners per entity (grouped_topk over the
+    symmetrized co-mention pair table — the KG 'related entities'
+    panel). Deterministic: n_turns DESC, partner ASC; reuses the shared
+    co-mention checkpoint, so the pair pipeline is paid once per
+    corpus."""
+    from cartography_ray.ops.window import grouped_topk
+
+    pairs = q_kg_co_mentions(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("entity_a"), pa.string()).combine_chunks()
+        b = pc.cast(t.column("entity_b"), pa.string()).combine_chunks()
+        n = pc.cast(t.column("n_turns"), pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "entity": pa.concat_arrays([a, b]),
+                "partner": pa.concat_arrays([b, a]),
+                "n_turns": pa.concat_arrays([n, n]),
+            }
+        )
+
+    ranked = grouped_topk(
+        pairs.map_batches(sym, batch_format="pyarrow"),
+        group_keys="entity",
+        order_col="n_turns",
+        k=TOP_PARTNERS_K,
+        descending=True,
+        tiebreak=["partner"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": t.column("entity"),
+                "partner": t.column("partner"),
+                "n_turns": t.column("n_turns"),
+                "rn": pc.cast(t.column("rn"), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(proj, batch_format="pyarrow")
+
+
+def sql_kg_top_partners(path: str, k: int = TOP_PARTNERS_K) -> str:
+    return _KG_RESOLVED_SQL.format(path=path) + _KG_CO_CTE + f"""
+, sym AS (
+  SELECT entity_a AS entity, entity_b AS partner, CAST(n_turns AS BIGINT) AS n_turns FROM co
+  UNION ALL
+  SELECT entity_b, entity_a, CAST(n_turns AS BIGINT) FROM co
+)
+SELECT entity, partner, n_turns, rn FROM (
+  SELECT entity, partner, n_turns,
+         ROW_NUMBER() OVER (PARTITION BY entity
+                            ORDER BY n_turns DESC, partner) AS rn
+  FROM sym)
+WHERE rn <= {k}
+"""
+
+
 Q5_REGION = "ASIA"
 Q5_DATE_LO = "1996-01-01"
 Q5_DATE_HI = "1998-01-01"
@@ -3982,6 +4090,8 @@ QUERIES: dict[str, Callable] = {
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_outliers": q_events_outliers,
     "regional_supplier_revenue": q_regional_supplier_revenue,
+    "kg_top_partners": q_kg_top_partners,
+    "docs_token_freq_cms": q_docs_token_freq_cms,
 }
 
 
@@ -4075,6 +4185,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": sql_kg_pagerank(path),
         "kg_triangles": sql_kg_triangles(path),
         "kg_kcore": sql_kg_kcore(path),
+        "kg_top_partners": sql_kg_top_partners(path),
         "events_user_path": SQL_EVENTS_USER_PATH,
         "events_outliers": SQL_EVENTS_OUTLIERS,
         "regional_supplier_revenue": SQL_REGIONAL_SUPPLIER_REVENUE,

@@ -111,3 +111,50 @@ def test_heavy_hitters_mg_bounds(ray_session):
     for val, t in true.items():
         if t > err_full:
             assert val in reported, f"{val} (true {t} > err {err_full}) missing"
+
+
+def test_cms_overestimates_only_and_bounded(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.sketches import cms_build, cms_query
+
+    rng = np.random.default_rng(89)
+    # zipf-ish stream: heavy head + long tail, forced collisions (width 64)
+    vals = rng.zipf(1.5, 8000)
+    vals = vals[vals < 5000].astype("int64")
+    df = pd.DataFrame({"v": vals})
+    width, depth = 64, 4
+    sk = cms_build(ray.data.from_pandas(df).repartition(5), "v",
+                   width=width, depth=depth)
+    uniq = pd.Series(sorted(set(vals.tolist())))
+    true = df["v"].value_counts()
+    est = cms_query(sk, uniq)
+    truth = true.loc[uniq].to_numpy()
+    # CMS never underestimates
+    assert (est >= truth).all()
+    # ... and overestimates stay within the classic eps=2N/width bound for
+    # all but a 2^-depth-ish tail (fixed seed: assert the observed rate)
+    n = len(vals)
+    viol = (est - truth) > (2 * n / width)
+    assert viol.mean() <= 0.08, f"violation rate {viol.mean():.3f}"
+
+
+def test_cms_merge_is_exact(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.sketches import cms_build, cms_partial
+
+    rng = np.random.default_rng(97)
+    df = pd.DataFrame({"v": rng.integers(0, 300, 4000).astype("int64")})
+    width, depth = 128, 3
+    # distributed build (per-block partials + driver fold) must be
+    # BIT-EQUAL to one single-pass local sketch: merge is addition
+    sk_ray = cms_build(ray.data.from_pandas(df).repartition(7), "v",
+                       width=width, depth=depth)
+    sk_one = cms_partial(df["v"], width, depth)
+    assert (sk_ray == sk_one).all()
+    # and to any other split of the same stream
+    sk_two = cms_partial(df["v"][:1000], width, depth) + cms_partial(
+        df["v"][1000:].reset_index(drop=True), width, depth
+    )
+    assert (sk_two == sk_one).all()
