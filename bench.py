@@ -108,6 +108,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_sessions_salted",
         "events_attribution",
         "events_quantiles",
+        "events_quantiles_disc",
         "top_orders_per_cust",
         "docs_stats",
         "docs_token_freq",

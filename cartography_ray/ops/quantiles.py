@@ -37,14 +37,22 @@ def grouped_quantiles(
     qs: list[float],
     num_buckets: int = 64,
     num_partitions: int | None = None,
+    method: str = "linear",
 ):
-    """Exact linear-interpolation quantiles per group (numpy 'linear' ==
-    SQL ``quantile_cont``). One hash shuffle on the group key; every
-    value of a group lands on one reducer (exactness requires it).
+    """Exact quantiles per group. ``method='linear'`` is numpy 'linear'
+    == SQL ``quantile_cont`` (double output); ``method='disc'`` is numpy
+    'inverted_cdf' == SQL ``quantile_disc`` (verified elementwise) and
+    returns ACTUAL ELEMENTS, preserving the input dtype — on integer
+    cents the disc oracle is integer-exact, no float convention needed.
+    One hash shuffle on the group key; every value of a group lands on
+    one reducer (exactness requires it).
 
     Output columns: keys + ``n`` + one ``pNN`` column per requested
-    quantile (doubles).
+    quantile.
     """
+    if method not in ("linear", "disc"):
+        raise ValueError(f"grouped_quantiles: unknown method {method!r}")
+    np_method = "linear" if method == "linear" else "inverted_cdf"
     keys = [keys] if isinstance(keys, str) else list(keys)
     qcols = _q_cols(qs)
 
@@ -59,11 +67,16 @@ def grouped_quantiles(
         rows = []
         for gk, sub in g:
             gk = gk if isinstance(gk, tuple) else (gk,)
-            v = sub[value_col].to_numpy(dtype="float64")
-            qv = np.quantile(v, qs, method="linear")
+            v = sub[value_col].to_numpy()
+            if method == "linear":
+                v = v.astype("float64")
+            qv = np.quantile(v, qs, method=np_method)
             rows.append((*gk, len(v), *qv))
         out = pd.DataFrame(rows, columns=keys + ["n"] + qcols)
         out["n"] = out["n"].astype("int64")
+        if method == "disc":
+            for c in qcols:
+                out[c] = out[c].astype(group[value_col].dtype)
         return _to_clean_arrow(out)
 
     from cartography_ray.runtime import drop_empty_blocks

@@ -1376,6 +1376,39 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_quantiles_disc(sf_dir: str):
+    """Discrete per-group quantiles (quantile_disc analogue): returns
+    ACTUAL stream elements (numpy 'inverted_cdf', verified == DuckDB
+    quantile_disc elementwise), so on integer cents both sides are
+    integer-exact end-to-end — no float convention involved at all."""
+    rd = _rd()
+    from cartography_ray.ops.quantiles import grouped_quantiles
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t.column("event_type"), "value_cents": _cents(t.column("value"))}
+        )
+
+    return grouped_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_type", "value_cents", [0.10, 0.50, 0.90, 0.99],
+        num_partitions=_parts_for(path), method="disc",
+    )
+
+
+SQL_EVENTS_QUANTILES_DISC = """
+SELECT event_type, COUNT(*) AS n,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.10) AS p10,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.90) AS p90,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data operator family (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -4017,6 +4050,7 @@ QUERIES: dict[str, Callable] = {
     "events_attribution": q_events_attribution,
     "events_attribution_salted": q_events_attribution_salted,
     "events_quantiles": q_events_quantiles,
+    "events_quantiles_disc": q_events_quantiles_disc,
     "events_lag": q_events_lag,
     "events_running_sum": q_events_running_sum,
     "events_running_sum_salted": q_events_running_sum_salted,
@@ -4123,6 +4157,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_session_ranges_salted": SQL_EVENTS_SESSION_RANGES,
         "events_attribution_salted": SQL_EVENTS_ATTRIBUTION,
         "events_quantiles": SQL_EVENTS_QUANTILES,
+        "events_quantiles_disc": SQL_EVENTS_QUANTILES_DISC,
         "events_lag": SQL_EVENTS_LAG,
         "events_running_sum": SQL_EVENTS_RUNNING_SUM,
         "events_running_sum_salted": SQL_EVENTS_RUNNING_SUM,

@@ -163,3 +163,35 @@ def test_events_outliers_plans_agree(ray_session):
     b = run(broadcast_limit=0)
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_quantiles_disc_matches_numpy(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(101)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 12, n).astype("int64"),
+            "v": rng.integers(-500, 500, n).astype("int64"),
+        }
+    )
+    qs = [0.1, 0.5, 0.9]
+    got = (
+        grouped_quantiles(
+            ray.data.from_pandas(df).repartition(5), "g", "v", qs,
+            num_buckets=8, num_partitions=4, method="disc",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # disc returns actual elements with the input dtype
+    assert got["p50"].dtype == np.dtype("int64")
+    for _, row in got.iterrows():
+        v = df[df["g"] == row["g"]]["v"].to_numpy()
+        want = np.quantile(v, qs, method="inverted_cdf")
+        assert [row["p10"], row["p50"], row["p90"]] == want.tolist()
+        assert set([row["p10"], row["p50"], row["p90"]]) <= set(v.tolist())
