@@ -155,6 +155,7 @@ def run_queries(sf_dir: str) -> dict:
         "regional_supplier_revenue",
         "kg_top_partners",
         "docs_token_freq_cms",
+        "customers_fuzzy_clusters",
     ]
     out = {}
     for name in names:

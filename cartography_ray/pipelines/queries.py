@@ -3522,6 +3522,97 @@ FROM customer a JOIN customer b
 """
 
 
+# every customer name is one digit-substitution chain away from most
+# others, so the FULL table's lev-1 graph collapses into one giant
+# component (measured: 1500/1500, and the closure oracle costs 24 s);
+# the mod-7 subsample keeps the same pipeline honest with real cluster
+# structure — 63 clusters, max size 8, 0.3 s oracle at sf0.01
+FUZZY_CLUSTER_MOD = 7
+
+
+def q_customers_fuzzy_clusters(sf_dir: str):
+    """End-to-end fuzzy entity resolution: Levenshtein-1 name pairs
+    (functions/fuzzy blocking+verify) → the engine's own distributed
+    connected_components → one summary row per duplicate CLUSTER
+    (canonical = min member id, n_members). Node ids ride as
+    zero-padded strings so min-label propagation's string min IS the
+    numeric min. Oracle: recursive-CTE transitive closure over the same
+    levenshtein pairs (the emb_semantic_dedup oracle idiom applied to
+    string identity)."""
+    rd = _rd()
+    from cartography_ray.functions.fuzzy import edit_distance_pairs
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.stages.canonicalize import connected_components
+
+    path = f"{sf_dir}/customer.parquet"
+    ds = rd.read_parquet(path, columns=["c_custkey", "c_name"])
+
+    def subsample(t: pa.Table) -> pa.Table:
+        # k % MOD == 0 (pyarrow has no modulo kernel; positive keys, so
+        # trunc integer divide works)
+        k = t.column("c_custkey")
+        mod = pc.equal(
+            pc.subtract(
+                k, pc.multiply(pc.divide(k, FUZZY_CLUSTER_MOD), FUZZY_CLUSTER_MOD)
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        return t.filter(mod)
+
+    pairs = edit_distance_pairs(
+        ds.map_batches(subsample, batch_format="pyarrow"),
+        id_col="c_custkey",
+        str_col="c_name",
+        max_dist=1,
+        num_partitions=_parts_for(path),
+    )
+
+    def pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": pad(t.column("a_id")), "b": pad(t.column("b_id"))}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges)
+    sizes = partial_groupby_agg(
+        labels, ["label"], {"n_members": (None, "count")},
+        num_partitions=_parts_for(path),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canonical": pc.cast(t.column("label"), pa.int64()),
+                "n_members": t.column("n_members"),
+            }
+        )
+
+    return sizes.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_CUSTOMERS_FUZZY_CLUSTERS = f"""
+WITH RECURSIVE sub AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % {FUZZY_CLUSTER_MOD} = 0
+), pairs AS (
+  SELECT a.c_custkey AS x, b.c_custkey AS y
+  FROM sub a JOIN sub b
+    ON a.c_custkey <> b.c_custkey
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+   AND levenshtein(a.c_name, b.c_name) <= 1
+), nodes AS (SELECT DISTINCT x AS node FROM pairs),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT p.x, r.lab FROM pairs p JOIN reach r ON r.node = p.y
+), canon AS (
+  SELECT node, MIN(lab) AS lab FROM reach GROUP BY node
+)
+SELECT lab AS canonical, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM canon GROUP BY lab
+"""
+
+
 CMS_WIDTH, CMS_DEPTH = 4096, 4
 
 
@@ -4126,6 +4217,7 @@ QUERIES: dict[str, Callable] = {
     "regional_supplier_revenue": q_regional_supplier_revenue,
     "kg_top_partners": q_kg_top_partners,
     "docs_token_freq_cms": q_docs_token_freq_cms,
+    "customers_fuzzy_clusters": q_customers_fuzzy_clusters,
 }
 
 
@@ -4232,6 +4324,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_user_mode": SQL_EVENTS_USER_MODE,
         "events_coverage": SQL_EVENTS_COVERAGE,
         "customers_fuzzy_names": SQL_CUSTOMERS_FUZZY_NAMES,
+        "customers_fuzzy_clusters": SQL_CUSTOMERS_FUZZY_CLUSTERS,
         # docs_minhash_pairs / docs_simhash_pairs / emb_knn_lsh are
         # approximate-by-design → rows-only checks (recall asserted in tests)
     }
