@@ -3726,7 +3726,16 @@ Q5_DATE_LO = "1996-01-01"
 Q5_DATE_HI = "1998-01-01"
 
 
-def q_regional_supplier_revenue(sf_dir: str):
+# bloom-prefilter the Q5 fact probes only above this probe-side size:
+# the bloom costs one build-side materialize + an extra scan, which is
+# repaid only when the probe shuffle it prunes is large (A/B at sf0.1,
+# interleaved ×2: bloom 9.7/8.9 s vs no-bloom 8.3/8.2 s — below the
+# threshold the plain join wins; at 100-TB lineitem the ~4/5 probe-row
+# cut dominates). Same shape as the broadcast size guards.
+Q5_BLOOM_MIN_PROBE_BYTES = 1 << 30
+
+
+def q_regional_supplier_revenue(sf_dir: str, use_bloom: bool | None = None):
     """TPC-H Q5 shape: revenue by nation for orders whose customer and
     line-item supplier share a nation inside one region, over a date
     window — the deepest join pipeline in the catalogue (lineitem ⋈
@@ -3789,6 +3798,15 @@ def q_regional_supplier_revenue(sf_dir: str):
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     ).map_batches(nation_filter("s_suppkey", "s_nationkey"), batch_format="pyarrow")
 
+    if use_bloom is None:
+        try:
+            use_bloom = (
+                os.path.getsize(f"{sf_dir}/lineitem.parquet")
+                >= Q5_BLOOM_MIN_PROBE_BYTES
+            )
+        except OSError:
+            use_bloom = True
+
     parts = _parts_for(f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet")
     cust_orders = hash_join(
         orders.map_batches(date_filter, batch_format="pyarrow"),
@@ -3831,7 +3849,7 @@ def q_regional_supplier_revenue(sf_dir: str):
         num_partitions=parts,
         left_schema=li_schema,
         right_schema=co_schema,
-        bloom_prefilter_bits=1 << 22,
+        bloom_prefilter_bits=(1 << 22) if use_bloom else None,
     )
     j2_schema = pa.schema(
         [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
@@ -3847,7 +3865,7 @@ def q_regional_supplier_revenue(sf_dir: str):
         num_partitions=parts,
         left_schema=j2_schema,
         right_schema=supp_schema,
-        bloom_prefilter_bits=1 << 20,
+        bloom_prefilter_bits=(1 << 20) if use_bloom else None,
     )
 
     names = name_of

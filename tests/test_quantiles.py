@@ -195,3 +195,22 @@ def test_grouped_quantiles_disc_matches_numpy(ray_session):
         want = np.quantile(v, qs, method="inverted_cdf")
         assert [row["p10"], row["p50"], row["p90"]] == want.tolist()
         assert set([row["p10"], row["p50"], row["p90"]]) <= set(v.tolist())
+
+
+def test_q5_bloom_plans_agree(ray_session):
+    """The size-guarded bloom prefilter and the plain join plan must
+    produce identical Q5 results (bloom negatives cannot match)."""
+    from cartography_ray.pipelines.queries import q_regional_supplier_revenue
+
+    def run(**kw):
+        t = q_regional_supplier_revenue("/root/testdata/sf0.001", **kw)
+        return (
+            t.to_pandas()
+            .sort_values("n_name")
+            .reset_index(drop=True)[["n_name", "revenue_cents", "n_items"]]
+        )
+
+    a = run(use_bloom=False)
+    b = run(use_bloom=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
