@@ -3683,6 +3683,8 @@ def q_kg_top_partners(sf_dir: str):
             }
         )
 
+    from cartography_ray.runtime import shuffle_partitions
+
     ranked = grouped_topk(
         pairs.map_batches(sym, batch_format="pyarrow"),
         group_keys="entity",
@@ -3690,6 +3692,10 @@ def q_kg_top_partners(sf_dir: str):
         k=TOP_PARTNERS_K,
         descending=True,
         tiebreak=["partner"],
+        # the pair table is co-mention-sized (≪ corpus); without a hint
+        # the shuffle pays ~60 ms × session-default partitions for a
+        # few-MB exchange (measured 6.7 s end-to-end at sf0.1)
+        num_partitions=shuffle_partitions(n_bytes=8 << 20),
     )
 
     def proj(t: pa.Table) -> pa.Table:
