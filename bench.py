@@ -156,6 +156,7 @@ def run_queries(sf_dir: str) -> dict:
         "kg_top_partners",
         "docs_token_freq_cms",
         "customers_fuzzy_clusters",
+        "docs_dup_clusters",
     ]
     out = {}
     for name in names:

@@ -3522,6 +3522,88 @@ FROM customer a JOIN customer b
 """
 
 
+def q_docs_dup_clusters(sf_dir: str):
+    """Transitive near-duplicate clusters over the EXACT set-similarity
+    join — the text analogue of ``emb_semantic_dedup``: one row per
+    cluster whose members are chained by n-gram-Jaccard ≥ τ pairs
+    (jaccard_pairs_exact → the engine's connected_components →
+    canonical = min doc_id, n_members). Deterministic end to end, so the
+    recursive-CTE closure oracle hash-matches — unlike the minhash
+    family, which is rows-only by design."""
+    rd = _rd()
+    from cartography_ray.functions.dedup import jaccard_pairs_exact
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.stages.canonicalize import connected_components
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    pairs = jaccard_pairs_exact(
+        ds, threshold=CLEAN_JACCARD_TAU, ngram=5, max_df=CLEAN_MAX_DF,
+        num_partitions=_parts_for(path),
+    )
+
+    def pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": pad(t.column("id_a")), "b": pad(t.column("id_b"))}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges)
+    sizes = partial_groupby_agg(
+        labels, ["label"], {"n_members": (None, "count")},
+        num_partitions=_parts_for(path),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canonical": pc.cast(t.column("label"), pa.int64()),
+                "n_members": t.column("n_members"),
+            }
+        )
+
+    return sizes.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_DOCS_DUP_CLUSTERS = f"""
+WITH RECURSIVE sh_all AS (
+  SELECT DISTINCT doc_id, substring(lt, CAST(i AS INTEGER), 5) AS g
+  FROM (
+    SELECT doc_id, lt, unnest(range(1, greatest(1, length(lt) - 3))) AS i
+    FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+  )
+),
+sh AS (
+  SELECT * FROM sh_all
+  WHERE g IN (SELECT g FROM sh_all GROUP BY g HAVING COUNT(*) <= {CLEAN_MAX_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / greatest(1, sa.n + sb.n - c) >= {CLEAN_JACCARD_TAU}
+),
+pairs AS (SELECT id_a AS x, id_b AS y FROM sim UNION ALL SELECT id_b, id_a FROM sim),
+nodes AS (SELECT DISTINCT x AS node FROM pairs),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT p.x, r.lab FROM pairs p JOIN reach r ON r.node = p.y
+),
+canon AS (SELECT node, MIN(lab) AS lab FROM reach GROUP BY node)
+SELECT lab AS canonical, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM canon GROUP BY lab
+"""
+
+
 # every customer name is one digit-substitution chain away from most
 # others, so the FULL table's lev-1 graph collapses into one giant
 # component (measured: 1500/1500, and the closure oracle costs 24 s);
@@ -4242,6 +4324,7 @@ QUERIES: dict[str, Callable] = {
     "kg_top_partners": q_kg_top_partners,
     "docs_token_freq_cms": q_docs_token_freq_cms,
     "customers_fuzzy_clusters": q_customers_fuzzy_clusters,
+    "docs_dup_clusters": q_docs_dup_clusters,
 }
 
 
@@ -4349,6 +4432,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_coverage": SQL_EVENTS_COVERAGE,
         "customers_fuzzy_names": SQL_CUSTOMERS_FUZZY_NAMES,
         "customers_fuzzy_clusters": SQL_CUSTOMERS_FUZZY_CLUSTERS,
+        "docs_dup_clusters": SQL_DOCS_DUP_CLUSTERS,
         # docs_minhash_pairs / docs_simhash_pairs / emb_knn_lsh are
         # approximate-by-design → rows-only checks (recall asserted in tests)
     }
