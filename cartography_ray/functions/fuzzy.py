@@ -169,11 +169,17 @@ def edit_distance_pairs(
     larger than the cap (completeness trade documented above)."""
 
     def postings(batch: pd.DataFrame) -> pa.Table:
-        vf = _delete_variants(batch[str_col].astype(str), max_dist)
+        # null strings can never satisfy lev <= d (SQL semantics: NULL
+        # yields NULL, no pair) — drop them up front, and use ONE str
+        # cast for both blocking and the ridden-along verify payload so
+        # the two stages always see the same representation
+        batch = batch[batch[str_col].notna()].reset_index(drop=True)
+        strs = batch[str_col].astype(str)
+        vf = _delete_variants(strs, max_dist)
         out = pd.DataFrame(
             {
                 "__id": batch[id_col].to_numpy()[vf["__row"].to_numpy()],
-                "__s": batch[str_col].to_numpy()[vf["__row"].to_numpy()],
+                "__s": strs.to_numpy()[vf["__row"].to_numpy()],
                 "__vh": pd.util.hash_pandas_object(vf["v"], index=False)
                 .to_numpy()
                 .astype("int64"),

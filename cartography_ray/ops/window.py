@@ -999,9 +999,11 @@ def interval_union(
             .reset_index(drop=True)
         )
         s = pdf[start_col].to_numpy()
-        prev_max_end = (
-            pdf.groupby(key, sort=False)[end_col].cummax().shift().to_numpy()
-        )
+        cm = pdf.groupby(key, sort=False)[end_col].cummax()
+        # dtype-preserving shift: a plain .shift() upcasts int64→float64
+        # (NaN hole), losing exactness above 2^53; the fill value is
+        # arbitrary — first-of-key rows are forced to new_island below
+        prev_max_end = cm.shift(fill_value=cm.iloc[0]).to_numpy()
         first_of_key = pdf.groupby(key, sort=False).cumcount().to_numpy() == 0
         new_island = first_of_key | (s > prev_max_end)
         pdf["__isl"] = np.cumsum(new_island)

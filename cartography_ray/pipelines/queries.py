@@ -3522,37 +3522,25 @@ FROM customer a JOIN customer b
 """
 
 
-def q_docs_dup_clusters(sf_dir: str):
-    """Transitive near-duplicate clusters over the EXACT set-similarity
-    join — the text analogue of ``emb_semantic_dedup``: one row per
-    cluster whose members are chained by n-gram-Jaccard ≥ τ pairs
-    (jaccard_pairs_exact → the engine's connected_components →
-    canonical = min doc_id, n_members). Deterministic end to end, so the
-    recursive-CTE closure oracle hash-matches — unlike the minhash
-    family, which is rows-only by design."""
-    rd = _rd()
-    from cartography_ray.functions.dedup import jaccard_pairs_exact
+def _cluster_summary(pairs, a_col: str, b_col: str, num_partitions):
+    """Shared tail of the two cluster queries: pair Dataset → the
+    engine's connected_components → one (canonical, n_members) row per
+    cluster. Ids ride zero-padded strings so min-label propagation's
+    string min IS the numeric min."""
     from cartography_ray.ops.agg import partial_groupby_agg
     from cartography_ray.stages.canonicalize import connected_components
-
-    path = f"{sf_dir}/documents.parquet"
-    ds = rd.read_parquet(path, columns=["doc_id", "text"])
-    pairs = jaccard_pairs_exact(
-        ds, threshold=CLEAN_JACCARD_TAU, ngram=5, max_df=CLEAN_MAX_DF,
-        num_partitions=_parts_for(path),
-    )
 
     def pad(col):
         return pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
 
     edges = pairs.map_batches(
-        lambda t: pa.table({"a": pad(t.column("id_a")), "b": pad(t.column("id_b"))}),
+        lambda t: pa.table({"a": pad(t.column(a_col)), "b": pad(t.column(b_col))}),
         batch_format="pyarrow",
     )
     labels = connected_components(edges)
     sizes = partial_groupby_agg(
         labels, ["label"], {"n_members": (None, "count")},
-        num_partitions=_parts_for(path),
+        num_partitions=num_partitions,
     )
 
     def proj(t: pa.Table) -> pa.Table:
@@ -3564,6 +3552,26 @@ def q_docs_dup_clusters(sf_dir: str):
         )
 
     return sizes.map_batches(proj, batch_format="pyarrow")
+
+
+def q_docs_dup_clusters(sf_dir: str):
+    """Transitive near-duplicate clusters over the EXACT set-similarity
+    join — the text analogue of ``emb_semantic_dedup``: one row per
+    cluster whose members are chained by n-gram-Jaccard ≥ τ pairs
+    (jaccard_pairs_exact → the engine's connected_components →
+    canonical = min doc_id, n_members). Deterministic end to end, so the
+    recursive-CTE closure oracle hash-matches — unlike the minhash
+    family, which is rows-only by design."""
+    rd = _rd()
+    from cartography_ray.functions.dedup import jaccard_pairs_exact
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    pairs = jaccard_pairs_exact(
+        ds, threshold=CLEAN_JACCARD_TAU, ngram=5, max_df=CLEAN_MAX_DF,
+        num_partitions=_parts_for(path),
+    )
+    return _cluster_summary(pairs, "id_a", "id_b", _parts_for(path))
 
 
 SQL_DOCS_DUP_CLUSTERS = f"""
@@ -3623,8 +3631,6 @@ def q_customers_fuzzy_clusters(sf_dir: str):
     string identity)."""
     rd = _rd()
     from cartography_ray.functions.fuzzy import edit_distance_pairs
-    from cartography_ray.ops.agg import partial_groupby_agg
-    from cartography_ray.stages.canonicalize import connected_components
 
     path = f"{sf_dir}/customer.parquet"
     ds = rd.read_parquet(path, columns=["c_custkey", "c_name"])
@@ -3648,29 +3654,7 @@ def q_customers_fuzzy_clusters(sf_dir: str):
         max_dist=1,
         num_partitions=_parts_for(path),
     )
-
-    def pad(col):
-        return pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
-
-    edges = pairs.map_batches(
-        lambda t: pa.table({"a": pad(t.column("a_id")), "b": pad(t.column("b_id"))}),
-        batch_format="pyarrow",
-    )
-    labels = connected_components(edges)
-    sizes = partial_groupby_agg(
-        labels, ["label"], {"n_members": (None, "count")},
-        num_partitions=_parts_for(path),
-    )
-
-    def proj(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "canonical": pc.cast(t.column("label"), pa.int64()),
-                "n_members": t.column("n_members"),
-            }
-        )
-
-    return sizes.map_batches(proj, batch_format="pyarrow")
+    return _cluster_summary(pairs, "a_id", "b_id", _parts_for(path))
 
 
 SQL_CUSTOMERS_FUZZY_CLUSTERS = f"""
@@ -3956,16 +3940,19 @@ def q_regional_supplier_revenue(sf_dir: str, use_bloom: bool | None = None):
         bloom_prefilter_bits=(1 << 20) if use_bloom else None,
     )
 
-    names = name_of
+    # vectorized 25-entry gather (no per-row dict lookups in the hot
+    # final stage): index_in against the fixed nation-key array
+    nk_arr = pa.array(sorted(name_of), pa.int64())
+    nm_arr = pa.array([name_of[k] for k in sorted(name_of)], pa.string())
 
     def local_only(t: pa.Table) -> pa.Table:
         cn = t.column("c_nationkey").to_numpy(zero_copy_only=False)
         sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(cn == sn))
-        cn = t.column("c_nationkey").to_pylist()
+        pos = pc.index_in(t.column("c_nationkey"), nk_arr)
         return pa.table(
             {
-                "n_name": pa.array([names[int(k)] for k in cn], pa.string()),
+                "n_name": pc.take(nm_arr, pos),
                 "revenue_cents": t.column("revenue_cents"),
             }
         )
@@ -4171,7 +4158,11 @@ GROUP BY user_id
 # nodes and needs SIX parallel peel rounds to converge — multi-round
 # peeling is genuinely live. Oracle unrolls 2× that depth.
 KCORE_K = 4
-KCORE_ORACLE_ROUNDS = 12
+# 4× the measured sf0.01 peel depth (6): the unrolled oracle must cover
+# the peel depth of ANY corpus the gate runs on — under-unrolling would
+# return a superset core and blame the (correct) engine; extra rounds
+# are fixpoint no-ops and MATERIALIZED CTEs keep them cheap
+KCORE_ORACLE_ROUNDS = 24
 
 
 def q_kg_kcore(sf_dir: str):

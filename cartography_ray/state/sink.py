@@ -69,10 +69,22 @@ def write_partitioned(
     partition's rows land in exactly one write task, so output files
     are per-partition and the sink is idempotent under kill-rerun."""
     os.makedirs(root, exist_ok=True)
-    # sweep orphaned tmp dirs from a previous crashed run
+    # sweep orphaned tmp dirs from a previous crashed run, AND partition
+    # dirs sealed under a DIFFERENT fingerprint: a changed input must
+    # invalidate every old partition — including ones the new dataset
+    # sends zero rows to, which would otherwise survive on disk and leak
+    # stale rows into read_partitioned (caught by review repro)
     for name in os.listdir(root):
+        p = os.path.join(root, name)
         if name.startswith(".tmp-"):
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            shutil.rmtree(p, ignore_errors=True)
+        elif name.startswith("part="):
+            try:
+                k = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if not _marker_ok(root, k, fingerprint):
+                shutil.rmtree(p, ignore_errors=True)
 
     done = frozenset(
         k for k in range(num_parts) if _marker_ok(root, k, fingerprint)
@@ -95,9 +107,11 @@ def write_partitioned(
             t = t.filter(pa.array(keep))
         return t
 
-    def write_part(group: pd.DataFrame) -> pd.DataFrame:
+    report_schema = pa.schema([("part", pa.int64()), ("rows", pa.int64())])
+
+    def write_part(group: pd.DataFrame) -> pa.Table:
         if not len(group):
-            return pd.DataFrame({"part": [], "rows": []})
+            return report_schema.empty_table()
         k = int(group["__pk"].iloc[0])
         body = group.drop(columns="__pk")
         tmp = os.path.join(root, f".tmp-{k}-{uuid.uuid4().hex}")
@@ -113,7 +127,10 @@ def write_partitioned(
         os.replace(tmp, final)
         with open(os.path.join(final, _MARKER), "w") as f:
             json.dump({"fingerprint": fingerprint, "rows": len(body)}, f)
-        return pd.DataFrame({"part": [k], "rows": [len(body)]})
+        # clean Arrow out of a pandas UDF (CLAUDE.md pyarrow-16 convention)
+        return pa.table(
+            {"part": pa.array([k], pa.int64()), "rows": pa.array([len(body)], pa.int64())}
+        )
 
     from cartography_ray.runtime import drop_empty_blocks
 
@@ -148,6 +165,10 @@ def read_partitioned(root: str, **read_kwargs):
             files.extend(
                 os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
             )
+    if not files:
+        # nothing sealed yet (fresh root / crashed first run): an empty
+        # result, not a read_parquet([]) ValueError
+        return ray.data.from_arrow(pa.table({}))
     # partitioning=None: the part=<k> directory names would otherwise be
     # hive-inferred into a spurious 'part' column
     read_kwargs.setdefault("partitioning", None)

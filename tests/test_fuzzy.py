@@ -127,3 +127,23 @@ def test_edit_distance_pairs_df_cap_only_drops(ray_session):
     fset = set(zip(full["a_id"], full["b_id"]))
     cset = set(zip(capped["a_id"], capped["b_id"]))
     assert cset <= fset
+
+
+def test_edit_distance_pairs_null_strings_dropped(ray_session):
+    """Null strings never pair (SQL NULL semantics) and must not crash
+    the verify stage (review finding: blocking used astype(str) while
+    the payload carried the raw None)."""
+    import ray.data
+
+    from cartography_ray.functions.fuzzy import edit_distance_pairs
+
+    df = pd.DataFrame(
+        {"sid": np.arange(6, dtype="int64"),
+         "s": ["abc", None, "abd", None, "xyz", "abc"]}
+    )
+    got = edit_distance_pairs(
+        ray.data.from_pandas(df).repartition(3), "sid", "s", max_dist=1,
+        num_buckets=4,
+    ).to_pandas()
+    pairs = set(zip(got["a_id"], got["b_id"]))
+    assert pairs == {(0, 2), (0, 5), (2, 5)}

@@ -110,3 +110,30 @@ def test_write_partitioned_fingerprint_invalidates(ray_session, tmp_path):
         for p in os.listdir(root) if p.startswith("part=")
     ]
     assert all(m["fingerprint"] == "b" for m in markers)
+
+
+def test_write_partitioned_stale_partitions_removed(ray_session, tmp_path):
+    """Review repro: a new fingerprint must invalidate ALL old
+    partitions — including ones the new dataset sends zero rows to —
+    and read_partitioned on an empty/unsealed root returns empty."""
+    import ray.data
+
+    from cartography_ray.state.sink import read_partitioned, write_partitioned
+
+    root = str(tmp_path / "out")
+    # fresh (nothing sealed) root reads as empty, not a read_parquet([]) error
+    fresh = str(tmp_path / "fresh")
+    os.makedirs(fresh, exist_ok=True)
+    assert read_partitioned(fresh).count() == 0
+
+    df1 = _df(n=4000, seed=91)  # 500 keys -> all 16 partitions
+    write_partitioned(ray.data.from_pandas(df1), root, "k", num_parts=16,
+                      fingerprint="a", num_partitions=4)
+    # new dataset: ONE key only -> rows land in a single partition
+    df2 = pd.DataFrame({"k": np.zeros(7, dtype="int64"),
+                        "v": np.arange(7, dtype="int64")})
+    write_partitioned(ray.data.from_pandas(df2), root, "k", num_parts=16,
+                      fingerprint="b", num_partitions=4)
+    got = read_partitioned(root).to_pandas()
+    assert len(got) == 7, f"stale rows leaked: {len(got)}"
+    assert set(got["k"]) == {0}
