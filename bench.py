@@ -157,6 +157,7 @@ def run_queries(sf_dir: str) -> dict:
         "docs_token_freq_cms",
         "customers_fuzzy_clusters",
         "docs_dup_clusters",
+        "docs_lang_routed",
     ]
     out = {}
     for name in names:

@@ -3522,6 +3522,41 @@ FROM customer a JOIN customer b
 """
 
 
+def q_docs_lang_routed(sf_dir: str):
+    """The resumable partitioned sink exercised END-TO-END through the
+    driver gate: language-ID → ``write_partitioned`` keyed by predicted
+    language into a fingerprinted scratch root → read back the SEALED
+    partitions. Rows identical to ``docs_langid`` (shared SQL twin), but
+    every row has made a round trip through the ``part=<k>/`` layout —
+    the gate therefore also proves the sink's markers, atomic-rename
+    seal, hive-inference-off read, and (on repeat runs with the same
+    input fingerprint) the skip-sealed resume path, which the gate's own
+    two executions of this query exercise for real."""
+    import hashlib
+
+    from cartography_ray.functions.text import langid_batch
+    from cartography_ray.state.sink import read_partitioned, write_partitioned
+
+    rd = _rd()
+    path = f"{sf_dir}/documents.parquet"
+    st = os.stat(path)
+    fp = hashlib.sha256(
+        f"lang_routed_v1|{path}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()
+    root = f"/tmp/graft_sink/lang_routed/{fp[:16]}"
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    write_partitioned(
+        ds.map_batches(langid_batch, batch_format="pyarrow"),
+        root,
+        partition_col="pred_lang",
+        num_parts=8,
+        fingerprint=fp,
+        num_partitions=_parts_for(path),
+    )
+    return read_partitioned(root)
+
+
 def _cluster_summary(pairs, a_col: str, b_col: str, num_partitions):
     """Shared tail of the two cluster queries: pair Dataset → the
     engine's connected_components → one (canonical, n_members) row per
@@ -4316,6 +4351,7 @@ QUERIES: dict[str, Callable] = {
     "docs_token_freq_cms": q_docs_token_freq_cms,
     "customers_fuzzy_clusters": q_customers_fuzzy_clusters,
     "docs_dup_clusters": q_docs_dup_clusters,
+    "docs_lang_routed": q_docs_lang_routed,
 }
 
 
@@ -4362,6 +4398,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # events_distinct_users_hll is approximate-by-design → rows-only
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,
+        "docs_lang_routed": SQL_DOCS_LANGID,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "docs_token_freq": SQL_DOCS_TOKEN_FREQ,
         # exact-by-construction here: corpus vocabulary ≤ k_track (see
