@@ -158,6 +158,7 @@ def run_queries(sf_dir: str) -> dict:
         "customers_fuzzy_clusters",
         "docs_dup_clusters",
         "docs_lang_routed",
+        "events_corr",
     ]
     out = {}
     for name in names:

@@ -3522,6 +3522,105 @@ FROM customer a JOIN customer b
 """
 
 
+def q_events_corr(sf_dir: str):
+    """Per-type Pearson correlation between spend and hour-of-day —
+    grouped co-moments, integer-exact: the per-batch combiner sums
+    (x, y, xy, x², y², n) in int64 (x = cents, y = hour), the final is
+    a dimension-bounded driver fold, and the correlation itself is
+    computed from those EXACT integers in float64 with the identical
+    expression tree on both engines (+, ×, /, sqrt are all IEEE
+    correctly rounded, so equal inputs give equal doubles), rounded to
+    9 digits like the pagerank oracle. The SQL twin hand-writes the
+    same formula — the built-in ``corr()`` uses a different single-pass
+    update order and would diverge in the last bits."""
+    rd = _rd()
+    from cartography_ray.ops.agg import bounded_groupby_agg
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _cents(t.column("value"))
+        hour = pc.cast(
+            pc.divide(
+                pc.cast(t.column("ts"), pa.int64()),
+                pa.scalar(3_600_000_000, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        y = pc.subtract(
+            hour, pc.multiply(pc.divide(hour, pa.scalar(24, pa.int64())), pa.scalar(24, pa.int64()))
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "x2": pc.multiply(x, x),
+                "y2": pc.multiply(y, y),
+            }
+        )
+
+    agg = bounded_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        {
+            "n": (None, "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxy": ("xy", "sum"),
+            "sx2": ("x2", "sum"),
+            "sy2": ("y2", "sum"),
+        },
+    )
+    pdf = agg.to_pandas()  # event types: dimension-bounded by contract
+    n = pdf["n"].to_numpy().astype("float64")
+    sx = pdf["sx"].to_numpy().astype("float64")
+    sy = pdf["sy"].to_numpy().astype("float64")
+    sxy = pdf["sxy"].to_numpy().astype("float64")
+    sx2 = pdf["sx2"].to_numpy().astype("float64")
+    sy2 = pdf["sy2"].to_numpy().astype("float64")
+    corr = (n * sxy - sx * sy) / np.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(pdf["event_type"].astype(str), pa.string()),
+                "n": pa.array(pdf["n"].to_numpy().astype("int64"), pa.int64()),
+                "corr9": pc.round(
+                    pa.array(corr, pa.float64()), 9,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+    )
+
+
+SQL_EVENTS_CORR = """
+WITH m AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         (epoch_us(ts) // 3600000000) % 24 AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2, CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM m GROUP BY 1
+)
+SELECT event_type, n,
+       round(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+         9) AS corr9
+FROM s
+"""
+
+
 def q_docs_lang_routed(sf_dir: str):
     """The resumable partitioned sink exercised END-TO-END through the
     driver gate: language-ID → ``write_partitioned`` keyed by predicted
@@ -4352,6 +4451,7 @@ QUERIES: dict[str, Callable] = {
     "customers_fuzzy_clusters": q_customers_fuzzy_clusters,
     "docs_dup_clusters": q_docs_dup_clusters,
     "docs_lang_routed": q_docs_lang_routed,
+    "events_corr": q_events_corr,
 }
 
 
@@ -4399,6 +4499,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_lang_routed": SQL_DOCS_LANGID,
+        "events_corr": SQL_EVENTS_CORR,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "docs_token_freq": SQL_DOCS_TOKEN_FREQ,
         # exact-by-construction here: corpus vocabulary ≤ k_track (see
