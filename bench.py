@@ -159,6 +159,7 @@ def run_queries(sf_dir: str) -> dict:
         "docs_dup_clusters",
         "docs_lang_routed",
         "events_corr",
+        "events_histogram",
     ]
     out = {}
     for name in names:

@@ -3522,6 +3522,44 @@ FROM customer a JOIN customer b
 """
 
 
+HIST_WIDTH_CENTS = 2_000  # fixed-width bins: integer-exact bucketing
+
+
+def q_events_histogram(sf_dir: str):
+    """Per-type equal-width value histogram — the distribution-profiling
+    sweep (one combiner-first shuffle on (type, bin); bins are
+    integer-exact: cents // width on both engines)."""
+    rd = _rd()
+    from cartography_ray.ops.agg import partial_groupby_agg
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "value"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value"))
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "bin": pc.divide(cents, pa.scalar(HIST_WIDTH_CENTS, pa.int64())),
+            }
+        )
+
+    return partial_groupby_agg(
+        ds.map_batches(binify, batch_format="pyarrow"),
+        ["event_type", "bin"],
+        {"n": (None, "count")},
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_HISTOGRAM = f"""
+SELECT event_type,
+       CAST(round(value * 100) AS BIGINT) // {HIST_WIDTH_CENTS} AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_events_corr(sf_dir: str):
     """Per-type Pearson correlation between spend and hour-of-day —
     grouped co-moments, integer-exact: the per-batch combiner sums
@@ -4452,6 +4490,7 @@ QUERIES: dict[str, Callable] = {
     "docs_dup_clusters": q_docs_dup_clusters,
     "docs_lang_routed": q_docs_lang_routed,
     "events_corr": q_events_corr,
+    "events_histogram": q_events_histogram,
 }
 
 
@@ -4500,6 +4539,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_langid": SQL_DOCS_LANGID,
         "docs_lang_routed": SQL_DOCS_LANGID,
         "events_corr": SQL_EVENTS_CORR,
+        "events_histogram": SQL_EVENTS_HISTOGRAM,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "docs_token_freq": SQL_DOCS_TOKEN_FREQ,
         # exact-by-construction here: corpus vocabulary ≤ k_track (see
