@@ -714,3 +714,176 @@ def kcore(
         f"kcore: no fixpoint within max_rounds={max_rounds} "
         f"(pathological peel depth; raise max_rounds)"
     )
+
+
+DRIVER_BFS_LIMIT = 200_000
+
+
+def bfs_hops(
+    edges,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+    num_partitions: int | None = None,
+    driver_limit: int | None = None,
+):
+    """Multi-source BFS: minimum hop distance from any seed, cut off at
+    ``max_hops``. Returns ``(node, hops)`` for every node reachable
+    within the cutoff (seeds at 0, including seeds absent from the edge
+    set — distance 0 from themselves). Min-distance is unique, so the
+    unrolled-CTE DuckDB twin (``sql_kg_reach``) matches exactly — the
+    kcore/pagerank fixed-iteration oracle idiom. Fifth iterative family
+    (union-find / IVF k-means / PageRank / k-core peel / frontier walk).
+
+    Input contract: one row per UNDIRECTED edge (``src < dst``, unique,
+    no self-loops — the co-mention shape); symmetrized internally.
+    ``seeds``: a Dataset with one ``node`` column (deduped here).
+
+    Tiers (the ``DRIVER_PR/TRI/KCORE_LIMIT`` precedent): below
+    ``driver_limit`` edges the walk is a few numpy scatter rounds
+    driver-local (round orchestration would dominate). Above it, each
+    hop is one semi ``hash_join`` (edges leaving the frontier), a
+    node-dedup combiner, and one anti ``hash_join`` against the visited
+    set — frontier and visited stay Datasets, nothing node- or
+    edge-sized lands on the driver. Rounds are bounded by ``max_hops``
+    (a fixed small constant — no fixpoint scan needed), and the
+    frontier semi-join touches only edges adjacent to it, so late
+    sparse hops cost less than early dense ones.
+    """
+    import ray.data
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+    from cartography_ray.runtime import drop_empty_blocks
+
+    if max_hops < 0:
+        raise ValueError("bfs_hops: max_hops must be >= 0")
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges:
+        edges = edges.select_columns([src, dst])
+        node_t = _node_dtype(edges.schema(), src)
+    else:
+        # an all-empty dataset loses its schema (Ray 2.49) — don't
+        # project it; type the output from the seeds instead
+        node_t = _node_dtype(seeds.schema(), "node")
+    out_schema = pa.schema([("node", node_t), ("hops", pa.int64())])
+
+    limit = DRIVER_BFS_LIMIT if driver_limit is None else driver_limit
+    if n_edges <= limit:
+        # driver tier: seeds are node-scale, edges bound node count
+        pdf = (
+            edges.to_pandas()
+            if n_edges
+            else pd.DataFrame({src: [], dst: []})
+        )
+        seed_vals = pd.unique(seeds.to_pandas()["node"].dropna())
+        codes, uniques = pd.factorize(
+            pd.concat([pdf[src], pdf[dst]], ignore_index=True)
+        )
+        n = len(uniques)
+        sc = codes[: len(pdf)]
+        dc = codes[len(pdf):]
+        idx = pd.Index(uniques).get_indexer(seed_vals)
+        in_graph = idx >= 0
+        INF = np.iinfo(np.int64).max
+        dist = np.full(n, INF, dtype=np.int64)
+        frontier = np.zeros(n, dtype=bool)
+        frontier[idx[in_graph]] = True
+        dist[idx[in_graph]] = 0
+        for h in range(1, max_hops + 1):
+            if not frontier.any():
+                break
+            cand = np.zeros(n, dtype=bool)
+            cand[dc[frontier[sc]]] = True
+            cand[sc[frontier[dc]]] = True
+            new = cand & (dist == INF)
+            if not new.any():
+                break
+            dist[new] = h
+            frontier = new
+        reached = dist != INF
+        nodes = list(np.asarray(uniques)[reached])
+        hops = list(dist[reached])
+        # seeds that never appear in an edge still report distance 0
+        for v in seed_vals[~in_graph]:
+            nodes.append(v)
+            hops.append(0)
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(nodes, node_t), pa.array(hops, pa.int64())],
+                schema=out_schema,
+            )
+        )
+
+    sym_schema = pa.schema([("a", node_t), ("b", node_t)])
+    node_schema = pa.schema([("node", node_t)])
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t.column(src).combine_chunks().cast(node_t)
+        d = t.column(dst).combine_chunks().cast(node_t)
+        return pa.table(
+            {"a": pa.concat_arrays([s, d]), "b": pa.concat_arrays([d, s])},
+            schema=sym_schema,
+        )
+
+    e = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def _dedup_nodes(ds):
+        out = partial_groupby_agg(
+            ds,
+            ["node"],
+            {"__c": (None, "count")},
+            num_partitions=num_partitions,
+            empty_schema=pa.schema([("node", node_t), ("__c", pa.int64())]),
+        )
+        return out.select_columns(["node"])
+
+    def _with_hops(h: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "hops": pa.array([h] * len(t), pa.int64()),
+                },
+                schema=out_schema,
+            )
+
+        return fn
+
+    frontier = _dedup_nodes(
+        drop_empty_blocks(seeds.select_columns(["node"]))
+    ).materialize()
+    visited = frontier.map_batches(
+        _with_hops(0), batch_format="pyarrow"
+    ).materialize()
+    for h in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        touched = hash_join(
+            e, frontier, left_on="a", right_on="node", how="semi",
+            left_schema=sym_schema, right_schema=node_schema,
+            num_partitions=num_partitions,
+        )
+
+        def nbr(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("b")}, schema=node_schema)
+
+        cand = _dedup_nodes(
+            drop_empty_blocks(touched.map_batches(nbr, batch_format="pyarrow"))
+        )
+        new = hash_join(
+            cand, visited.select_columns(["node"]),
+            left_on="node", right_on="node", how="anti",
+            left_schema=node_schema, right_schema=node_schema,
+            num_partitions=num_partitions,
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(
+            new.map_batches(_with_hops(h), batch_format="pyarrow")
+        ).materialize()
+        frontier = new
+    return visited

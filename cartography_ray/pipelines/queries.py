@@ -4390,6 +4390,85 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
     )
 
 
+# 'ticket:' entities are sparse (one per support ticket mention), so the
+# 4-hop reach set exercises genuinely multi-round frontier growth
+KG_REACH_SEED_PREFIX = "ticket:"
+KG_REACH_MAX_HOPS = 4
+
+
+def q_kg_reach(sf_dir: str):
+    """Multi-source BFS over the co-mention graph (ops/graph.bfs_hops:
+    min hop distance from any ticket entity, ≤ 4 hops — driver tier
+    below 200k edges, per-hop semi-join frontier expansion + anti-join
+    visited filter above; min-distance is unique, so the unrolled-CTE
+    DuckDB twin matches exactly). Traversal-distance is the graph
+    primitive behind blast-radius / exposure queries in the reference's
+    security domain (reference cartography/client queries walk
+    bounded-depth relationship paths)."""
+    from cartography_ray.ops.graph import bfs_hops
+
+    pairs = q_kg_co_mentions(sf_dir)
+
+    def edge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t.column("entity_a"), pa.string()),
+                "dst": pc.cast(t.column("entity_b"), pa.string()),
+            }
+        )
+
+    edges = pairs.map_batches(edge, batch_format="pyarrow")
+
+    def seed(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [
+                t.column("src").combine_chunks().cast(pa.string()),
+                t.column("dst").combine_chunks().cast(pa.string()),
+            ]
+        )
+        keep = pc.starts_with(nodes, KG_REACH_SEED_PREFIX)
+        return pa.table({"node": nodes.filter(keep)})
+
+    seeds = edges.map_batches(seed, batch_format="pyarrow")
+    return bfs_hops(edges, seeds, max_hops=KG_REACH_MAX_HOPS)
+
+
+def sql_kg_reach(
+    path: str,
+    prefix: str = KG_REACH_SEED_PREFIX,
+    hops: int = KG_REACH_MAX_HOPS,
+) -> str:
+    """Per-hop frontier unrolled as a CTE chain (the ``sql_kg_kcore``
+    idiom — hop count is a fixed constant, so unrolling is exact, and
+    MIN over the unioned candidate sets reproduces bfs_hops' min
+    distance regardless of expansion order)."""
+    parts = [
+        """, e AS MATERIALIZED (
+  SELECT entity_a AS a, entity_b AS b FROM co
+  UNION ALL SELECT entity_b, entity_a FROM co)
+, d0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS hops FROM e
+  WHERE a LIKE '{pfx}%')""".format(pfx=prefix)
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f""", f{i} AS MATERIALIZED (
+  SELECT DISTINCT e.b AS node FROM e
+  JOIN d{i - 1} p ON e.a = p.node AND p.hops = {i - 1})
+, d{i} AS MATERIALIZED (
+  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+    SELECT node, hops FROM d{i - 1}
+    UNION ALL SELECT node, {i} FROM f{i}
+  ) GROUP BY node)"""
+        )
+    final = f"""
+SELECT node, hops FROM d{hops}
+"""
+    return (
+        _KG_RESOLVED_SQL.format(path=path) + _KG_CO_CTE + "".join(parts) + final
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "pricing_summary": q_pricing_summary,
     "lineitem_rollup": q_lineitem_rollup,
@@ -4480,6 +4559,7 @@ QUERIES: dict[str, Callable] = {
     "events_coverage": q_events_coverage,
     "customers_fuzzy_names": q_customers_fuzzy_names,
     "kg_kcore": q_kg_kcore,
+    "kg_reach": q_kg_reach,
     "events_user_path": q_events_user_path,
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_outliers": q_events_outliers,
@@ -4588,6 +4668,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": sql_kg_pagerank(path),
         "kg_triangles": sql_kg_triangles(path),
         "kg_kcore": sql_kg_kcore(path),
+        "kg_reach": sql_kg_reach(path),
         "kg_top_partners": sql_kg_top_partners(path),
         "events_user_path": SQL_EVENTS_USER_PATH,
         "events_outliers": SQL_EVENTS_OUTLIERS,

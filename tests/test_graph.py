@@ -221,3 +221,78 @@ def test_kcore_empty_and_total_peel(ray_session):
     # k=2 keeps it whole
     got = kcore(ds, k=2).to_pandas()
     assert sorted(got["core_deg"]) == [2, 2, 2]
+
+
+def _bfs_ref(df: pd.DataFrame, seeds, max_hops: int) -> dict:
+    """Plain dict/set BFS reference."""
+    adj: dict = {}
+    for a, b in zip(df["src"], df["dst"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = h
+                    nxt.add(m)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_bfs_hops_matches_reference(ray_session, force_distributed):
+    import ray.data
+
+    from cartography_ray.ops.graph import bfs_hops
+
+    rng = np.random.default_rng(53)
+    # sparse random graph + a path appendage so late hops stay non-empty
+    n, m = 300, 500
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    df = pd.DataFrame({"src": lo, "dst": hi}).drop_duplicates()
+    path_nodes = np.arange(n, n + 10)
+    df = pd.concat(
+        [df, pd.DataFrame({"src": path_nodes[:-1], "dst": path_nodes[1:]})],
+        ignore_index=True,
+    ).astype("int64")
+
+    seeds = [0, 1, int(path_nodes[0])]
+    for max_hops in (0, 1, 4):
+        want = _bfs_ref(df, seeds, max_hops)
+        got = bfs_hops(
+            ray.data.from_pandas(df).repartition(4),
+            ray.data.from_pandas(pd.DataFrame({"node": seeds})),
+            max_hops=max_hops,
+            driver_limit=0 if force_distributed else None,
+            num_partitions=4,
+        ).to_pandas()
+        assert dict(zip(got["node"], got["hops"])) == want, f"hops={max_hops}"
+
+
+def test_bfs_hops_edge_cases(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.graph import bfs_hops
+
+    tri = pd.DataFrame({"src": [0, 0, 1], "dst": [1, 2, 2]}).astype("int64")
+    ds = ray.data.from_pandas(tri)
+    # a seed absent from the edge set still reports distance 0
+    seeds = ray.data.from_pandas(pd.DataFrame({"node": [0, 99]}))
+    got = bfs_hops(ds, seeds, max_hops=2).to_pandas()
+    assert dict(zip(got["node"], got["hops"])) == {0: 0, 99: 0, 1: 1, 2: 1}
+    # duplicate seed rows dedupe; empty edges → seeds only (both tiers)
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                      "dst": pd.Series([], dtype="int64")})
+    )
+    dup_seeds = ray.data.from_pandas(pd.DataFrame({"node": [7, 7]}))
+    got = bfs_hops(empty, dup_seeds, max_hops=3).to_pandas()
+    assert dict(zip(got["node"], got["hops"])) == {7: 0}
