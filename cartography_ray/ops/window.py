@@ -1077,3 +1077,63 @@ def sequence_paths(
             kernel, batch_format="pandas"
         )
     )
+
+
+def gap_fill(
+    ds,
+    key: str,
+    bucket_col: str,
+    value_cols: list[str],
+    fill: int = 0,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Densify a per-(key, bucket) aggregate: emit one row per key for
+    EVERY integer bucket between that key's own min and max, filling
+    the ``value_cols`` of missing buckets with ``fill`` (time-series
+    resampling / zero-fill — SQL's generate_series + LEFT JOIN). The
+    only operator family that GENERATES rows the input doesn't have.
+
+    Input contract: already one row per (key, bucket) — the
+    partial_groupby_agg output shape — with int64 bucket and value
+    columns. Same one-shuffle plan as ``with_lag``; the per-key output
+    is bounded by time-range/step (never corpus size), so the
+    one-reducer-per-key assumption is safe by construction. The filled
+    range is built vectorized (concatenated aranges via repeat/cumsum),
+    not a per-key python loop.
+    """
+
+    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = group.drop(columns="__gb")
+        agg = (
+            pdf.groupby(key, sort=False)[bucket_col]
+            .agg(["min", "max"])
+            .reset_index()
+        )
+        lens = (agg["max"] - agg["min"] + 1).to_numpy(dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        total = int(lens.sum())
+        slots = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(off, lens)
+            + np.repeat(agg["min"].to_numpy(dtype=np.int64), lens)
+        )
+        full = pd.DataFrame(
+            {key: np.repeat(agg[key].to_numpy(), lens), bucket_col: slots}
+        )
+        out = full.merge(pdf, on=[key, bucket_col], how="left")
+        for c in value_cols:
+            out[c] = out[c].fillna(fill).astype("int64")
+        return _to_clean_arrow(out[[key, bucket_col, *value_cols]])
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = drop_empty_blocks(ds).map_batches(tag, batch_format="pandas")
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )

@@ -489,6 +489,66 @@ GROUP BY 1, 2
 """
 
 
+GAPFILL_SLOT_US = 900_000_000  # 15-min slots: ~50% of per-type slots are empty at sf0.01
+
+
+def q_events_gapfill(sf_dir: str):
+    """Time-series densification: per-type 15-min counts with EVERY
+    slot between each type's min and max emitted, zeros where no event
+    landed (ops/window.gap_fill — the row-GENERATING operator family;
+    SQL generate_series + LEFT JOIN). Downstream rolling/lag kernels
+    need dense series to be correct, which is why resampling is a
+    first-class stage in stream-shaped training pipelines."""
+    rd = _rd()
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.window import gap_fill
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "slot": pc.divide(us, pa.scalar(GAPFILL_SLOT_US, pa.int64())),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    sparse = partial_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "slot"],
+        {"n_events": (None, "count"), "sum_value_cents": ("value_cents", "sum")},
+        num_partitions=_parts_for(f"{sf_dir}/events.parquet"),
+    )
+    # the filled series is slot-range-sized (types × slots), tiny next
+    # to the event table — a handful of buckets suffices
+    return gap_fill(
+        sparse,
+        key="event_type",
+        bucket_col="slot",
+        value_cols=["n_events", "sum_value_cents"],
+        num_partitions=8,
+    )
+
+
+SQL_EVENTS_GAPFILL = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // {GAPFILL_SLOT_US} AS slot,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, MIN(slot) AS mn, MAX(slot) AS mx FROM b GROUP BY 1),
+g AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS slot FROM r)
+SELECT g.event_type, g.slot,
+       COALESCE(b.n_events, 0) AS n_events,
+       COALESCE(b.sum_value_cents, 0) AS sum_value_cents
+FROM g LEFT JOIN b USING (event_type, slot)
+"""
+
+
 HOP_WINDOW_US = 2 * 3_600_000_000  # 2h windows ...
 HOP_US = 3_600_000_000             # ... hopping every 1h (2 copies/row)
 
@@ -4480,6 +4540,7 @@ QUERIES: dict[str, Callable] = {
     "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
     "events_hopping": q_events_hopping,
+    "events_gapfill": q_events_gapfill,
     "events_first": q_events_first,
     "events_sessions": q_events_sessions,
     "events_sessions_salted": q_events_sessions_salted,
@@ -4591,6 +4652,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "customers_without_orders": SQL_CUST_NO_ORDERS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_hopping": SQL_EVENTS_HOPPING,
+        "events_gapfill": SQL_EVENTS_GAPFILL,
         "events_first": SQL_EVENTS_FIRST,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_session_ranges": SQL_EVENTS_SESSION_RANGES,

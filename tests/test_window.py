@@ -1266,3 +1266,40 @@ def test_sequence_paths_matches_reference(ray_session):
         {"path": g.agg("-".join), "n": g.size().astype("int64")}
     ).reset_index()
     pd.testing.assert_frame_equal(got[["k", "path", "n"]], want)
+
+
+def test_gap_fill_matches_reference(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import gap_fill
+
+    # keys with interior gaps, a single-slot key, and a dense key
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "c", "c"],
+            "slot": [3, 7, 5, 10, 0, 1],
+            "n": [2, 1, 4, 9, 5, 6],
+        }
+    ).astype({"slot": "int64", "n": "int64"})
+    got = (
+        gap_fill(
+            ray.data.from_pandas(pdf).repartition(3),
+            key="k",
+            bucket_col="slot",
+            value_cols=["n"],
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "slot"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for k, sub in pdf.groupby("k"):
+        m = dict(zip(sub["slot"], sub["n"]))
+        for s in range(sub["slot"].min(), sub["slot"].max() + 1):
+            want.append({"k": k, "slot": s, "n": m.get(s, 0)})
+    want = pd.DataFrame(want).astype({"slot": "int64", "n": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    # per-key density invariant: rows == max-min+1, gaps are exact zeros
+    assert len(got) == 5 + 1 + 2
+    assert got.loc[(got["k"] == "a") & (got["slot"] == 4), "n"].item() == 0
