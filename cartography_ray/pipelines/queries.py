@@ -454,6 +454,87 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
 """
 
 
+def q_cust_orders_events_outer(sf_dir: str):
+    """FULL OUTER join — the last ``hash_join`` mode without a
+    catalogue entry: per-customer urgent-order stats ⟗ per-user event
+    counts on the shared key domain. All three regions are live at
+    sf0.01 (1169 order-only / 22 event-only / 128 both). Unmatched
+    sides surface as typed nulls from the bucket merge and are
+    coalesced to the -1 sentinel on BOTH engines (the nullable-int
+    hash convention)."""
+    rd = _rd()
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        return pa.table(
+            {"key": t.column("o_custkey"), "cents": _cents(t.column("o_totalprice"))}
+        )
+
+    left = partial_groupby_agg(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        ["key"],
+        {"n_orders": (None, "count"), "sum_urgent_cents": ("cents", "sum")},
+        num_partitions=_parts_for(f"{sf_dir}/orders.parquet"),
+    )
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def prep_e(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pc.cast(t.column("user_id"), pa.int64())})
+
+    right = partial_groupby_agg(
+        events.map_batches(prep_e, batch_format="pyarrow"),
+        ["key"],
+        {"n_events": (None, "count")},
+        num_partitions=_parts_for(f"{sf_dir}/events.parquet"),
+    )
+    j = hash_join(
+        left,
+        right,
+        left_on="key",
+        how="outer",
+        left_schema=pa.schema(
+            [("key", pa.int64()), ("n_orders", pa.int64()),
+             ("sum_urgent_cents", pa.int64())]
+        ),
+        right_schema=pa.schema([("key", pa.int64()), ("n_events", pa.int64())]),
+        num_partitions=8,  # key-domain-sized by construction
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        neg = pa.scalar(-1, pa.int64())
+        return pa.table(
+            {
+                "key": t.column("key"),
+                "n_orders": pc.fill_null(t.column("n_orders"), neg),
+                "sum_urgent_cents": pc.fill_null(t.column("sum_urgent_cents"), neg),
+                "n_events": pc.fill_null(t.column("n_events"), neg),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CUST_ORDERS_EVENTS_OUTER = """
+WITH l AS (
+  SELECT o_custkey AS key, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_urgent_cents
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+r AS (SELECT user_id AS key, COUNT(*) AS n_events FROM events GROUP BY 1)
+SELECT COALESCE(l.key, r.key) AS key,
+       COALESCE(l.n_orders, -1) AS n_orders,
+       COALESCE(l.sum_urgent_cents, -1) AS sum_urgent_cents,
+       COALESCE(r.n_events, -1) AS n_events
+FROM l FULL OUTER JOIN r ON l.key = r.key
+"""
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate (1h) over the event stream table."""
     rd = _rd()
@@ -4538,6 +4619,7 @@ QUERIES: dict[str, Callable] = {
     "top_orders": q_top_orders,
     "filter_project": q_filter_project,
     "customers_without_orders": q_customers_without_orders,
+    "cust_orders_events_outer": q_cust_orders_events_outer,
     "events_hourly": q_events_hourly,
     "events_hopping": q_events_hopping,
     "events_gapfill": q_events_gapfill,
@@ -4650,6 +4732,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "top_orders": SQL_TOP_ORDERS,
         "filter_project": SQL_FILTER_PROJECT,
         "customers_without_orders": SQL_CUST_NO_ORDERS,
+        "cust_orders_events_outer": SQL_CUST_ORDERS_EVENTS_OUTER,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_hopping": SQL_EVENTS_HOPPING,
         "events_gapfill": SQL_EVENTS_GAPFILL,
