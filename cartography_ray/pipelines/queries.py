@@ -4531,6 +4531,138 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: unshipped-revenue top-10 orders for one market
+    segment (customer ⋈ orders ⋈ lineitem with opposing date cuts,
+    group by order, top-k). Complements Q5: customer participates as a
+    pure FILTER here, so the plan uses a semi join (no customer bytes
+    enter the second exchange) where Q5 had to carry the nation column
+    through an inner join. Top-10 is the per-block-prune + bounded
+    driver-final idiom (``q_top_orders``), never a global sort."""
+    rd = _rd()
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+
+    cut = np.datetime64(Q3_DATE, "us")
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def seg_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), Q3_SEGMENT))
+        return t.select(["c_custkey"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cut)))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_date_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    parts = _parts_for(f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet")
+    ord_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("o_date_us", pa.int64()), ("o_orderpriority", pa.string())]
+    )
+    ord_b = hash_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        cust.map_batches(seg_filter, batch_format="pyarrow"),
+        left_on="o_custkey",
+        right_on="c_custkey",
+        how="semi",
+        left_schema=ord_schema,
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+        num_partitions=parts,
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_date_us", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cut)))
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "revenue_cents": _cents(disc)}
+        )
+
+    j = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ord_b,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_date_us", pa.int64()),
+             ("o_orderpriority", pa.string())]
+        ),
+        num_partitions=parts,
+    )
+    grouped = partial_groupby_agg(
+        j,
+        ["l_orderkey", "o_date_us", "o_orderpriority"],
+        {"revenue_cents": ("revenue_cents", "sum")},
+        num_partitions=parts,
+    )
+
+    sort_cols = ["revenue_cents", "o_date_us", "l_orderkey"]
+    order = [False, True, True]
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(sort_cols, ascending=order).head(10)
+
+    final = (
+        grouped.map_batches(local, batch_format="pandas")
+        .to_pandas()
+        .sort_values(sort_cols, ascending=order)
+        .head(10)
+    )
+    cols = ["l_orderkey", "revenue_cents", "o_date_us", "o_orderpriority"]
+    return pa.Table.from_pandas(
+        final[cols].reset_index(drop=True), preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       epoch_us(o_orderdate) AS o_date_us,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate  > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_date_us, o_orderpriority
+ORDER BY revenue_cents DESC, o_date_us, l_orderkey
+LIMIT 10
+"""
+
+
 # 'ticket:' entities are sparse (one per support ticket mention), so the
 # 4-hop reach set exercises genuinely multi-round frontier growth
 KG_REACH_SEED_PREFIX = "ticket:"
@@ -4707,6 +4839,7 @@ QUERIES: dict[str, Callable] = {
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_outliers": q_events_outliers,
     "regional_supplier_revenue": q_regional_supplier_revenue,
+    "shipping_priority": q_shipping_priority,
     "kg_top_partners": q_kg_top_partners,
     "docs_token_freq_cms": q_docs_token_freq_cms,
     "customers_fuzzy_clusters": q_customers_fuzzy_clusters,
@@ -4818,6 +4951,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_user_path": SQL_EVENTS_USER_PATH,
         "events_outliers": SQL_EVENTS_OUTLIERS,
         "regional_supplier_revenue": SQL_REGIONAL_SUPPLIER_REVENUE,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_rolling": SQL_EVENTS_ROLLING,
