@@ -976,3 +976,122 @@ def bpe_token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds,
+    terms: list[str],
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_scale: int = 1_000_000,
+):
+    """Top-``k`` documents by BM25 score for a fixed query-term list —
+    the retrieval-ranking member of the text family (Robertson/Sparck
+    Jones idf, Okapi tf saturation). Integer-exact across engines the
+    same way ``events_corr`` is: every float input (tf, dl, df, N) is
+    an EXACT integer, avgdl is one double division of two exact ints,
+    idf is ``floor(idf_scale·ln(1 + (N−df+0.5)/(df+0.5)))`` (one libm
+    ``ln`` per TERM — query-sized, the tfidf/lm_score idiom), each
+    per-term score is floored to int64 micro-units with the IDENTICAL
+    float64 expression tree on both engines (IEEE +,×,/ are correctly
+    rounded), and the per-doc sum is then an order-free int64 sum.
+
+    Shape: one pass over the text emits a per-doc compact projection
+    (doc_id, dl, tf per query term — query-sized width, never the
+    token stream); a block-count-bounded stats fold derives df/avgdl
+    driver-side (query-sized scalars); scoring + global top-k then run
+    over the materialized projection (per-block prune, driver final
+    sees ≤ k×blocks candidate rows). Docs containing no query term
+    never leave the scoring filter.
+    """
+    import math
+
+    import pandas as pd
+
+    terms = list(terms)
+    m = len(terms)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        lists = pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE)
+        flat = pc.list_flatten(lists).combine_chunks()
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dl = np.bincount(parent[ne], minlength=n).astype("int64")
+        cols = {
+            id_col: batch.column(id_col),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for i, t in enumerate(terms):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            cols[f"tf_{i}"] = pa.array(
+                np.bincount(parent[hit], minlength=n).astype("int64"), pa.int64()
+            )
+        return pa.table(cols)
+
+    proj = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out = {"dl_sum": pa.array([int(pc.sum(batch.column("dl")).as_py() or 0)], pa.int64())}
+        for i in range(m):
+            out[f"df_{i}"] = pa.array(
+                [int(pc.sum(pc.cast(pc.greater(batch.column(f"tf_{i}"), 0), pa.int64())).as_py() or 0)],
+                pa.int64(),
+            )
+        return pa.table(out)
+
+    st = proj.map_batches(stats, batch_format="pyarrow").to_pandas().sum()
+    total_tokens = int(st["dl_sum"])
+    avgdl = float(total_tokens) / float(n_docs)
+    idf6 = []
+    for i in range(m):
+        dfi = int(st[f"df_{i}"])
+        idf6.append(
+            int(math.floor(idf_scale * math.log(1.0 + (float(n_docs) - dfi + 0.5) / (dfi + 0.5))))
+        )
+
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(dl)
+        s = np.zeros(n, dtype=np.int64)
+        any_hit = np.zeros(n, dtype=bool)
+        for i in range(m):
+            tf = batch.column(f"tf_{i}").to_numpy(zero_copy_only=False).astype(np.float64)
+            # expression tree mirrored EXACTLY in the SQL twin
+            term = np.floor(
+                float(idf6[i]) * ((tf * k1p1) / (tf + k1 * (one_minus_b + b * dl / avgdl)))
+            )
+            hit = tf > 0
+            s[hit] += term[hit].astype(np.int64)
+            any_hit |= hit
+        return pa.table(
+            {
+                id_col: batch.column(id_col).filter(pa.array(any_hit)),
+                "score_micro": pa.array(s[any_hit], pa.int64()),
+            }
+        )
+
+    scored = proj.map_batches(score, batch_format="pyarrow")
+
+    def prune(bdf: pd.DataFrame) -> pd.DataFrame:
+        return bdf.sort_values(
+            ["score_micro", id_col], ascending=[False, True]
+        ).head(k)
+
+    final = (
+        scored.map_batches(prune, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["score_micro", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    final["rn"] = np.arange(1, len(final) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(final, preserve_index=False).replace_schema_metadata(None)

@@ -1717,6 +1717,68 @@ SELECT doc_id, token, tf, score, rn FROM (
 """
 
 
+BM25_TERMS = ["hash", "join", "vector", "stream"]
+BM25_K = 20
+
+
+def q_docs_bm25(sf_dir: str):
+    """BM25 retrieval ranking: top-20 documents for a fixed query
+    (functions/text.bm25_topk) — integer-exact BM25 (exact-int inputs,
+    per-term floored micro-scores, order-free int sum), so the DuckDB
+    twin is a full hash oracle despite the float formula. n_docs from
+    the parquet footer."""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    from cartography_ray.functions.text import bm25_topk
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.read_metadata(path).num_rows
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    return bm25_topk(ds, BM25_TERMS, n_docs=n_docs, k=BM25_K)
+
+
+SQL_DOCS_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), tok AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) /
+         CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+  GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT token, CAST(floor(1000000 * ln(
+      1.0 + (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) - df + 0.5)
+            / (df + 0.5))) AS BIGINT) AS idf6
+  FROM df
+), term_scores AS (
+  SELECT tf.doc_id,
+         CAST(floor(CAST(idf.idf6 AS DOUBLE) * (
+             (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+             (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                + 0.75 * CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM stats)))
+         )) AS BIGINT) AS s
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+)
+SELECT doc_id, score_micro, rn FROM (
+  SELECT doc_id, score_micro, CAST(ROW_NUMBER() OVER (
+      ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rn
+  FROM (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_micro
+        FROM term_scores GROUP BY 1)
+) WHERE rn <= {BM25_K}
+"""
+
+
 def q_docs_bpe_tokens(sf_dir: str):
     """Whitespace + GPT-2-style BPE pre-token counts per document
     (functions/text.bpe_token_count) — both Arrow RE2 kernels,
@@ -4783,6 +4845,7 @@ QUERIES: dict[str, Callable] = {
     "docs_token_freq": q_docs_token_freq,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_tfidf": q_docs_tfidf,
+    "docs_bm25": q_docs_bm25,
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_lm_score": q_docs_lm_score,
     "docs_chunks": q_docs_chunks,
@@ -4905,6 +4968,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # property-tested instead
         "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
         "docs_tfidf": SQL_DOCS_TFIDF,
+        "docs_bm25": SQL_DOCS_BM25,
         "docs_bpe_tokens": _sql_docs_bpe_tokens(),
         "docs_lm_score": SQL_DOCS_LM_SCORE,
         "docs_chunks": SQL_DOCS_CHUNKS,

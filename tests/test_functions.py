@@ -1332,3 +1332,53 @@ def test_hash_join_skew_salt_equals_unsalted(ray_session):
             ray.data.from_pandas(left), ray.data.from_pandas(right),
             left_on="k", how="outer", skew_salt=4,
         )
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from cartography_ray.functions.text import bm25_topk
+
+    docs = {
+        1: "apple banana apple cherry",
+        2: "banana banana banana",
+        3: "cherry apple",
+        4: "durian fig grape",          # no query term → never ranked
+        5: "apple apple apple apple apple banana",
+    }
+    terms = ["apple", "banana"]
+    k1, b = 1.2, 0.75
+    n_docs = len(docs)
+    tokens = {d: t.split() for d, t in docs.items()}
+    avgdl = sum(len(v) for v in tokens.values()) / float(n_docs)
+    df = {t: sum(1 for v in tokens.values() if t in v) for t in terms}
+    idf6 = {
+        t: math.floor(1_000_000 * math.log(1.0 + (float(n_docs) - df[t] + 0.5) / (df[t] + 0.5)))
+        for t in terms
+    }
+    want = {}
+    for d, toks in tokens.items():
+        s = 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf:
+                s += int(math.floor(
+                    float(idf6[t]) * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * len(toks) / avgdl)))
+                ))
+        if s:
+            want[d] = s
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = bm25_topk(
+        ray.data.from_pandas(pdf).repartition(3), terms, n_docs=n_docs, k=3
+    ).to_pandas()
+    # top-3 by (score desc, doc_id asc), rn 1-based, doc 4 never appears
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(got["doc_id"]) == [d for d, _ in ranked]
+    assert list(got["score_micro"]) == [s for _, s in ranked]
+    assert list(got["rn"]) == [1, 2, 3]
+    assert 4 not in set(got["doc_id"])
