@@ -193,3 +193,65 @@ def grouped_quantile_sketch(
         .groupby("__gb2", num_partitions=8)
         .map_groups(interp, batch_format="pandas")
     )
+
+
+def grouped_mad(
+    ds,
+    keys: list[str] | str,
+    value_col: str,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Exact grouped median absolute deviation — the robust-statistics
+    sibling of ``grouped_quantiles``, in PURE int64 (no float convention
+    needed): with integer inputs every median is a multiple of ½, so
+    the op returns ``med2 = 2·median(v)`` and ``mad4 = 4·MAD =
+    2·median(|2v − med2|)``, both exact integers computed by sorted
+    middle-element arithmetic (never ``np.quantile``). The SQL twin
+    doubles ``quantile_cont`` the same way (a ½-multiple doubled is an
+    exactly-representable whole double → BIGINT cast is lossless).
+
+    One hash shuffle on the group key (every value of a group on one
+    reducer — the ``grouped_quantiles`` exactness contract); both
+    medians and the deviation pass run inside the same kernel, so MAD
+    costs the SAME single shuffle as a plain median.
+
+    Output columns: keys + ``n`` + ``med2`` + ``mad4`` (int64).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def _med2(v: np.ndarray) -> int:
+        # 2·median as an exact int: middle element(s) of the sort
+        v = np.sort(v, kind="stable")
+        n = len(v)
+        mid = n // 2
+        return int(2 * v[mid]) if n % 2 else int(v[mid - 1] + v[mid])
+
+    def tag(batch: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_pandas_object(batch[keys], index=False).to_numpy()
+        out = batch[keys + [value_col]].copy()
+        out["__gb"] = (h % num_buckets).astype("int64")
+        return _to_clean_arrow(out)
+
+    def kernel(group: pd.DataFrame) -> pa.Table:
+        g = group.groupby(keys, sort=False)
+        rows = []
+        for gk, sub in g:
+            gk = gk if isinstance(gk, tuple) else (gk,)
+            v = sub[value_col].to_numpy().astype("int64")
+            med2 = _med2(v)
+            dev2 = np.abs(2 * v - med2)
+            rows.append((*gk, len(v), med2, _med2(dev2)))
+        out = pd.DataFrame(rows, columns=keys + ["n", "med2", "mad4"])
+        for c in ("n", "med2", "mad4"):
+            out[c] = out[c].astype("int64")
+        return _to_clean_arrow(out)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )

@@ -1517,6 +1517,47 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_mad(sf_dir: str):
+    """Per-type median absolute deviation (ops/quantiles.grouped_mad) —
+    robust dispersion in PURE int64: med2 = 2·median(cents), mad4 =
+    4·MAD, both exact middle-element arithmetic, one shuffle total (the
+    deviation pass runs inside the same kernel as the median)."""
+    rd = _rd()
+    from cartography_ray.ops.quantiles import grouped_mad
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t.column("event_type"), "value_cents": _cents(t.column("value"))}
+        )
+
+    return grouped_mad(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_type", "value_cents",
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_EVENTS_MAD = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2
+  FROM c GROUP BY 1
+), d AS (
+  SELECT c.event_type, abs(2 * c.v - m.med2) AS dev2
+  FROM c JOIN m USING (event_type)
+)
+SELECT d.event_type, m.n, m.med2,
+       CAST(2 * quantile_cont(d.dev2, 0.5) AS BIGINT) AS mad4
+FROM d JOIN m USING (event_type)
+GROUP BY d.event_type, m.n, m.med2
+"""
+
+
 def q_events_quantiles_disc(sf_dir: str):
     """Discrete per-group quantiles (quantile_disc analogue): returns
     ACTUAL stream elements (numpy 'inverted_cdf', verified == DuckDB
@@ -4827,6 +4868,7 @@ QUERIES: dict[str, Callable] = {
     "events_attribution_salted": q_events_attribution_salted,
     "events_quantiles": q_events_quantiles,
     "events_quantiles_disc": q_events_quantiles_disc,
+    "events_mad": q_events_mad,
     "events_lag": q_events_lag,
     "events_running_sum": q_events_running_sum,
     "events_running_sum_salted": q_events_running_sum_salted,
@@ -4944,6 +4986,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_attribution_salted": SQL_EVENTS_ATTRIBUTION,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "events_quantiles_disc": SQL_EVENTS_QUANTILES_DISC,
+        "events_mad": SQL_EVENTS_MAD,
         "events_lag": SQL_EVENTS_LAG,
         "events_running_sum": SQL_EVENTS_RUNNING_SUM,
         "events_running_sum_salted": SQL_EVENTS_RUNNING_SUM,

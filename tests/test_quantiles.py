@@ -214,3 +214,39 @@ def test_q5_bloom_plans_agree(ray_session):
     b = run(use_bloom=True)
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_mad_matches_reference(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.quantiles import grouped_mad
+
+    rng = np.random.default_rng(11)
+    # odd and even group sizes, negatives, duplicates
+    ks, vs = [], []
+    for k, n in (("a", 7), ("b", 8), ("c", 1), ("d", 2)):
+        ks += [k] * n
+        vs += list(rng.integers(-500, 500, n))
+    pdf = pd.DataFrame({"k": ks, "v": np.array(vs, dtype="int64")})
+
+    got = (
+        grouped_mad(ray.data.from_pandas(pdf).repartition(3), "k", "v",
+                    num_partitions=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+
+    def med2(v):
+        v = np.sort(v)
+        n = len(v)
+        return int(2 * v[n // 2]) if n % 2 else int(v[n // 2 - 1] + v[n // 2])
+
+    for _, row in got.iterrows():
+        v = pdf.loc[pdf["k"] == row["k"], "v"].to_numpy()
+        m2 = med2(v)
+        assert row["n"] == len(v)
+        assert row["med2"] == m2
+        assert row["mad4"] == med2(np.abs(2 * v - m2))
+        # cross-check against float medians (exact for these magnitudes)
+        assert row["med2"] == 2 * np.median(v)
+        assert row["mad4"] == 4 * np.median(np.abs(v - np.median(v)))
+    assert set(got["k"]) == {"a", "b", "c", "d"}
