@@ -1137,3 +1137,33 @@ def gap_fill(
             kernel, batch_format="pandas"
         )
     )
+
+
+def keyed_rate_sample(
+    ds,
+    id_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: int = 0,
+):
+    """Per-stratum Bernoulli sampling: keep a row iff its deterministic
+    sampling score falls below ITS KEY'S rate — the class-rebalancing
+    sampler (downsample dominant event types / languages, keep rare
+    ones whole) next to ``deterministic_sample``'s single global rate
+    and ``stratified_sample``'s exactly-k. Same hash contract as
+    ``sample_hash`` (RNG-free, resume-identical, SQL CASE twin); keys
+    absent from ``rates`` get ``default_rate``. Pure per-batch filter —
+    no shuffle, no coordination."""
+    import pyarrow as pa
+
+    cuts = {k: int(r * SAMPLE_MOD) for k, r in rates.items()}
+    default_cut = int(default_rate * SAMPLE_MOD)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col).to_pandas()
+        cut = keys.map(cuts).fillna(default_cut).to_numpy(dtype="int64")
+        return t.filter(pa.array(sample_hash(ids, salt) < cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

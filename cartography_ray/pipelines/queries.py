@@ -1005,6 +1005,42 @@ WHERE (CAST(event_id AS UBIGINT) % 4294967296) * 2654435761 % 4294967296
 """
 
 
+# class rebalancing: drown the dominant click/view stream, keep every
+# purchase; 'error' exercises the default-rate (absent-key) path
+WSAMPLE_RATES = {"click": 0.25, "view": 0.5, "purchase": 1.0, "signup": 0.75}
+WSAMPLE_DEFAULT = 0.05
+
+
+def q_events_weighted_sample(sf_dir: str):
+    """Per-stratum Bernoulli sampling (ops/window.keyed_rate_sample):
+    each event type keeps its own rate — the class-rebalancing sampler
+    (vs deterministic_sample's one global rate and stratified_sample's
+    exactly-k). Keys absent from the rate map get the default rate."""
+    rd = _rd()
+    from cartography_ray.ops.window import keyed_rate_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    return keyed_rate_sample(
+        ds, "event_id", "event_type", WSAMPLE_RATES, default_rate=WSAMPLE_DEFAULT
+    )
+
+
+def _wsample_sql() -> str:
+    mod = 1 << 32
+    cases = "\n        ".join(
+        f"WHEN '{k}' THEN {int(r * mod)}" for k, r in WSAMPLE_RATES.items()
+    )
+    return f"""
+SELECT event_id, user_id, event_type FROM events
+WHERE (CAST(event_id AS UBIGINT) % 4294967296) * 2654435761 % 4294967296
+      < CASE event_type
+        {cases}
+        ELSE {int(WSAMPLE_DEFAULT * mod)} END
+"""
+
+
 SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -4876,6 +4912,7 @@ QUERIES: dict[str, Callable] = {
     "events_winsorized": q_events_winsorized,
     "events_pivot": q_events_pivot,
     "events_sample": q_events_sample,
+    "events_weighted_sample": q_events_weighted_sample,
     "events_split": q_events_split,
     "docs_shuffled": q_docs_shuffled,
     "events_stratified": q_events_stratified,
@@ -4994,6 +5031,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_winsorized": SQL_EVENTS_WINSORIZED,
         "events_pivot": SQL_EVENTS_PIVOT,
         "events_sample": SQL_EVENTS_SAMPLE,
+        "events_weighted_sample": _wsample_sql(),
         "events_split": SQL_EVENTS_SPLIT,
         "docs_shuffled": SQL_DOCS_SHUFFLED,
         "events_stratified": SQL_EVENTS_STRATIFIED,

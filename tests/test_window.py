@@ -1303,3 +1303,39 @@ def test_gap_fill_matches_reference(ray_session):
     # per-key density invariant: rows == max-min+1, gaps are exact zeros
     assert len(got) == 5 + 1 + 2
     assert got.loc[(got["k"] == "a") & (got["slot"] == 4), "n"].item() == 0
+
+
+def test_keyed_rate_sample_matches_hash_contract(ray_session):
+    import ray.data
+
+    from cartography_ray.ops.window import (
+        SAMPLE_MOD,
+        keyed_rate_sample,
+        sample_hash,
+    )
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype="int64"),
+            "k": np.tile(["x", "y", "z", "unmapped"], n // 4),
+        }
+    )
+    rates = {"x": 0.9, "y": 0.3, "z": 0.0}
+    got = (
+        keyed_rate_sample(
+            ray.data.from_pandas(pdf).repartition(4), "id", "k", rates,
+            default_rate=0.1,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    h = sample_hash(pdf["id"].to_numpy())
+    cut = pdf["k"].map({k: int(r * SAMPLE_MOD) for k, r in rates.items()}) \
+        .fillna(int(0.1 * SAMPLE_MOD)).to_numpy(dtype="int64")
+    want = pdf[h < cut].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["k"] == "z").sum() == 0            # rate 0 drops everything
+    assert (got["k"] == "unmapped").sum() > 0      # default path engaged
+    # realized per-key rates near the nominal ones
+    gx = (got["k"] == "x").sum() / (n / 4)
+    assert 0.8 < gx < 1.0
