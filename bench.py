@@ -160,6 +160,13 @@ def run_queries(sf_dir: str) -> dict:
         "docs_lang_routed",
         "events_corr",
         "events_histogram",
+        "kg_reach",
+        "events_gapfill",
+        "cust_orders_events_outer",
+        "shipping_priority",
+        "docs_bm25",
+        "events_mad",
+        "events_weighted_sample",
     ]
     out = {}
     for name in names:
