@@ -111,24 +111,89 @@ def _typed_nulls(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, type=typ)
 
 
+def _nonempty_refs(prepped):
+    """Materialize ``prepped`` and return its non-empty block refs plus
+    measured totals ``(refs, n_rows, n_bytes)``. Zero-row input blocks
+    skip the prep UDF (Ray 2.49) and arrive at the shuffle as schema-less
+    blocks, which crash the hash aggregator's finalize sort on
+    ``__bucket`` — and a fully empty groupby input crashes finalize even
+    with a TYPED empty block. Block data never leaves the object store —
+    only metadata is inspected; the measured totals are what the join
+    planners use for their adaptive decisions (local-merge elision,
+    data-sized partition counts)."""
+    mat = prepped.materialize()
+    refs, n_rows, n_bytes = [], 0, 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for blk, meta in zip(bundle.block_refs, bundle.metadata):
+            r = meta.num_rows or 0
+            if r > 0:
+                refs.append(blk)
+                n_rows += r
+                n_bytes += meta.size_bytes or 0
+    return refs, n_rows, n_bytes
+
+
 def _nonempty_or_none(prepped):
-    """Zero-row input blocks skip the prep UDF (Ray 2.49) and arrive at
-    the shuffle as schema-less blocks, which crash the hash aggregator's
-    finalize sort on ``__bucket`` — and a fully empty groupby input
-    crashes finalize even with a TYPED empty block. Strip empty blocks;
-    return None when nothing is left (block data never leaves the object
-    store — only metadata is inspected)."""
+    """Strip empty blocks; return None when nothing is left (see
+    ``_nonempty_refs``)."""
+    import ray.data
+
+    refs, _, _ = _nonempty_refs(prepped)
+    return ray.data.from_arrow_refs(refs) if refs else None
+
+
+# Adaptive local-merge elision (the AQE move: convert a shuffle join into
+# a single-task join when the RUNTIME-MEASURED exchange input is small).
+# Every reduce-side join here already pays a materialize barrier to strip
+# empty blocks, so the union's true row/byte totals are free at plan
+# time; when both land under these guards the whole union fits one
+# reducer and the bucket kernel — which joins on the REAL keys, bucketing
+# is only placement — runs once as a single Ray task, skipping the hash
+# shuffle's fixed cost (~1.5 s pool setup + ~60 ms/partition, BASELINE.md).
+# At 100-TB scale the guards never engage and the shuffle plan is
+# unchanged. Output is byte-identical either way (asserted in tests).
+LOCAL_MERGE_ROW_LIMIT = 750_000
+LOCAL_MERGE_BYTE_LIMIT = 64 << 20
+
+
+def _local_or_shuffle(refs, n_rows, n_bytes, kernel, num_partitions):
+    """Run ``kernel`` (a per-bucket merge that is bucket-AGNOSTIC: it
+    joins/merges on the real key columns, so feeding it the whole union
+    is the one-bucket special case) either as a single task over the
+    measured-small union, or via the usual ``groupby(__bucket)`` shuffle.
+    When the caller gave no partition hint, size the exchange from the
+    MEASURED totals instead of the session default."""
     import ray
     import ray.data
 
-    mat = prepped.materialize()
-    refs = [
-        blk
-        for bundle in mat.iter_internal_ref_bundles()
-        for blk, meta in zip(bundle.block_refs, bundle.metadata)
-        if (meta.num_rows or 0) > 0
-    ]
-    return ray.data.from_arrow_refs(refs) if refs else None
+    if n_rows <= LOCAL_MERGE_ROW_LIMIT and n_bytes <= LOCAL_MERGE_BYTE_LIMIT:
+        out_ref = _ensure_merge_task().remote(kernel, *refs)
+        return ray.data.from_arrow_refs([out_ref])
+    if num_partitions is None:
+        from cartography_ray.runtime import shuffle_partitions
+
+        num_partitions = shuffle_partitions(n_rows=n_rows, n_bytes=n_bytes)
+    tagged = ray.data.from_arrow_refs(refs)
+    return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def _merge_union_remote(kernel, *blocks):
+    t = blocks[0] if len(blocks) == 1 else pa.concat_tables(list(blocks))
+    return kernel(t)
+
+
+_merge_union_task = None  # bound lazily: ray.remote at import time breaks ray-less use
+
+
+def _ensure_merge_task():
+    global _merge_union_task
+    if _merge_union_task is None:
+        import ray
+
+        _merge_union_task = ray.remote(num_returns=1)(_merge_union_remote)
+    return _merge_union_task
 
 
 def _empty_table_ds(out_schema: pa.Schema):
@@ -462,16 +527,14 @@ def hash_join(
     # special path — only the fully-empty union does (finalize crash;
     # empty-side hazards documented on _nonempty_or_none, found by the
     # join property test).
-    tagged = _nonempty_or_none(lp.union(rp))
-    if tagged is None:
+    refs, n_rows, n_bytes = _nonempty_refs(lp.union(rp))
+    if not refs:
         return _empty_table_ds(out_schema)
 
-    # num_partitions: callers with an input-size hint shrink the shuffle
-    # below the session default (see runtime.shuffle_partitions) — the
-    # fixed per-partition cost dominates small joins otherwise
-    return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
-        merge_bucket, batch_format="pyarrow"
-    )
+    # measured-small unions skip the shuffle entirely (local-merge
+    # elision); larger ones shuffle with num_partitions from the caller's
+    # hint, or sized to the MEASURED union when no hint was given
+    return _local_or_shuffle(refs, n_rows, n_bytes, merge_bucket, num_partitions)
 
 
 def asof_join(
@@ -616,13 +679,11 @@ def asof_join(
     # short-circuit
     lp = left.map_batches(tag(0, None), batch_format="pyarrow")
     rp = right.map_batches(tag(1, r_renamed), batch_format="pyarrow")
-    tagged = _nonempty_or_none(lp.union(rp))
-    if tagged is None:
+    refs, n_rows, n_bytes = _nonempty_refs(lp.union(rp))
+    if not refs:
         return _empty_table_ds(out_schema)
     return drop_empty_blocks(
-        tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
-            merge_bucket, batch_format="pyarrow"
-        )
+        _local_or_shuffle(refs, n_rows, n_bytes, merge_bucket, num_partitions)
     )
 
 
@@ -797,12 +858,10 @@ def _asof_join_chunked(
 
     lp = left.map_batches(tag(0, None), batch_format="pyarrow")
     rp = right.map_batches(tag(1, r_renamed), batch_format="pyarrow")
-    tagged = _nonempty_or_none(lp.union(rp))
-    if tagged is None:
+    refs, n_rows, n_bytes = _nonempty_refs(lp.union(rp))
+    if not refs:
         return _empty_table_ds(out_schema)
-    joined = tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
-        merge_bucket, batch_format="pyarrow"
-    )
+    joined = _local_or_shuffle(refs, n_rows, n_bytes, merge_bucket, num_partitions)
     if tolerance_us is not None:
         return drop_empty_blocks(joined)
 
@@ -1075,11 +1134,9 @@ def range_join(
 
     lp = left.map_batches(tag(0, None), batch_format="pyarrow")
     rp = right.map_batches(tag(1, r_renamed), batch_format="pyarrow")
-    tagged = _nonempty_or_none(lp.union(rp))
-    if tagged is None:
+    refs, n_rows, n_bytes = _nonempty_refs(lp.union(rp))
+    if not refs:
         return _empty_table_ds(out_schema)
     return drop_empty_blocks(
-        tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
-            merge_bucket, batch_format="pyarrow"
-        )
+        _local_or_shuffle(refs, n_rows, n_bytes, merge_bucket, num_partitions)
     )
