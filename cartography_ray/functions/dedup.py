@@ -1039,13 +1039,18 @@ def jaccard_pairs_exact(
 
         return fn
 
+    # elide_small: both aggs' post-combiner volume is output-sized (per-doc
+    # sizes / per-pair counts), and `partials` is already materialized —
+    # at bench scale each fold collapses to one task instead of a shuffle
     sizes = partial_groupby_agg(
         partials.map_batches(split(0), batch_format="pyarrow"),
         ["a"], {"n": ("cnt", "sum")}, num_partitions=num_partitions,
+        elide_small=True,
     )
     inter = partial_groupby_agg(
         partials.map_batches(split(1), batch_format="pyarrow"),
         ["a", "b"], {"c": ("cnt", "sum")}, num_partitions=num_partitions,
+        elide_small=True,
     )
     j1 = hash_join(inter, sizes, left_on="a", right_prefix="sa_", num_partitions=num_partitions)
 

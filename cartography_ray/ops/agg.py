@@ -39,6 +39,7 @@ def partial_groupby_agg(
     num_buckets: int = 64,
     num_partitions: int | None = None,
     empty_schema=None,
+    elide_small: bool = False,
 ):
     """Two-phase grouped aggregation.
 
@@ -61,6 +62,18 @@ def partial_groupby_agg(
     small by construction) is materialized, and a typed empty Dataset is
     returned when nothing survives. The default keeps the barrier-free
     streaming plan for hot paths whose inputs are never fully empty.
+
+    ``elide_small``: opt into the joins' adaptive local-merge elision —
+    materialize the post-combiner partials (NOT the input; volume is
+    keys×blocks, already collapsed) and, when the measured total sits
+    under the joins' guards, run the final fold as ONE task instead of a
+    hash shuffle (which costs ~1.5 s pool setup + ~60 ms/partition
+    regardless of size). ``empty_schema`` callers already pay the
+    partials barrier, so for them the elision is free and always on.
+    Output is identical either way (the final fold groups on the REAL
+    keys; __gb is placement only). Leave False for hot streaming paths
+    whose post-combiner volume scales with the corpus AND whose callers
+    never gate on emptiness.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
 
@@ -86,18 +99,31 @@ def partial_groupby_agg(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    # No barrier before the shuffle: the hash-shuffle map short-circuits
-    # zero-row (even schema-less) blocks before touching key columns. The
-    # OUTPUT is cleaned because empty aggregator partitions emit
-    # schema-less blocks that poison a later sort (e.g. topk) — that
-    # barrier is over the tiny post-aggregation result, not the input.
+    # No barrier before the shuffle (unless empty_schema/elide_small opt
+    # in): the hash-shuffle map short-circuits zero-row (even
+    # schema-less) blocks before touching key columns. The OUTPUT is
+    # cleaned because empty aggregator partitions emit schema-less blocks
+    # that poison a later sort (e.g. topk) — that barrier is over the
+    # tiny post-aggregation result, not the input.
     partials = ds.map_batches(partial, batch_format="pandas")
-    if empty_schema is not None:
+    if empty_schema is not None or elide_small:
         import ray.data
 
-        partials = drop_empty_blocks(partials)
-        if partials.count() == 0:
-            return ray.data.from_arrow(empty_schema.empty_table())
+        from cartography_ray.ops.joins import _local_or_shuffle, _nonempty_refs
+
+        refs, n_rows, n_bytes = _nonempty_refs(partials)
+        if not refs:
+            if empty_schema is not None:
+                return ray.data.from_arrow(empty_schema.empty_table())
+            # elide_small-only caller with a fully-empty input: keep the
+            # legacy streaming plan (and its documented finalize crash)
+        else:
+            return drop_empty_blocks(
+                _local_or_shuffle(
+                    refs, n_rows, n_bytes, final, num_partitions,
+                    batch_format="pandas", group_key="__gb",
+                )
+            )
     return drop_empty_blocks(
         partials.groupby("__gb", num_partitions=num_partitions).map_groups(
             final, batch_format="pandas"

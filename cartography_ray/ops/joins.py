@@ -156,32 +156,52 @@ LOCAL_MERGE_ROW_LIMIT = 750_000
 LOCAL_MERGE_BYTE_LIMIT = 64 << 20
 
 
-def _local_or_shuffle(refs, n_rows, n_bytes, kernel, num_partitions):
+def _local_or_shuffle(
+    refs,
+    n_rows,
+    n_bytes,
+    kernel,
+    num_partitions,
+    batch_format: str = "pyarrow",
+    group_key: str = "__bucket",
+):
     """Run ``kernel`` (a per-bucket merge that is bucket-AGNOSTIC: it
     joins/merges on the real key columns, so feeding it the whole union
     is the one-bucket special case) either as a single task over the
-    measured-small union, or via the usual ``groupby(__bucket)`` shuffle.
-    When the caller gave no partition hint, size the exchange from the
-    MEASURED totals instead of the session default."""
+    measured-small union, or via the usual ``groupby(group_key)``
+    shuffle. When the caller gave no partition hint, size the exchange
+    from the MEASURED totals instead of the session default."""
     import ray
     import ray.data
 
     if n_rows <= LOCAL_MERGE_ROW_LIMIT and n_bytes <= LOCAL_MERGE_BYTE_LIMIT:
-        out_ref = _ensure_merge_task().remote(kernel, *refs)
+        out_ref = _ensure_merge_task().remote(kernel, batch_format, *refs)
         return ray.data.from_arrow_refs([out_ref])
     if num_partitions is None:
         from cartography_ray.runtime import shuffle_partitions
 
         num_partitions = shuffle_partitions(n_rows=n_rows, n_bytes=n_bytes)
     tagged = ray.data.from_arrow_refs(refs)
-    return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
-        kernel, batch_format="pyarrow"
+    return tagged.groupby(group_key, num_partitions=num_partitions).map_groups(
+        kernel, batch_format=batch_format
     )
 
 
-def _merge_union_remote(kernel, *blocks):
-    t = blocks[0] if len(blocks) == 1 else pa.concat_tables(list(blocks))
-    return kernel(t)
+def _merge_union_remote(kernel, batch_format, *blocks):
+    # promote_options="default": pandas-derived partial blocks can carry a
+    # null-typed column where every value was NaN (the hash shuffle's
+    # builder unifies those the same way); identical schemas concat as-is
+    t = (
+        blocks[0]
+        if len(blocks) == 1
+        else pa.concat_tables(list(blocks), promote_options="default")
+    )
+    if batch_format == "pandas":
+        t = t.to_pandas()
+    out = kernel(t)
+    if isinstance(out, pd.DataFrame):
+        out = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+    return out
 
 
 _merge_union_task = None  # bound lazily: ray.remote at import time breaks ray-less use

@@ -3996,7 +3996,7 @@ def _cluster_summary(pairs, a_col: str, b_col: str, num_partitions):
     labels = connected_components(edges)
     sizes = partial_groupby_agg(
         labels, ["label"], {"n_members": (None, "count")},
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, elide_small=True,
     )
 
     def proj(t: pa.Table) -> pa.Table:
