@@ -522,17 +522,13 @@ def minhash_lsh_pairs(
     # the per-partition fixed cost otherwise dominates (BASELINE.md)
     from cartography_ray.runtime import shuffle_partitions
 
-    parts = shuffle_partitions(n_rows=banded.count(), n_bytes=banded.size_bytes())
-    hot = _hot_band_buckets(
-        banded.select_columns(["band", "band_hash"]), hot_bucket_limit, num_partitions=parts
-    )
-    hot_ref = ray.put(hot)
+    n_banded, banded_bytes = banded.count(), banded.size_bytes()
+    parts = shuffle_partitions(n_rows=n_banded, n_bytes=banded_bytes)
     k = shingle_k
 
-    def explode(b: pa.Table) -> pa.Table:
+    def explode_core(hmap: dict, b: pa.Table) -> pa.Table:
         """Arrow-native cell assignment (text stays an Arrow string array —
         no Python-object round trip through the shuffle)."""
-        hmap = ray.get(hot_ref)
         band = b.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
         bh = b.column("band_hash").to_numpy(zero_copy_only=False)
         did = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -652,6 +648,64 @@ def minhash_lsh_pairs(
 
     def pairs_only(group: pd.DataFrame) -> pd.DataFrame:
         return cell_pairs(group.drop(columns="__bb").reset_index(drop=True))
+
+    # ---- adaptive local fold (payload="text" only): when the measured
+    # banded table sits under the joins' local-merge guards, the WHOLE
+    # remainder — hot-bucket histogram, chunk explode, in-cell verify,
+    # pair dedup — fits one task, replacing THREE hash shuffles with
+    # zero. The kernels are cell-agnostic (cell_pairs keys on the real
+    # (band, band_hash, gx, gy) columns; __bb is placement only), so the
+    # whole-table fold is the one-cell special case — identical pairs.
+    # sig/none are the at-scale payloads where the guard never engages;
+    # they also need the doc table joined back, so they keep the
+    # distributed plan unconditionally.
+    if payload == "text":
+        from cartography_ray.ops.joins import (
+            LOCAL_MERGE_BYTE_LIMIT,
+            LOCAL_MERGE_ROW_LIMIT,
+            _ensure_merge_task,
+            _nonempty_refs,
+        )
+
+        if n_banded <= LOCAL_MERGE_ROW_LIMIT and banded_bytes <= LOCAL_MERGE_BYTE_LIMIT:
+            import ray.data as _rd
+
+            refs, _, _ = _nonempty_refs(banded)
+            if not refs:
+                return _rd.from_arrow(
+                    pa.schema(
+                        [("id_a", pa.int64()), ("id_b", pa.int64()),
+                         ("jaccard", pa.float64())]
+                    ).empty_table()
+                )
+
+            def local_fold(t: pa.Table) -> pd.DataFrame:
+                cnt = (
+                    t.select(["band", "band_hash"])
+                    .to_pandas()
+                    .groupby(["band", "band_hash"], sort=False)
+                    .size()
+                )
+                hmap = {
+                    (int(b), int(h)): int(-(-n // hot_bucket_limit))
+                    for (b, h), n in cnt.items()
+                    if n > hot_bucket_limit
+                }
+                ex = explode_core(hmap, t)
+                out = verify_cell(ex.to_pandas())
+                return out.drop_duplicates(["id_a", "id_b"])
+
+            out_ref = _ensure_merge_task().remote(local_fold, "pyarrow", *refs)
+            return _rd.from_arrow_refs([out_ref])
+
+    hot = _hot_band_buckets(
+        banded.select_columns(["band", "band_hash"]), hot_bucket_limit,
+        num_partitions=parts,
+    )
+    hot_ref = ray.put(hot)
+
+    def explode(b: pa.Table) -> pa.Table:
+        return explode_core(ray.get(hot_ref), b)
 
     exploded = banded.map_batches(explode, batch_format="pyarrow")
 
