@@ -114,29 +114,63 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Exact dedup: one deterministic keeper (min id) per normalized text.
 
-    hash-partition by fingerprint + per-group min — the MERGE-by-id
-    pattern applied to content identity.
+    Hash-BUCKET partition by fingerprint + ONE vectorized sort/
+    drop_duplicates per bucket — not a per-fingerprint groupby, whose
+    per-group pandas overhead scales with content cardinality (the same
+    measured trap `_dedup_pairs` documents). All rows of one fingerprint
+    land in one bucket, so the min-id keeper is exact. Inputs whose
+    size is known (parquet footers, or an already-materialized upstream
+    stage) and measured under the joins' local-merge guard fold in one
+    task with no shuffle at all; unknown-size inputs keep the streaming
+    plan (no barrier added on the 100-TB path).
     """
-    from cartography_ray.runtime import drop_empty_blocks
+    from cartography_ray.runtime import drop_empty_blocks, shuffle_partitions
+    from cartography_ray.state.store import stable_bucket
 
     def fp(batch: pa.Table) -> pa.Table:
         norm = normalize_text_array(batch.column(text_col))
-        return pa.table(
+        t = pa.table(
             {
                 id_col: pc.cast(batch.column(id_col), pa.int64()),
                 "fingerprint": norm,
             }
         )
+        return t.append_column(
+            "__gb", pc.cast(stable_bucket(t.column("fingerprint"), 64), pa.int64())
+        )
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
+        s = group.sort_values(id_col, kind="mergesort")
+        return s.drop_duplicates("fingerprint")[[id_col, "fingerprint"]]
 
-    from cartography_ray.runtime import shuffle_partitions
+    nbytes = _corpus_bytes(ds)
+    if nbytes is None:
+        try:
+            from ray.data.dataset import MaterializedDataset
 
-    parts = shuffle_partitions(n_bytes=_corpus_bytes(ds))
+            if isinstance(ds, MaterializedDataset):
+                nbytes = ds.size_bytes()
+        except ImportError:  # pragma: no cover - Ray layout drift
+            pass
     hashed = ds.map_batches(fp, batch_format="pyarrow")
+    from cartography_ray.ops.joins import (
+        LOCAL_MERGE_BYTE_LIMIT,
+        _local_or_shuffle,
+        _nonempty_refs,
+    )
+
+    if nbytes is not None and nbytes <= LOCAL_MERGE_BYTE_LIMIT:
+        refs, n_rows, n_bytes = _nonempty_refs(hashed)
+        if refs:
+            return drop_empty_blocks(
+                _local_or_shuffle(
+                    refs, n_rows, n_bytes, keep_min, None,
+                    batch_format="pandas", group_key="__gb",
+                )
+            )
+        # fully-empty measured input: fall through to the legacy plan
     return drop_empty_blocks(
-        hashed.groupby("fingerprint", num_partitions=parts).map_groups(
+        hashed.groupby("__gb", num_partitions=shuffle_partitions(n_bytes=nbytes)).map_groups(
             keep_min, batch_format="pandas"
         )
     )

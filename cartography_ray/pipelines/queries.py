@@ -2531,20 +2531,28 @@ def q_docs_clean_corpus(sf_dir: str):
     path = f"{sf_dir}/documents.parquet"
     parts = _parts_for(path)
     docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    # materialize: `quality` fans out to TWO consumers (exact_dedup and
+    # the semi-join left side); Ray Data has no common-subexpression
+    # reuse, so an unmaterialized actor-pool stage would execute twice —
+    # pool setup included. Also lets exact_dedup measure the input for
+    # its local-fold guard.
     quality = docs.map_batches(
         QualityFilter,
         fn_constructor_kwargs={"min_tokens": CLEAN_MIN_TOKENS, "min_stop": CLEAN_MIN_STOP},
         batch_format="pyarrow", concurrency=2,
-    )
+    ).materialize()
     keepers = exact_dedup(quality, "doc_id", "text")
 
     def kid(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64())})
 
+    # same fan-out-2 rule as `quality`: survivors feeds the set-similarity
+    # join AND the final anti-join (a no-op when the join's local-merge
+    # path already returned a materialized block)
     survivors = hash_join(
         quality, keepers.map_batches(kid, batch_format="pyarrow"),
         left_on="doc_id", how="semi", num_partitions=parts,
-    )
+    ).materialize()
     pairs = jaccard_pairs_exact(
         survivors, threshold=CLEAN_JACCARD_TAU, ngram=5, max_df=CLEAN_MAX_DF,
         num_partitions=parts,
