@@ -143,15 +143,9 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         s = group.sort_values(id_col, kind="mergesort")
         return s.drop_duplicates("fingerprint")[[id_col, "fingerprint"]]
 
-    nbytes = _corpus_bytes(ds)
-    if nbytes is None:
-        try:
-            from ray.data.dataset import MaterializedDataset
+    from cartography_ray.runtime import known_input_bytes
 
-            if isinstance(ds, MaterializedDataset):
-                nbytes = ds.size_bytes()
-        except ImportError:  # pragma: no cover - Ray layout drift
-            pass
+    nbytes = known_input_bytes(ds)
     hashed = ds.map_batches(fp, batch_format="pyarrow")
     from cartography_ray.ops.joins import (
         LOCAL_MERGE_BYTE_LIMIT,

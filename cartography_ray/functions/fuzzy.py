@@ -217,14 +217,43 @@ def edit_distance_pairs(
         )
 
     from cartography_ray.ops.agg import partial_groupby_agg
-    from cartography_ray.runtime import drop_empty_blocks
+    from cartography_ray.runtime import drop_empty_blocks, known_input_bytes
 
     posted = ds.map_batches(postings, batch_format="pandas")
-    candidates = drop_empty_blocks(
-        posted.groupby("__gb", num_partitions=num_partitions).map_groups(
-            bucket_pairs, batch_format="pandas"
-        )
+    # adaptive local fold: bucket_pairs merges on the REAL variant hash
+    # (__gb is placement only), so a measured-small posting table can
+    # block+verify in one task. The barrier is only paid when the INPUT
+    # size is known AND comfortably under the guard (deletion variants
+    # amplify ~|s|× for dist 1, hence the /8 headroom); unknown-size or
+    # large inputs keep the barrier-free streaming shuffle. The guards
+    # are TIGHTER than the joins' defaults because the kernel is a
+    # self-join verify (cost superlinear in group size): at sf0.1 the
+    # default guard serialized a 285k-posting Levenshtein verify in one
+    # task and read 5.6 → 7.2 s — the shuffle wins there.
+    candidates = None
+    from cartography_ray.ops.joins import (
+        LOCAL_MERGE_BYTE_LIMIT,
+        _local_or_shuffle,
+        _nonempty_refs,
     )
+
+    in_bytes = known_input_bytes(ds)
+    if in_bytes is not None and in_bytes <= LOCAL_MERGE_BYTE_LIMIT // 8:
+        refs, n_rows, n_bytes = _nonempty_refs(posted)
+        if refs:
+            candidates = drop_empty_blocks(
+                _local_or_shuffle(
+                    refs, n_rows, n_bytes, bucket_pairs, num_partitions,
+                    batch_format="pandas", group_key="__gb",
+                    row_limit=65_536, byte_limit=LOCAL_MERGE_BYTE_LIMIT // 8,
+                )
+            )
+    if candidates is None:
+        candidates = drop_empty_blocks(
+            posted.groupby("__gb", num_partitions=num_partitions).map_groups(
+                bucket_pairs, batch_format="pandas"
+            )
+        )
     # a pair can verify in several variant buckets — final pair-keyed
     # dedup over the (true-pair-sized) survivor set
     return partial_groupby_agg(

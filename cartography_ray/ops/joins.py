@@ -164,17 +164,28 @@ def _local_or_shuffle(
     num_partitions,
     batch_format: str = "pyarrow",
     group_key: str = "__bucket",
+    row_limit: int | None = None,
+    byte_limit: int | None = None,
 ):
     """Run ``kernel`` (a per-bucket merge that is bucket-AGNOSTIC: it
     joins/merges on the real key columns, so feeding it the whole union
     is the one-bucket special case) either as a single task over the
     measured-small union, or via the usual ``groupby(group_key)``
     shuffle. When the caller gave no partition hint, size the exchange
-    from the MEASURED totals instead of the session default."""
+    from the MEASURED totals instead of the session default.
+
+    ``row_limit``/``byte_limit`` override the default guards — tighten
+    them when the kernel's cost is SUPERLINEAR in group size (self-join
+    verifies), where serializing a large fold in one task loses more
+    than the skipped shuffle's fixed cost saves."""
     import ray
     import ray.data
 
-    if n_rows <= LOCAL_MERGE_ROW_LIMIT and n_bytes <= LOCAL_MERGE_BYTE_LIMIT:
+    if row_limit is None:
+        row_limit = LOCAL_MERGE_ROW_LIMIT
+    if byte_limit is None:
+        byte_limit = LOCAL_MERGE_BYTE_LIMIT
+    if n_rows <= row_limit and n_bytes <= byte_limit:
         out_ref = _ensure_merge_task().remote(kernel, batch_format, *refs)
         return ray.data.from_arrow_refs([out_ref])
     if num_partitions is None:

@@ -143,6 +143,30 @@ def shuffle_partitions(
     return int(min(cap, max(floor, *need)))
 
 
+def known_input_bytes(ds) -> int | None:
+    """A dataset's size when it is knowable WITHOUT executing anything:
+    file-backed (parquet/json footers on disk) or already materialized.
+    Returns None otherwise — callers use this to gate adaptive fast
+    paths (e.g. the local-merge elision) without ever adding a barrier
+    to an unknown-size streaming plan."""
+    import os
+
+    try:
+        files = ds.input_files()
+        if files:
+            return sum(os.path.getsize(f) for f in files)
+    except Exception:
+        pass
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            return int(ds.size_bytes())
+    except Exception:
+        pass
+    return None
+
+
 def drop_empty_blocks(ds):
     """Strip the schema-less empty blocks Ray 2.49's shuffles emit.
 
