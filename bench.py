@@ -167,6 +167,8 @@ def run_queries(sf_dir: str) -> dict:
         "docs_bm25",
         "events_mad",
         "events_weighted_sample",
+        "events_next_purchase",
+        "emb_mmr",
     ]
     out = {}
     for name in names:

@@ -115,6 +115,113 @@ def knn_brute(
     return merged
 
 
+def mmr_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    lam: float = 0.7,
+    pool: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    1998): greedily select argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    — the diversity-aware selection a training-data pipeline uses to
+    sample varied exemplars instead of k near-copies.
+
+    Two stages: (1) DISTRIBUTED pool selection — per-batch cosine
+    top-``pool`` partials with vectors riding along, merged to the
+    global pool by (sim6 desc, id asc — the ann family's determinism
+    contract); driver memory is pool × dim floats plus pool × blocks
+    candidate rows, bounded by the POOL parameter, never the corpus.
+    (2) The greedy argmax loop over the pool (k × pool numpy ops).
+    Greedy MMR is restricted to the pool by construction; pool ≥ corpus
+    recovers textbook MMR exactly (reference-equality tested).
+
+    Returns (rank, vec_id, sim6, mmr6): ``rank`` 1..k in selection
+    order (rank 1 is the plain nearest neighbor), ``mmr6`` the rounded
+    objective at selection time (empty-set diversity term = 0).
+    Iterative argmax has no tractable SQL twin — rows-only in the
+    driver gate, reference-equality in tests (the PageRank-family
+    precedent).
+    """
+    import ray
+
+    q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
+    q_ref = ray.put(q)
+    vec_type = pa.list_(pa.float32())
+
+    def local_pool(batch: pa.Table) -> pa.Table:
+        q_ = ray.get(q_ref)
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        mat = _normalize(_matrix_of(batch, vec_col))
+        if mat.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "sim6": pa.array([], pa.float64()),
+                    vec_col: pa.array([], vec_type),
+                }
+            )
+        sims = np.round(mat @ q_, 6)
+        order = np.lexsort((ids, -sims))[: min(pool, len(ids))]
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "sim6": pa.array(sims[order], pa.float64()),
+                vec_col: col.take(pa.array(order, pa.int64())).cast(vec_type),
+            }
+        )
+
+    def _empty():
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim6": pa.array([], pa.float64()),
+                "mmr6": pa.array([], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_pool, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return _empty()
+    cand = (
+        cand.sort_values(["sim6", id_col], ascending=[False, True])
+        .head(pool)
+        .reset_index(drop=True)
+    )
+    vecs = _normalize(np.stack(cand[vec_col].to_numpy()).astype(np.float64))
+    simq = cand["sim6"].to_numpy(np.float64)
+    ids = cand[id_col].to_numpy(np.int64)
+    n = len(ids)
+    active = np.ones(n, dtype=bool)
+    max_div = np.full(n, -np.inf)
+    ranks, sel_ids, sel_sims, sel_mmr = [], [], [], []
+    for r in range(1, min(k, n) + 1):
+        div = np.where(np.isneginf(max_div), 0.0, max_div)
+        obj6 = np.round(lam * simq - (1.0 - lam) * div, 6)
+        obj6 = np.where(active, obj6, -np.inf)
+        best = int(np.lexsort((ids, -obj6))[0])
+        ranks.append(r)
+        sel_ids.append(int(ids[best]))
+        sel_sims.append(float(simq[best]))
+        sel_mmr.append(float(obj6[best]))
+        active[best] = False
+        max_div = np.maximum(max_div, np.round(vecs @ vecs[best], 6))
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "vec_id": pa.array(sel_ids, pa.int64()),
+            "sim6": pa.array(sel_sims, pa.float64()),
+            "mmr6": pa.array(sel_mmr, pa.float64()),
+        }
+    )
+
+
 class _LshTag:
     """Random-hyperplane signature: bucket = sign-bit pattern of P planes."""
 

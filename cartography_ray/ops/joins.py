@@ -580,6 +580,7 @@ def asof_join(
     num_partitions: int | None = None,
     chunk_us: int | None = None,
     carry_broadcast_limit: int | None = None,
+    direction: str = "backward",
 ):
     """Distributed as-of join: each left row picks the LATEST right row of
     the same ``by`` key with ``right.on <= left.on`` (backward direction,
@@ -615,9 +616,28 @@ def asof_join(
     ``how="inner"`` drops left rows with no match; ``"left"`` keeps them
     with nulls. ``tolerance_us`` bounds the lookback window (microseconds,
     for timestamp ``on``).
+
+    ``direction="forward"`` flips the match rule to the EARLIEST right
+    row with ``right.on >= left.on`` (next-event attribution). Tie rule
+    under duplicate (by, on) right rows: forward picks the first row in
+    the full-column sort order, backward the last — both block-layout-
+    independent. Forward is unchunked-only: the chunked fallback's
+    second pass resolves LOOKBACKS (earlier-chunk carry-in) and does not
+    generalize to lookahead — pass a coarser partitioning instead.
+    DuckDB oracle recipe: ASOF JOIN is backward-only, so a forward oracle
+    negates the ``on`` values on both sides (see SQL_EVENTS_NEXT_PURCHASE).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: how must be inner|left, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be backward|forward, got {direction!r}"
+        )
+    if chunk_us is not None and direction != "backward":
+        raise ValueError(
+            "asof_join: direction='forward' is unchunked-only (the chunked "
+            "second pass resolves lookbacks, not lookaheads)"
+        )
     if chunk_us is not None:
         return _asof_join_chunked(
             left, right, by, on, right_prefix, how, tolerance_us,
@@ -695,7 +715,7 @@ def asof_join(
             )
         merged = pd.merge_asof(
             lhs, rhs, left_on=on, right_on=out_on, by=by,
-            direction="backward", allow_exact_matches=True, **kwargs,
+            direction=direction, allow_exact_matches=True, **kwargs,
         )
         if how == "inner":
             merged = merged.dropna(subset=[out_on])

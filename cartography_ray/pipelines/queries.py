@@ -1525,6 +1525,61 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_events_next_purchase(sf_dir: str):
+    """Click→NEXT-purchase conversion: each click matched to the user's
+    earliest purchase at-or-after it — the FORWARD as-of direction
+    (ops/joins.asof_join direction=\"forward\"; time-to-conversion is
+    the standard funnel metric this expresses). Oracle note: DuckDB's
+    ASOF JOIN is backward-only, so the twin negates epoch-us timestamps
+    on both sides (forward on t ≡ backward on −t); determinism rests on
+    unique (user_id, ts) per event type, which holds in the corpus."""
+    rd = _rd()
+    from cartography_ray.ops.joins import asof_join
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["user_id", "event_type", "ts", "event_id"])
+
+    def only(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)).drop_columns(
+                ["event_type"]
+            )
+
+        return fn
+
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    joined = asof_join(
+        clicks, purchases, by="user_id", on="ts", right_prefix="purchase_",
+        how="inner", direction="forward", num_partitions=_parts_for(path),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.int64())
+        pur_us = pc.cast(t.column("purchase_ts"), pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "purchase_event_id": t.column("purchase_event_id"),
+                "lead_us": pc.subtract(pur_us, ts_us),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EVENTS_NEXT_PURCHASE = """
+WITH c AS (SELECT user_id, -epoch_us(ts) AS nts, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, -epoch_us(ts) AS nts, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, p.event_id AS purchase_event_id,
+       p.ts_us - c.ts_us AS lead_us
+FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.nts >= p.nts
+"""
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-group quantiles (quantile_cont analogue). Values are
     integer cents on both sides so the linear interpolation is exact in
@@ -2456,6 +2511,20 @@ def q_emb_knn(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_brute(ds, _knn_queries(sf_dir), k=KNN_K)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def q_emb_mmr(sf_dir: str):
+    """Maximal-Marginal-Relevance diverse top-k around the vec_id=0
+    embedding (functions/ann.mmr_topk): distributed pool selection, then
+    the k-step greedy argmax over the pool-bounded candidates. Iterative
+    argmax has no tractable SQL twin — rows-only, with the textbook-MMR
+    reference-equality test governing correctness (PageRank precedent)."""
+    from cartography_ray.functions.ann import mmr_topk
+
+    rd = _rd()
+    qvec = _knn_queries(sf_dir)[0]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return mmr_topk(ds, qvec, k=KNN_K, lam=0.7, pool=256)
 
 
 SQL_EMB_KNN = f"""
@@ -4914,6 +4983,7 @@ QUERIES: dict[str, Callable] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "events_attribution": q_events_attribution,
     "events_attribution_salted": q_events_attribution_salted,
+    "events_next_purchase": q_events_next_purchase,
     "events_quantiles": q_events_quantiles,
     "events_quantiles_disc": q_events_quantiles_disc,
     "events_mad": q_events_mad,
@@ -4956,6 +5026,7 @@ QUERIES: dict[str, Callable] = {
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "emb_knn": q_emb_knn,
+    "emb_mmr": q_emb_mmr,
     "emb_knn_lsh": q_emb_knn_lsh,
     "emb_knn_ivf": q_emb_knn_ivf,
     "emb_neardup": q_emb_neardup,
@@ -5033,6 +5104,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_sessions_salted": SQL_EVENTS_SESSIONS,
         "events_session_ranges_salted": SQL_EVENTS_SESSION_RANGES,
         "events_attribution_salted": SQL_EVENTS_ATTRIBUTION,
+        "events_next_purchase": SQL_EVENTS_NEXT_PURCHASE,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "events_quantiles_disc": SQL_EVENTS_QUANTILES_DISC,
         "events_mad": SQL_EVENTS_MAD,

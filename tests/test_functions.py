@@ -117,6 +117,85 @@ def test_knn_lsh_recall(ray_session):
     assert recall >= 0.5, f"lsh knn recall too low: {recall}"
 
 
+def _mmr_reference(vecs, ids, q, k, lam):
+    """Textbook greedy MMR over the FULL corpus (independent numpy
+    implementation — mirrors the operator's rounding/tie contract)."""
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    v = norm(vecs.astype(np.float64))
+    qn = q.astype(np.float64) / max(np.linalg.norm(q), 1e-300)
+    simq = np.round(v @ qn, 6)
+    n = len(ids)
+    active = np.ones(n, bool)
+    max_div = np.full(n, -np.inf)
+    out = []
+    for r in range(1, min(k, n) + 1):
+        div = np.where(np.isneginf(max_div), 0.0, max_div)
+        obj = np.round(lam * simq - (1 - lam) * div, 6)
+        obj = np.where(active, obj, -np.inf)
+        best = int(np.lexsort((ids, -obj))[0])
+        out.append((r, int(ids[best]), float(simq[best]), float(obj[best])))
+        active[best] = False
+        max_div = np.maximum(max_div, np.round(v @ v[best], 6))
+    return out
+
+
+def test_mmr_topk_matches_reference_and_diversifies(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cartography_ray.functions.ann import mmr_topk
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    t = pq.read_table(src)
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = vecs[0]
+
+    # pool ≥ corpus: distributed result must equal textbook MMR exactly
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"]).repartition(4)
+    got = mmr_topk(ds, q, k=8, lam=0.7, pool=len(ids)).to_pandas()
+    want = _mmr_reference(vecs, ids, q, k=8, lam=0.7)
+    assert list(zip(got["rank"], got["vec_id"])) == [(r, i) for r, i, _, _ in want]
+    np.testing.assert_allclose(got["sim6"], [s for _, _, s, _ in want], atol=1e-12)
+    np.testing.assert_allclose(got["mmr6"], [m for _, _, _, m in want], atol=1e-12)
+    # rank 1 is the plain nearest neighbor (the query row itself here)
+    assert got["vec_id"].iloc[0] == 0
+
+    # diversity: six exact copies of the query plus six off-axis vectors
+    # d_i = 0.6·q + 0.8·e_i (simq 0.6, mutual sim 0.36). After the first
+    # copy is picked, a second copy scores λ−(1−λ) = −0.10 at λ=0.45
+    # while each d_i scores 0.6·(2λ−1) = −0.06 — so MMR must take ONE
+    # copy then only off-axis vectors; plain top-k would take all copies.
+    dim = 16
+    e = np.eye(dim)
+    copies = np.stack([e[0]] * 6)
+    distinct = np.stack([0.6 * e[0] + 0.8 * e[i + 1] for i in range(6)])
+    corpus = np.vstack([copies, distinct])
+    cids = np.arange(len(corpus), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(cids, pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in corpus],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    sel = mmr_topk(
+        ray.data.from_arrow(tbl), e[0], k=4, lam=0.45, pool=len(cids)
+    ).to_pandas()
+    n_copies = int((sel["vec_id"] < 6).sum())
+    assert n_copies == 1, f"MMR selected {n_copies} query copies: {sel}"
+
+    # pool pruning: pool < corpus still returns k rows from the pool
+    small = mmr_topk(ds, q, k=5, lam=0.7, pool=16).to_pandas()
+    assert len(small) == 5 and small["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
 def test_multimodal_stub_pipeline(ray_session):
     import ray.data
 

@@ -244,6 +244,77 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
         ).all()
 
 
+def test_asof_join_forward_matches_pandas(ray_session):
+    """direction='forward' (next-event attribution) vs the pandas
+    reference, plus the guard rails: forward rejects chunk_us, and
+    forward ties resolve to the FIRST row in full-column sort order."""
+    import pytest
+    import ray.data
+
+    from cartography_ray.ops.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    n, m = 1500, 400
+    left = pd.DataFrame(
+        {
+            "u": rng.integers(0, 25, n),
+            "ts": rng.integers(0, 10**6, n).astype("int64"),
+            "eid": np.arange(n, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "u": rng.integers(0, 25, m),
+            "ts": rng.integers(0, 10**6, m).astype("int64"),
+            "rid": np.arange(m, dtype="int64"),
+        }
+    )
+    for how in ("inner", "left"):
+        got = (
+            asof_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(3),
+                by="u", on="ts", how=how, direction="forward",
+                num_buckets=8, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values(["ts", "rid"], kind="mergesort").rename(
+                columns={"ts": "r_ts", "rid": "r_rid"}
+            ),
+            left_on="ts", right_on="r_ts", by="u", direction="forward",
+        )
+        if how == "inner":
+            want = want.dropna(subset=["r_ts"])
+            want = want.astype({"r_ts": "int64", "r_rid": "int64"})
+        want = want.sort_values("eid").reset_index(drop=True)[got.columns]
+        a = got.fillna(-1).reset_index(drop=True)
+        b = want.fillna(-1).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    with pytest.raises(ValueError, match="unchunked-only"):
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            by="u", on="ts", direction="forward", chunk_us=1000,
+        )
+
+    # duplicate (u, ts) right rows: forward must pick the smallest
+    # full-sort-order row regardless of block layout
+    dleft = pd.DataFrame({"u": [1], "ts": [3], "eid": [0]})
+    dright = pd.DataFrame({"u": [1, 1, 1], "ts": [5, 5, 5], "rid": [30, 10, 20]})
+    for seed in (0, 1, 2):
+        shuf = dright.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+        out = asof_join(
+            ray.data.from_pandas(dleft), ray.data.from_pandas(shuf).repartition(3),
+            by="u", on="ts", how="inner", direction="forward", num_buckets=4,
+        ).to_pandas()
+        assert out["r_rid"].tolist() == [10]
+
+
 def test_asof_join_duplicate_right_ts_deterministic(ray_session):
     """ADVICE r03: duplicate (by, on) pairs on the right must resolve
     identically across block layouts — ties go to the lexicographically-
