@@ -169,6 +169,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_weighted_sample",
         "events_next_purchase",
         "emb_mmr",
+        "docs_source_weights",
     ]
     out = {}
     for name in names:

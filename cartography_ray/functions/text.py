@@ -978,6 +978,59 @@ def bpe_token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def source_temperature_weights(
+    ds,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    alpha: float = 0.7,
+    score_scale: int = 1_000_000,
+):
+    """Temperature-scaled corpus mixing weights — the multinomial
+    sampling-weight computation multi-source LM training uses
+    (w_s ∝ (size_s / total)^α with α < 1 upweighting small sources;
+    α=1 is proportional, α=0 uniform).
+
+    Distribution: per-source (count, size) via ``bounded_groupby_agg``
+    (sources are dimension-bounded by contract; the partials stream
+    through the driver fold, never the corpus). The weight arithmetic
+    is integer-exact cross-engine: per-source scores are
+    ``floor(scale · pow(size/total, α))`` in int64 (one libm ``pow``
+    per source, identical in numpy and DuckDB on the same host) and
+    the normalizer is an ORDER-FREE int64 sum, so the one final IEEE
+    division matches the SQL twin bit-for-bit.
+
+    Returns a pyarrow.Table (dimension-sized by contract):
+    ``(group_col, n_docs, chars, score, weight6)``.
+    """
+    import numpy as np
+
+    from cartography_ray.ops.agg import bounded_groupby_agg
+
+    stats = bounded_groupby_agg(
+        ds, group_col, {"n_docs": (None, "count"), "chars": (size_col, "sum")}
+    )
+    chars = stats.column("chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(chars.sum())
+    score = np.floor(
+        score_scale * np.power(chars.astype(np.float64) / float(max(total, 1)), alpha)
+    ).astype(np.int64)
+    tsc = int(score.sum())
+    weight6 = pc.round(
+        pa.array(score.astype(np.float64) / float(max(tsc, 1)), pa.float64()),
+        6,
+        round_mode="half_towards_infinity",  # == DuckDB round()
+    )
+    return pa.table(
+        {
+            group_col: stats.column(group_col),
+            "n_docs": pc.cast(stats.column("n_docs"), pa.int64()),
+            "chars": pa.array(chars, pa.int64()),
+            "score": pa.array(score, pa.int64()),
+            "weight6": weight6,
+        }
+    )
+
+
 def bm25_topk(
     ds,
     terms: list[str],

@@ -2513,6 +2513,38 @@ def q_emb_knn(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_docs_source_weights(sf_dir: str):
+    """Temperature-scaled (α=0.7) source mixing weights over per-source
+    character volume (functions/text.source_temperature_weights) — the
+    data-mixing computation multi-source LM training runs before
+    sampling. Integer-exact cross-engine: floor-scaled pow scores in
+    int64, order-free bigint normalizer, ONE final IEEE division."""
+    rd = _rd()
+    from cartography_ray.functions.text import source_temperature_weights
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return source_temperature_weights(ds, "source", "n_chars", alpha=0.7)
+
+
+SQL_DOCS_SOURCE_WEIGHTS = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+), tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS tc FROM s),
+sc AS (
+  SELECT source, n_docs, chars,
+         CAST(floor(1000000 * pow(CAST(chars AS DOUBLE) / CAST(tc AS DOUBLE), 0.7)) AS BIGINT) AS score
+  FROM s, tot
+), ts AS (SELECT CAST(SUM(score) AS BIGINT) AS tsc FROM sc)
+SELECT source, n_docs, chars, score,
+       round(CAST(score AS DOUBLE) / CAST(tsc AS DOUBLE), 6) AS weight6
+FROM sc, ts
+"""
+
+
 def q_emb_mmr(sf_dir: str):
     """Maximal-Marginal-Relevance diverse top-k around the vec_id=0
     embedding (functions/ann.mmr_topk): distributed pool selection, then
@@ -5020,6 +5052,7 @@ QUERIES: dict[str, Callable] = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_mix": q_docs_mix,
+    "docs_source_weights": q_docs_source_weights,
     "docs_dup_edges": q_docs_dup_edges,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "docs_clean_corpus": q_docs_clean_corpus,
@@ -5151,6 +5184,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
         "docs_mix": SQL_DOCS_MIX,
+        "docs_source_weights": SQL_DOCS_SOURCE_WEIGHTS,
         "docs_dup_edges": SQL_DOCS_DUP_EDGES,
         "docs_jaccard_pairs": SQL_DOCS_JACCARD,
         "docs_clean_corpus": SQL_DOCS_CLEAN_CORPUS,

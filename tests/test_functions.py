@@ -117,6 +117,35 @@ def test_knn_lsh_recall(ray_session):
     assert recall >= 0.5, f"lsh knn recall too low: {recall}"
 
 
+def test_source_temperature_weights_semantics(ray_session):
+    """α=1 → proportional weights, α=0 → uniform, α∈(0,1) compresses the
+    ratio between large and small sources while keeping order."""
+    import ray.data
+
+    from cartography_ray.functions.text import source_temperature_weights
+
+    tbl = pa.table(
+        {
+            "source": pa.array(["a"] * 8 + ["b"] * 2 + ["c"] * 1),
+            "n_chars": pa.array([100] * 8 + [100] * 2 + [100] * 1, pa.int64()),
+        }
+    )
+
+    def w(alpha):
+        out = source_temperature_weights(
+            ray.data.from_arrow(tbl), "source", "n_chars", alpha=alpha
+        ).to_pandas().set_index("source")
+        return out["weight6"]
+
+    prop = w(1.0)
+    assert abs(prop["a"] - 8 / 11) < 1e-5 and abs(prop["c"] - 1 / 11) < 1e-5
+    uni = w(0.0)
+    assert abs(uni["a"] - uni["c"]) < 1e-5
+    mid = w(0.5)
+    assert prop["a"] / prop["c"] > mid["a"] / mid["c"] > 1.0  # compressed, ordered
+    assert abs(mid.sum() - 1.0) < 1e-4
+
+
 def _mmr_reference(vecs, ids, q, k, lam):
     """Textbook greedy MMR over the FULL corpus (independent numpy
     implementation — mirrors the operator's rounding/tie contract)."""
