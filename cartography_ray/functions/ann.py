@@ -149,10 +149,21 @@ def mmr_topk(
 
     q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
     q_ref = ray.put(q)
-    vec_type = pa.list_(pa.float32())
+
+    def _ride_type(batch: pa.Table) -> pa.DataType:
+        # Preserve the corpus's float width in the ride-along: a float32
+        # cast of float64 vectors would perturb the driver's diversity
+        # sims by ~1e-7 and can flip a 6-decimal argmax tie, breaking
+        # the "pool ≥ corpus recovers textbook MMR exactly" contract.
+        vt = batch.schema.field(vec_col).type
+        value = getattr(vt, "value_type", pa.float32())
+        return pa.list_(
+            pa.float64() if pa.types.is_float64(value) else pa.float32()
+        )
 
     def local_pool(batch: pa.Table) -> pa.Table:
         q_ = ray.get(q_ref)
+        vec_type = _ride_type(batch)
         ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
         mat = _normalize(_matrix_of(batch, vec_col))
         if mat.size == 0:

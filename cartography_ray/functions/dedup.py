@@ -162,7 +162,17 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
                     batch_format="pandas", group_key="__gb",
                 )
             )
-        # fully-empty measured input: fall through to the legacy plan
+        # fully-empty measured input: emptiness is proven, so return a
+        # typed empty result directly — falling through would re-run the
+        # fingerprint map AND hit Ray 2.49's fully-empty-groupby finalize
+        # crash (CLAUDE.md sharp edge).
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [(id_col, pa.int64()), ("fingerprint", pa.string())]
+            ).empty_table()
+        )
     return drop_empty_blocks(
         hashed.groupby("__gb", num_partitions=shuffle_partitions(n_bytes=nbytes)).map_groups(
             keep_min, batch_format="pandas"
@@ -199,6 +209,12 @@ def incremental_exact_dedup(
 
     Within-batch duplicates keep the min ``id_col`` (exact_dedup
     semantics). Returns the surviving ``(id_col, fingerprint)`` rows.
+
+    A measured-small new batch (file-backed or materialized input under
+    the joins' local-merge guards) folds in ONE task — the kernel is
+    bucket-agnostic (loops the real ``__gb`` values it was handed), so
+    per-bucket index reads/writes are identical either way; large
+    batches shuffle once, sized to the measured input bytes.
     """
     import glob as _glob
     import os
@@ -223,17 +239,25 @@ def incremental_exact_dedup(
             "__gb", pc.cast(stable_bucket(t.column("fingerprint"), num_buckets), pa.int64())
         )
 
-    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+    def _one_bucket(group: pd.DataFrame) -> pd.DataFrame:
         bucket = int(group["__gb"].iloc[0])
         # min-id keeper per fingerprint within the new batch
         new = group.sort_values(id_col, kind="mergesort").drop_duplicates("fingerprint")
         bdir = os.path.join(state_dir, f"bucket={bucket}")
-        seen: set[str] = set()
+        hist: list[pa.ChunkedArray] = []
         for f in sorted(_glob.glob(os.path.join(bdir, "epoch=*.parquet"))):
             if os.path.basename(f) == f"epoch={epoch}.parquet":
                 continue  # current epoch: ignored for idempotent reruns
-            seen.update(_pq.read_table(f, columns=["fingerprint"]).column("fingerprint").to_pylist())
-        out = new[~new["fingerprint"].isin(seen)][[id_col, "fingerprint"]]
+            hist.append(_pq.read_table(f, columns=["fingerprint"]).column("fingerprint"))
+        fps = pa.array(new["fingerprint"].to_numpy(), pa.string())
+        if hist:
+            value_set = pa.chunked_array([c for h in hist for c in h.chunks])
+            keep = pc.invert(pc.is_in(fps, value_set=value_set)).to_numpy(
+                zero_copy_only=False
+            )
+            out = new[keep][[id_col, "fingerprint"]]
+        else:
+            out = new[[id_col, "fingerprint"]]
         os.makedirs(bdir, exist_ok=True)
         tmp = os.path.join(bdir, f".epoch={epoch}.parquet.tmp")
         _pq.write_table(
@@ -243,11 +267,50 @@ def incremental_exact_dedup(
         os.replace(tmp, os.path.join(bdir, f"epoch={epoch}.parquet"))
         return out.reset_index(drop=True)
 
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        # bucket-AGNOSTIC (the local-merge contract): a map_groups call
+        # sees exactly one __gb, the whole-union local fold sees many —
+        # either way each bucket's history read + epoch write happens
+        # once, keyed on the REAL bucket id.
+        outs = [
+            _one_bucket(sub) for _, sub in group.groupby("__gb", sort=True)
+        ]
+        if not outs:
+            return group.iloc[0:0][[id_col, "fingerprint"]]
+        return pd.concat(outs, ignore_index=True)
+
+    from cartography_ray.ops.joins import (
+        LOCAL_MERGE_BYTE_LIMIT,
+        _local_or_shuffle,
+        _nonempty_refs,
+    )
+    from cartography_ray.runtime import known_input_bytes, shuffle_partitions
+
+    nbytes = known_input_bytes(ds)
     hashed = ds.map_batches(fp, batch_format="pyarrow")
-    return drop_empty_blocks(
-        hashed.groupby("__gb", num_partitions=num_partitions).map_groups(
-            kernel, batch_format="pandas"
+    if nbytes is not None and nbytes <= LOCAL_MERGE_BYTE_LIMIT:
+        refs, n_rows, n_bytes = _nonempty_refs(hashed)
+        if refs:
+            return drop_empty_blocks(
+                _local_or_shuffle(
+                    refs, n_rows, n_bytes, kernel, num_partitions,
+                    batch_format="pandas", group_key="__gb",
+                )
+            )
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [(id_col, pa.int64()), ("fingerprint", pa.string())]
+            ).empty_table()
         )
+    return drop_empty_blocks(
+        hashed.groupby(
+            "__gb",
+            num_partitions=num_partitions
+            if num_partitions is not None
+            else shuffle_partitions(n_bytes=nbytes),
+        ).map_groups(kernel, batch_format="pandas")
     )
 
 
@@ -457,14 +520,12 @@ CARRY_TEXT_MAX_BYTES = 256 << 20  # above this corpus size, band-skinny wins
 
 
 def _corpus_bytes(ds) -> int | None:
-    """Best-effort input size (file-backed datasets only)."""
-    import os
+    """Best-effort input size (file-backed or materialized). Thin alias
+    of ``runtime.known_input_bytes`` so the minhash payload choice and
+    the elision gates answer "how big is this input" identically."""
+    from cartography_ray.runtime import known_input_bytes
 
-    try:
-        files = ds.input_files()
-        return sum(os.path.getsize(f) for f in files) if files else None
-    except Exception:
-        return None
+    return known_input_bytes(ds)
 
 
 def minhash_lsh_pairs(
@@ -690,12 +751,15 @@ def minhash_lsh_pairs(
     if payload == "text":
         from cartography_ray.ops.joins import (
             LOCAL_MERGE_BYTE_LIMIT,
-            LOCAL_MERGE_ROW_LIMIT,
             _ensure_merge_task,
             _nonempty_refs,
         )
 
-        if n_banded <= LOCAL_MERGE_ROW_LIMIT and banded_bytes <= LOCAL_MERGE_BYTE_LIMIT:
+        # Tightened guards (not the 750k default): verify_cell is a
+        # superlinear self-join kernel — a dup-heavy corpus just under
+        # the default guard would serialize O(m²) pair verifies in one
+        # task (the same cliff edit_distance_pairs hit, fuzzy.py:248).
+        if n_banded <= 65_536 and banded_bytes <= LOCAL_MERGE_BYTE_LIMIT // 8:
             import ray.data as _rd
 
             refs, _, _ = _nonempty_refs(banded)

@@ -115,8 +115,24 @@ def partial_groupby_agg(
         if not refs:
             if empty_schema is not None:
                 return ray.data.from_arrow(empty_schema.empty_table())
-            # elide_small-only caller with a fully-empty input: keep the
-            # legacy streaming plan (and its documented finalize crash)
+            # elide_small-only caller with a fully-empty input: derive
+            # the output schema by folding a typed empty frame through
+            # partial→final, instead of falling to the legacy plan,
+            # which would re-run the partial map and hit Ray 2.49's
+            # empty-groupby finalize crash. schema() is metadata-only
+            # for source-backed datasets; for computed pipelines it may
+            # re-execute a probe — acceptable on this degenerate
+            # (proven-empty) path, and callers with expensive upstreams
+            # should pass empty_schema to skip it entirely.
+            in_schema = ds.schema()
+            if in_schema is not None:
+                empty_in = pa.schema(
+                    list(zip(in_schema.names, in_schema.types))
+                ).empty_table().to_pandas()
+                return ray.data.from_arrow(
+                    final(partial(empty_in).to_pandas())
+                )
+            # schema genuinely unknowable: legacy plan (documented risk)
         else:
             return drop_empty_blocks(
                 _local_or_shuffle(

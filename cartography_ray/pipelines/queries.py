@@ -2533,12 +2533,12 @@ WITH s AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS chars
   FROM documents GROUP BY 1
-), tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS tc FROM s),
+), tot AS (SELECT greatest(CAST(SUM(chars) AS BIGINT), 1) AS tc FROM s),
 sc AS (
   SELECT source, n_docs, chars,
          CAST(floor(1000000 * pow(CAST(chars AS DOUBLE) / CAST(tc AS DOUBLE), 0.7)) AS BIGINT) AS score
   FROM s, tot
-), ts AS (SELECT CAST(SUM(score) AS BIGINT) AS tsc FROM sc)
+), ts AS (SELECT greatest(CAST(SUM(score) AS BIGINT), 1) AS tsc FROM sc)
 SELECT source, n_docs, chars, score,
        round(CAST(score AS DOUBLE) / CAST(tsc AS DOUBLE), 6) AS weight6
 FROM sc, ts

@@ -151,17 +151,22 @@ def known_input_bytes(ds) -> int | None:
     to an unknown-size streaming plan."""
     import os
 
-    try:
-        files = ds.input_files()
-        if files:
-            return sum(os.path.getsize(f) for f in files)
-    except Exception:
-        pass
+    # Materialized first: size_bytes() is the EXACT in-memory Arrow
+    # footprint. A materialized dataset still reports its original
+    # input_files() lineage, whose compressed-parquet size both
+    # under-measures (snappy is 3-10× smaller than Arrow) and ignores
+    # any filtering between the file and the materialized result.
     try:
         from ray.data.dataset import MaterializedDataset
 
         if isinstance(ds, MaterializedDataset):
             return int(ds.size_bytes())
+    except Exception:
+        pass
+    try:
+        files = ds.input_files()
+        if files:
+            return sum(os.path.getsize(f) for f in files)
     except Exception:
         pass
     return None

@@ -225,6 +225,43 @@ def test_mmr_topk_matches_reference_and_diversifies(ray_session):
     assert len(small) == 5 and small["rank"].tolist() == [1, 2, 3, 4, 5]
 
 
+def test_mmr_ride_along_preserves_float64(ray_session):
+    """The pool ride-along must keep a float64 corpus's precision: a
+    float32 cast perturbs the driver's mutual-similarity (diversity)
+    terms by ~1e-7, which flips 6-decimal roundings right at a boundary
+    and breaks the textbook-MMR equality contract."""
+    import ray.data
+
+    from cartography_ray.functions.ann import mmr_topk
+
+    # deterministically find a similarity whose 6-decimal rounding
+    # flips under a float32 round-trip
+    x = None
+    for step in range(1, 5000):
+        c = np.float64(0.123456) + step * 1e-9
+        if np.round(c, 6) != np.round(np.float64(np.float32(c)), 6):
+            x = c
+            break
+    assert x is not None
+    c1 = [1.0, 0.0]
+    c2 = [float(x), float(np.sqrt(1.0 - x * x))]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([c1, c2], pa.list_(pa.float64())),
+        }
+    )
+    # lam=0 → step-1 objs tie at 0 (empty-set diversity), id tie-break
+    # picks c1; step-2 mmr6 = −round6(c2·c1) = −round6(x), which only
+    # comes out right if the ride-along kept float64.
+    got = mmr_topk(
+        ray.data.from_arrow(tbl), np.array(c1), k=2, lam=0.0, pool=4
+    ).to_pandas()
+    row2 = got[got["rank"] == 2].iloc[0]
+    assert row2["vec_id"] == 2
+    assert row2["mmr6"] == np.round(-np.round(x, 6), 6)
+
+
 def test_multimodal_stub_pipeline(ray_session):
     import ray.data
 
@@ -456,6 +493,46 @@ def test_topk_and_partial_agg(ray_session):
 
     top = topk(ray.data.from_pandas(df), by="v", k=2).to_pandas()
     assert top["v"].tolist() == [9, 5]
+
+
+def test_empty_measured_inputs_short_circuit(ray_session):
+    """A PROVEN-empty measured input must return a typed empty result —
+    not fall through to the legacy streaming groupby, which re-executes
+    the just-materialized map stage and hits Ray 2.49's fully-empty
+    hash-aggregate finalize crash (CLAUDE.md sharp edge)."""
+    import ray.data
+
+    from cartography_ray.functions.dedup import exact_dedup
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.runtime import to_pandas_typed
+
+    # exact_dedup: materialized-but-empty corpus (everything filtered)
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()), "text": ["a", "b"]}
+    )
+    empty_docs = (
+        ray.data.from_arrow(docs)
+        .filter(lambda r: False)
+        .materialize()
+    )
+    out = to_pandas_typed(exact_dedup(empty_docs))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "fingerprint"]
+
+    # partial_groupby_agg(elide_small=True) with no empty_schema: the
+    # output schema is derived by folding a typed empty frame through
+    # partial→final using the input schema.
+    empty_in = ray.data.from_arrow(
+        pa.schema([("g", pa.string()), ("v", pa.int64())]).empty_table()
+    )
+    agg = to_pandas_typed(
+        partial_groupby_agg(
+            empty_in, "g", {"s": ("v", "sum"), "n": (None, "count")},
+            elide_small=True,
+        )
+    )
+    assert len(agg) == 0
+    assert set(agg.columns) == {"g", "s", "n"}
 
 
 def test_knn_lsh_indexed_partition_pruning(ray_session, tmp_path):
