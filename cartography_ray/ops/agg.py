@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 _AGG_FINAL = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -428,3 +429,105 @@ def grouped_mode(
             pick, batch_format="pandas"
         )
     )
+
+
+def table_profile(ds, columns: list[str], num_buckets: int = 64,
+                  num_partitions: int | None = None):
+    """ANALYZE-style column profile: one row per profiled column with
+    ``n`` (row count), ``n_null`` and exact ``n_distinct`` (nulls
+    excluded — SQL ``COUNT(DISTINCT)`` semantics). The planning pass a
+    100-TB pipeline runs before choosing shuffle sizes, broadcast sides
+    and skew salts.
+
+    ONE pass, ONE shuffle, no hot key: each batch value-counts every
+    profiled column (string-cast — bijective per column type, so the
+    distinct count equals the native one) into (col_name, v, c) partial
+    rows — a hot value collapses to one row per block — bucketed on
+    hash(col_name, v) so a high-cardinality column spreads over all
+    reducers instead of landing on one. Reducers emit per-(column,
+    bucket) partial (n, n_null, n_distinct); the final fold is over a
+    ≤ columns × num_buckets row table (dimension-sized by contract,
+    same bound as ``bounded_groupby_agg``).
+    """
+    import numpy as np
+
+    def melt(t: pa.Table) -> pa.Table:
+        cs: list[pa.Array] = []
+        vs: list[pa.Array] = []
+        ns: list[pa.Array] = []
+        for c in columns:
+            col = t.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            v = pc.cast(col, pa.string())
+            vc = v.drop_null().value_counts()
+            vals = vc.field("values")
+            cnts = pc.cast(vc.field("counts"), pa.int64())
+            # one sentinel row carries the batch's null count (v = null)
+            cs.append(pa.array([c] * (len(vals) + 1), pa.string()))
+            vs.append(pa.concat_arrays([vals, pa.array([None], pa.string())]))
+            ns.append(
+                pa.concat_arrays(
+                    [cnts, pa.array([col.null_count], pa.int64())]
+                )
+            )
+        out = pa.table(
+            {
+                "col_name": pa.concat_arrays(cs),
+                "v": pa.concat_arrays(vs),
+                "c": pa.concat_arrays(ns),
+            }
+        )
+        key = pd.util.hash_pandas_object(
+            pd.DataFrame(
+                {
+                    "col_name": out.column("col_name").to_pandas(),
+                    "v": out.column("v").to_pandas().fillna("\x00null"),
+                }
+            ),
+            index=False,
+        ).to_numpy()
+        return out.append_column(
+            "__gb", pa.array((key % num_buckets).astype(np.int64), pa.int64())
+        )
+
+    def bucket_partial(group: pd.DataFrame) -> pa.Table:
+        isnull = group["v"].isna()
+        g = group.groupby("col_name", sort=False)
+        out = pd.DataFrame(
+            {
+                "n": g["c"].sum(),
+                "n_null": group[isnull].groupby("col_name", sort=False)["c"]
+                .sum()
+                .reindex(g.size().index)
+                .fillna(0),
+                "n_distinct": group[~isnull]
+                .groupby("col_name", sort=False)["v"]
+                .nunique()
+                .reindex(g.size().index)
+                .fillna(0),
+            }
+        ).reset_index()
+        for c in ("n", "n_null", "n_distinct"):
+            out[c] = out[c].astype("int64")
+        return _to_clean_arrow(out)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    melted = ds.map_batches(melt, batch_format="pyarrow")
+    partials = drop_empty_blocks(
+        melted.groupby("__gb", num_partitions=num_partitions).map_groups(
+            bucket_partial, batch_format="pandas"
+        )
+    )
+    # final fold: ≤ columns × num_buckets partial rows — dimension-sized
+    pdf = partials.to_pandas()
+    out = (
+        pdf.groupby("col_name", sort=True)[["n", "n_null", "n_distinct"]]
+        .sum()
+        .astype("int64")
+        .reset_index()
+    )
+    import ray.data
+
+    return ray.data.from_arrow(_to_clean_arrow(out))

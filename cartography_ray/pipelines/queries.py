@@ -987,6 +987,31 @@ def q_events_distinct_users_hll(sf_dir: str):
     return grouped_hll(ds, "event_type", "user_id", p=12, out_col="n_users_est")
 
 
+PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q_events_profile(sf_dir: str):
+    """ANALYZE-style column profile of the events table
+    (ops/agg.table_profile): per column n / n_null / exact n_distinct in
+    one pass and one hot-key-free shuffle (values bucketed on
+    hash(column, value), per-batch value_counts combiner). The planning
+    pass that sizes shuffles/broadcasts/salts before a big run."""
+    rd = _rd()
+    from cartography_ray.ops.agg import table_profile
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=PROFILE_COLS)
+    return table_profile(ds, PROFILE_COLS, num_partitions=_parts_for(path))
+
+
+SQL_EVENTS_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"""
+    for c in PROFILE_COLS
+)
+
+
 SAMPLE_RATE = 0.1
 STRATA_K = 50
 
@@ -5031,6 +5056,7 @@ QUERIES: dict[str, Callable] = {
     "docs_shuffled": q_docs_shuffled,
     "events_stratified": q_events_stratified,
     "events_distinct_users": q_events_distinct_users,
+    "events_profile": q_events_profile,
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_stats": q_docs_stats,
     "docs_langid": q_docs_langid,
@@ -5153,6 +5179,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_shuffled": SQL_DOCS_SHUFFLED,
         "events_stratified": SQL_EVENTS_STRATIFIED,
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+        "events_profile": SQL_EVENTS_PROFILE,
         # events_distinct_users_hll is approximate-by-design → rows-only
         "docs_stats": SQL_DOCS_STATS,
         "docs_langid": SQL_DOCS_LANGID,

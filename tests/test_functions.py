@@ -495,6 +495,30 @@ def test_topk_and_partial_agg(ray_session):
     assert top["v"].tolist() == [9, 5]
 
 
+def test_table_profile_counts_and_nulls(ray_session):
+    """n = rows, n_null counted per column, n_distinct excludes nulls
+    (SQL COUNT(DISTINCT) semantics) — across int, string and float."""
+    import ray.data
+
+    from cartography_ray.ops.agg import table_profile
+
+    tbl = pa.table(
+        {
+            "i": pa.array([1, 1, 2, None, None], pa.int64()),
+            "s": pa.array(["x", "y", "y", "y", None], pa.string()),
+            "f": pa.array([1.5, 1.5, None, 2.5, 3.5], pa.float64()),
+        }
+    )
+    out = (
+        table_profile(ray.data.from_arrow(tbl).repartition(3), ["i", "s", "f"])
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert out.loc["i"].tolist() == [5, 2, 2]
+    assert out.loc["s"].tolist() == [5, 1, 2]
+    assert out.loc["f"].tolist() == [5, 1, 3]
+
+
 def test_empty_measured_inputs_short_circuit(ray_session):
     """A PROVEN-empty measured input must return a typed empty result —
     not fall through to the legacy streaming groupby, which re-executes
