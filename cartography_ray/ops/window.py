@@ -1167,3 +1167,104 @@ def keyed_rate_sample(
         return t.filter(pa.array(sample_hash(ids, salt) < cut))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ordered_budget_select(
+    ds,
+    score_col: str,
+    size_col: str,
+    id_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+):
+    """Budget-constrained selection: keep the best-scoring rows whose
+    running total of ``size_col`` — ordered by (score desc, id asc) —
+    stays within ``budget``. The data-selection step of training-corpus
+    curation ("take the highest-quality documents up to N tokens").
+    SQL twin: ``SUM(size) OVER (ORDER BY score DESC, id) <= budget``.
+
+    No global sort: ``score_col`` is a bounded-cardinality integer by
+    contract (a milli-score 0..1000, the integer-cents convention), so a
+    per-score histogram (per-batch combiner → one dimension-sized
+    shuffle) finds the boundary score driver-side. Rows STRICTLY better
+    than the boundary are kept with a stateless filter (no shuffle);
+    only the single boundary bin is sorted (by unique ``id_col``) for
+    the exact prefix cut — per-block offsets are folded driver-side
+    (block-count-sized), then the cut is a vectorized cumsum filter.
+    Degenerate corpora where one score bin dominates pay a sort of that
+    bin only; the bin lives in the object store, never on the driver.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.runtime import drop_empty_blocks, to_pandas_typed
+
+    hist = to_pandas_typed(
+        partial_groupby_agg(
+            ds, [score_col], {"__tot": (size_col, "sum")},
+            num_partitions=num_partitions, elide_small=True,
+        )
+    )
+    if not len(hist):
+        return ds  # empty input: nothing to select
+    hist = hist.sort_values(score_col, ascending=False).reset_index(drop=True)
+    cum = hist["__tot"].cumsum()
+    over = cum > budget
+    if not over.any():
+        return ds  # whole corpus fits the budget
+    b_idx = int(over.idxmax())
+    theta = int(hist[score_col].iloc[b_idx])
+    remaining = int(budget - (cum.iloc[b_idx - 1] if b_idx else 0))
+
+    def keep_better(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column(score_col), pa.scalar(theta)))
+
+    kept = ds.map_batches(keep_better, batch_format="pyarrow")
+
+    def boundary_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column(score_col), pa.scalar(theta)))
+
+    boundary = drop_empty_blocks(
+        ds.map_batches(boundary_only, batch_format="pyarrow")
+    ).sort(id_col)
+    mat = boundary.materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__first": pa.array(
+                    [t.column(id_col)[0].as_py()], pa.int64()
+                ),
+                "__sz": pa.array(
+                    [pc.sum(t.column(size_col)).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    summ = (
+        mat.map_batches(block_summary, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("__first")
+        .reset_index(drop=True)
+    )
+    offsets = {
+        int(f): int(o)
+        for f, o in zip(
+            summ["__first"], summ["__sz"].cumsum().shift(fill_value=0)
+        )
+    }
+    off_ref = ray.put(offsets)
+
+    def prefix_cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        off = ray.get(off_ref)[int(t.column(id_col)[0].as_py())]
+        run = off + np.cumsum(
+            t.column(size_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return t.filter(pa.array(run <= remaining))
+
+    cut = mat.map_batches(prefix_cut, batch_size=None, batch_format="pyarrow")
+    return kept.union(cut)

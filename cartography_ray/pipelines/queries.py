@@ -1734,6 +1734,73 @@ FROM documents
 """
 
 
+BUDGET_TOKENS = 15_000
+
+
+def q_docs_budget_select(sf_dir: str):
+    """Budget-constrained corpus selection (ops/window.
+    ordered_budget_select): keep the highest-quality documents until a
+    token budget is spent — quality here is the stopword+punctuation
+    milli-density from TextStats (a stand-in for a model score), size is
+    n_tokens. No global sort: per-score histogram → driver boundary find
+    → stateless keep filter + a sort of the ONE boundary bin."""
+    rd = _rd()
+    from cartography_ray.functions.text import TextStats
+    from cartography_ray.ops.window import ordered_budget_select
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    stats = ds.map_batches(TextStats, batch_format="pyarrow", concurrency=2)
+
+    def proj(t: pa.Table) -> pa.Table:
+        tok = pc.cast(t.column("n_tokens"), pa.int64())
+        dens = pc.add(
+            pc.cast(t.column("n_stop"), pa.int64()),
+            pc.cast(t.column("n_punct"), pa.int64()),
+        )
+        denom = pc.max_element_wise(tok, pa.scalar(1, pa.int64()))
+        # identical IEEE tree to the SQL twin:
+        # floor(1000.0 * dens / denom) — ints < 2^53 are float64-exact
+        f = pc.divide(
+            pc.multiply(pa.scalar(1000.0), pc.cast(dens, pa.float64())),
+            pc.cast(denom, pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "score": pc.cast(pc.floor(f), pa.int64()),
+                "sz": tok,
+            }
+        )
+
+    scored = stats.map_batches(proj, batch_format="pyarrow")
+    return ordered_budget_select(
+        scored, "score", "sz", "doc_id", BUDGET_TOKENS,
+        num_partitions=_parts_for(path),
+    )
+
+
+SQL_DOCS_BUDGET_SELECT = rf"""
+WITH st AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(text, '\b(the|and|of|to|a|is|in)\b')) AS n_stop
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(floor(1000.0 * (n_stop + n_punct) / greatest(n_tokens, 1)) AS BIGINT) AS score,
+         CAST(n_tokens AS BIGINT) AS sz
+  FROM st
+), w AS (
+  SELECT doc_id, score, sz,
+         SUM(sz) OVER (ORDER BY score DESC, doc_id) AS cum
+  FROM s
+)
+SELECT doc_id, score, sz FROM w WHERE cum <= {BUDGET_TOKENS}
+"""
+
+
 def q_docs_langid(sf_dir: str):
     rd = _rd()
     from cartography_ray.functions.text import langid_batch
@@ -5059,6 +5126,7 @@ QUERIES: dict[str, Callable] = {
     "events_profile": q_events_profile,
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_stats": q_docs_stats,
+    "docs_budget_select": q_docs_budget_select,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_token_freq": q_docs_token_freq,
@@ -5182,6 +5250,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_profile": SQL_EVENTS_PROFILE,
         # events_distinct_users_hll is approximate-by-design → rows-only
         "docs_stats": SQL_DOCS_STATS,
+        "docs_budget_select": SQL_DOCS_BUDGET_SELECT,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_lang_routed": SQL_DOCS_LANGID,
         "events_corr": SQL_EVENTS_CORR,

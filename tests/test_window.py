@@ -1410,3 +1410,46 @@ def test_keyed_rate_sample_matches_hash_contract(ray_session):
     # realized per-key rates near the nominal ones
     gx = (got["k"] == "x").sum() / (n / 4)
     assert 0.8 < gx < 1.0
+
+
+def test_ordered_budget_select_matches_reference(ray_session):
+    """Prefix-cut semantics: SUM(sz) OVER (ORDER BY score DESC, id) <=
+    budget — boundary bin cut by id, zero-size rows at the boundary kept
+    while the cumsum holds, whole-corpus and empty edge cases."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from cartography_ray.ops.window import ordered_budget_select
+    from cartography_ray.runtime import to_pandas_typed
+
+    rng_ids = np.arange(200, dtype=np.int64)
+    # few distinct scores → a fat boundary bin; some zero sizes
+    score = (rng_ids * 7919 % 5).astype(np.int64)
+    sz = (rng_ids * 104729 % 9).astype(np.int64)  # 0..8, zeros included
+    df = pd.DataFrame({"doc_id": rng_ids, "score": score, "sz": sz})
+
+    def reference(budget):
+        o = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        keep = o[o["sz"].cumsum() <= budget]
+        return set(keep["doc_id"])
+
+    ds = ray.data.from_pandas(df).repartition(5)
+    for budget in (0, 37, 150, 400, 10_000):
+        got = to_pandas_typed(
+            ordered_budget_select(ds, "score", "sz", "doc_id", budget)
+        )
+        assert set(got["doc_id"]) == reference(budget), f"budget={budget}"
+
+    # empty input passes through
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+                "sz": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert ordered_budget_select(empty, "score", "sz", "doc_id", 10).count() == 0
