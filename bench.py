@@ -170,6 +170,8 @@ def run_queries(sf_dir: str) -> dict:
         "events_next_purchase",
         "emb_mmr",
         "docs_source_weights",
+        "events_profile",
+        "docs_budget_select",
     ]
     out = {}
     for name in names:

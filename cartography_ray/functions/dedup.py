@@ -483,6 +483,13 @@ def _dedup_pairs(cand, num_buckets: int = 64, num_partitions: int | None = None)
     )
 
 
+class _FoldTooHot(Exception):
+    """Raised inside the minhash local fold when the measured pair
+    workload (Σ per-band-bucket n²) is too superlinear for one task;
+    the caller falls back to the distributed plan. Module-level so the
+    exception unpickles across the task boundary."""
+
+
 def _hot_band_buckets(banded_skinny, limit: int, num_partitions: int | None = None) -> dict:
     """(band, band_hash) → chunk count for buckets larger than ``limit``.
 
@@ -751,15 +758,27 @@ def minhash_lsh_pairs(
     if payload == "text":
         from cartography_ray.ops.joins import (
             LOCAL_MERGE_BYTE_LIMIT,
+            LOCAL_MERGE_ROW_LIMIT,
             _ensure_merge_task,
             _nonempty_refs,
         )
 
-        # Tightened guards (not the 750k default): verify_cell is a
-        # superlinear self-join kernel — a dup-heavy corpus just under
-        # the default guard would serialize O(m²) pair verifies in one
-        # task (the same cliff edit_distance_pairs hit, fuzzy.py:248).
-        if n_banded <= 65_536 and banded_bytes <= LOCAL_MERGE_BYTE_LIMIT // 8:
+        # Row/byte guards alone are NOT enough here: verify_cell is a
+        # superlinear self-join kernel (the edit_distance_pairs cliff,
+        # fuzzy.py:248) — a dup-heavy corpus under the generic guards
+        # can still hide O(m²) pair verifies in one band bucket. The
+        # workload guard runs INSIDE the fold task (optimistic
+        # execution): the task already computes the bucket histogram as
+        # its first step, so checking Σ n_b² there is free — it raises
+        # when the measured pair workload is too hot and the caller
+        # falls back to the distributed plan over the SAME materialized
+        # refs (nothing recomputes). A driver-side pre-check would cost
+        # an extra column pull on every benign run (measured 1.4 s at
+        # bench scale) to protect against the rare adversarial one.
+        if (
+            n_banded <= LOCAL_MERGE_ROW_LIMIT
+            and banded_bytes <= LOCAL_MERGE_BYTE_LIMIT
+        ):
             import ray.data as _rd
 
             refs, _, _ = _nonempty_refs(banded)
@@ -778,6 +797,8 @@ def minhash_lsh_pairs(
                     .groupby(["band", "band_hash"], sort=False)
                     .size()
                 )
+                if float((cnt.to_numpy(np.float64) ** 2).sum()) > 4e6:
+                    raise _FoldTooHot()
                 hmap = {
                     (int(b), int(h)): int(-(-n // hot_bucket_limit))
                     for (b, h), n in cnt.items()
@@ -788,7 +809,14 @@ def minhash_lsh_pairs(
                 return out.drop_duplicates(["id_a", "id_b"])
 
             out_ref = _ensure_merge_task().remote(local_fold, "pyarrow", *refs)
-            return _rd.from_arrow_refs([out_ref])
+            try:
+                ray.get(out_ref)  # transient driver copy, output-sized
+                return _rd.from_arrow_refs([out_ref])
+            except ray.exceptions.RayTaskError as e:
+                if not isinstance(e.cause, _FoldTooHot):
+                    raise
+                # too hot for one task: fall through to the distributed
+                # plan (banded is materialized — no recompute)
 
     hot = _hot_band_buckets(
         banded.select_columns(["band", "band_hash"]), hot_bucket_limit,
@@ -1128,7 +1156,6 @@ def jaccard_pairs_exact(
         )
     from cartography_ray.ops.agg import partial_groupby_agg
     from cartography_ray.ops.joins import hash_join
-    from cartography_ray.runtime import drop_empty_blocks
 
     explode = _make_shingle_explode(ngram, id_col, text_col)
 
@@ -1173,11 +1200,68 @@ def jaccard_pairs_exact(
     postings = ds.map_batches(explode, batch_format="pyarrow").map_batches(
         tag, batch_format="pandas"
     )
-    partials = drop_empty_blocks(
-        postings.groupby("__gb", num_partitions=num_partitions).map_groups(
-            bucket_kernel, batch_format="pandas"
-        )
+    grouped = postings.groupby("__gb", num_partitions=num_partitions).map_groups(
+        bucket_kernel, batch_format="pandas"
     )
+
+    from cartography_ray.ops.joins import (
+        LOCAL_MERGE_BYTE_LIMIT,
+        LOCAL_MERGE_ROW_LIMIT,
+        _ensure_merge_task,
+        _nonempty_refs,
+    )
+
+    refs, n_rows, n_bytes = _nonempty_refs(grouped)
+    if not refs:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()),
+                 ("jaccard", pa.float64())]
+            ).empty_table()
+        )
+    # Whole-tail elision: the rest of the plan (kind split → two grouped
+    # folds → two sizes joins → jaccard filter) is LINEAR in the partial
+    # rows, so a measured-small partial table finishes in ONE task —
+    # replacing four barrier+shuffle stages. The float expression tree
+    # ((na+nb)-c, max(·,1), divide, >=) is identical to the distributed
+    # finish, so outputs are bit-equal (oracle-checked via
+    # docs_clean_corpus / docs_dup_clusters either way).
+    if n_rows <= LOCAL_MERGE_ROW_LIMIT and n_bytes <= LOCAL_MERGE_BYTE_LIMIT:
+        import ray.data as _rd
+
+        def tail_kernel(df: pd.DataFrame) -> pa.Table:
+            sizes_s = df[df["kind"] == 0].groupby("a", sort=False)["cnt"].sum()
+            inter_d = (
+                df[df["kind"] == 1]
+                .groupby(["a", "b"], sort=False)["cnt"]
+                .sum()
+                .reset_index()
+            )
+            na = sizes_s.reindex(inter_d["a"]).to_numpy(np.float64)
+            nb = sizes_s.reindex(inter_d["b"]).to_numpy(np.float64)
+            c = inter_d["cnt"].to_numpy(np.float64)
+            jac = c / np.maximum((na + nb) - c, 1.0)
+            keep = jac >= float(threshold)
+            return pa.table(
+                {
+                    "id_a": pa.array(
+                        inter_d["a"].to_numpy(np.int64)[keep], pa.int64()
+                    ),
+                    "id_b": pa.array(
+                        inter_d["b"].to_numpy(np.int64)[keep], pa.int64()
+                    ),
+                    "jaccard": pa.array(jac[keep], pa.float64()),
+                }
+            )
+
+        out_ref = _ensure_merge_task().remote(tail_kernel, "pandas", *refs)
+        return _rd.from_arrow_refs([out_ref])
+
+    import ray.data as _rd
+
+    partials = _rd.from_arrow_refs(refs)
 
     def split(kind: int):
         def fn(t: pa.Table) -> pa.Table:

@@ -4183,9 +4183,22 @@ def _cluster_summary(pairs, a_col: str, b_col: str, num_partitions):
     """Shared tail of the two cluster queries: pair Dataset → the
     engine's connected_components → one (canonical, n_members) row per
     cluster. Ids ride zero-padded strings so min-label propagation's
-    string min IS the numeric min."""
+    string min IS the numeric min. Measured-small pair tables fuse the
+    whole tail (CC fixpoint + label counts + int cast) into ONE task —
+    same kernel (`_cc_pandas_labels`) as the driver-local CC strategy,
+    so results are identical; large pair tables keep the distributed
+    plan."""
     from cartography_ray.ops.agg import partial_groupby_agg
-    from cartography_ray.stages.canonicalize import connected_components
+    from cartography_ray.ops.joins import (
+        LOCAL_MERGE_BYTE_LIMIT,
+        LOCAL_MERGE_ROW_LIMIT,
+        _ensure_merge_task,
+        _nonempty_refs,
+    )
+    from cartography_ray.stages.canonicalize import (
+        _cc_pandas_labels,
+        connected_components,
+    )
 
     def pad(col):
         return pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
@@ -4194,7 +4207,37 @@ def _cluster_summary(pairs, a_col: str, b_col: str, num_partitions):
         lambda t: pa.table({"a": pad(t.column(a_col)), "b": pad(t.column(b_col))}),
         batch_format="pyarrow",
     )
-    labels = connected_components(edges)
+    refs, n_rows, n_bytes = _nonempty_refs(edges)
+    if not refs:
+        return _rd().from_arrow(
+            pa.schema(
+                [("canonical", pa.int64()), ("n_members", pa.int64())]
+            ).empty_table()
+        )
+    if n_rows <= LOCAL_MERGE_ROW_LIMIT and n_bytes <= LOCAL_MERGE_BYTE_LIMIT:
+        import ray.data as _rdm
+
+        def tail(t: pa.Table) -> pa.Table:
+            lab = _cc_pandas_labels(t)
+            counts = lab.value_counts()
+            return pa.table(
+                {
+                    "canonical": pc.cast(
+                        pa.array(counts.index.to_numpy(), pa.string()),
+                        pa.int64(),
+                    ),
+                    "n_members": pa.array(
+                        counts.to_numpy("int64"), pa.int64()
+                    ),
+                }
+            )
+
+        out_ref = _ensure_merge_task().remote(tail, "pyarrow", *refs)
+        return _rdm.from_arrow_refs([out_ref])
+
+    import ray.data as _rdm
+
+    labels = connected_components(_rdm.from_arrow_refs(refs))
     sizes = partial_groupby_agg(
         labels, ["label"], {"n_members": (None, "count")},
         num_partitions=num_partitions, elide_small=True,

@@ -305,20 +305,13 @@ def connected_components(
     return labels
 
 
-def _cc_driver_local(edges_mat, max_rounds: int = 50):
-    """Driver-local min-label propagation over a (small, materialized,
-    locally-deduped) edge Dataset. Same fixed point as the distributed
-    strategies; vectorized pandas rounds, O(diameter) iterations."""
+def _cc_pandas_labels(tbl: pa.Table, max_rounds: int = 50):
+    """(a, b) string edge table → node→min-label pandas Series. The
+    vectorized min-label fixpoint shared by the driver-local strategy
+    and callers that embed CC inside a fused single task (the
+    cluster-summary local fold). O(diameter) rounds."""
     import pandas as pd
-    import ray
-    import ray.data
 
-    blocks = [b for b in ray.get(edges_mat.to_arrow_refs()) if b.num_columns and b.num_rows]
-    if not blocks:
-        return ray.data.from_arrow(
-            pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
-        )
-    tbl = pa.concat_tables(blocks)
     a = tbl.column("a").to_numpy(zero_copy_only=False)
     b = tbl.column("b").to_numpy(zero_copy_only=False)
     src = np.concatenate([a, b])
@@ -337,6 +330,22 @@ def _cc_driver_local(edges_mat, max_rounds: int = 50):
         if new.equals(lab):
             break
         lab = new
+    return lab
+
+
+def _cc_driver_local(edges_mat, max_rounds: int = 50):
+    """Driver-local min-label propagation over a (small, materialized,
+    locally-deduped) edge Dataset. Same fixed point as the distributed
+    strategies; vectorized pandas rounds, O(diameter) iterations."""
+    import ray
+    import ray.data
+
+    blocks = [b for b in ray.get(edges_mat.to_arrow_refs()) if b.num_columns and b.num_rows]
+    if not blocks:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
+        )
+    lab = _cc_pandas_labels(pa.concat_tables(blocks), max_rounds)
     return ray.data.from_arrow(
         pa.table(
             {

@@ -495,6 +495,30 @@ def test_topk_and_partial_agg(ray_session):
     assert top["v"].tolist() == [9, 5]
 
 
+def test_minhash_fold_too_hot_falls_back(ray_session):
+    """A dup-heavy corpus under the row/byte guards but over the in-task
+    pair-workload guard (Σ per-bucket n² > 4e6) must fall back to the
+    distributed plan and still produce the full correct pair set."""
+    import ray.data
+
+    from cartography_ray.functions.dedup import minhash_lsh_pairs
+
+    n = 800  # identical docs: 8 bands × 800² = 5.1e6 > 4e6 trips the guard
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": [text] * n,
+        }
+    )
+    out = minhash_lsh_pairs(
+        ray.data.from_arrow(tbl), threshold=0.9, num_perm=16, bands=8,
+        payload="text",
+    ).to_pandas()
+    assert len(out) == n * (n - 1) // 2
+    assert (out["jaccard"] == 1.0).all()
+
+
 def test_table_profile_counts_and_nulls(ray_session):
     """n = rows, n_null counted per column, n_distinct excludes nulls
     (SQL COUNT(DISTINCT) semantics) — across int, string and float."""
