@@ -1199,8 +1199,13 @@ def ordered_budget_select(
     import ray
 
     from cartography_ray.ops.agg import partial_groupby_agg
-    from cartography_ray.runtime import drop_empty_blocks, to_pandas_typed
+    from cartography_ray.runtime import to_pandas_typed
 
+    # fan-out rule: this plan consumes ds up to three times (histogram,
+    # keep filter, boundary bin) — a lazy input would re-execute its
+    # whole upstream per consumer (actor pools included). One
+    # object-store materialization (spillable) buys all three passes.
+    ds = ds.materialize()
     hist = to_pandas_typed(
         partial_groupby_agg(
             ds, [score_col], {"__tot": (size_col, "sum")},
@@ -1226,9 +1231,39 @@ def ordered_budget_select(
     def boundary_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t.column(score_col), pa.scalar(theta)))
 
-    boundary = drop_empty_blocks(
+    from cartography_ray.ops.joins import (
+        LOCAL_MERGE_BYTE_LIMIT,
+        LOCAL_MERGE_ROW_LIMIT,
+        _ensure_merge_task,
+        _nonempty_refs,
+    )
+
+    refs, b_rows, b_bytes = _nonempty_refs(
         ds.map_batches(boundary_only, batch_format="pyarrow")
-    ).sort(id_col)
+    )
+    if not refs:
+        return kept
+    # the boundary is ONE score bin — usually tiny: sort + cumsum + cut
+    # in a single task instead of a distributed sort + per-block offset
+    # machinery (4 stages saved); the distributed path below handles the
+    # degenerate one-score-dominates corpus
+    if b_rows <= LOCAL_MERGE_ROW_LIMIT and b_bytes <= LOCAL_MERGE_BYTE_LIMIT:
+        import ray.data as _rd
+
+        def local_cut(t: pa.Table) -> pa.Table:
+            order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+            t = t.take(order)
+            run = np.cumsum(
+                t.column(size_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return t.filter(pa.array(run <= remaining))
+
+        out_ref = _ensure_merge_task().remote(local_cut, "pyarrow", *refs)
+        return kept.union(_rd.from_arrow_refs([out_ref]))
+
+    import ray.data as _rd
+
+    boundary = _rd.from_arrow_refs(refs).sort(id_col)
     mat = boundary.materialize()
 
     def block_summary(t: pa.Table) -> pa.Table:
