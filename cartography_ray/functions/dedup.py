@@ -314,6 +314,193 @@ def incremental_exact_dedup(
     )
 
 
+def incremental_minhash_dedup(
+    ds,
+    state_dir: str,
+    epoch: int,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+    concurrency: int = 4,
+    drop_broadcast_limit: int = 2_000_000,
+):
+    """NEAR-dup the new crawl against a persisted LSH band-bucket index —
+    the per-ingest fuzzy companion of ``incremental_exact_dedup`` (which
+    only catches byte-identical text after normalization).
+
+    Index layout: ``state_dir/bucket=K/epoch=<e>.parquet`` holding
+    (band, band_hash, sig) rows of every SURVIVING document, bucketed on
+    ``band_hash % num_buckets`` — the same bucket-aligned contract as
+    the exact variant: the (corpus-scale) history never moves, never
+    shuffles, and is never driver-resident; each reducer reads only its
+    own bucket's files. The signature (fixed 8·num_perm bytes/row) rides
+    instead of text, so index volume is bounded per document regardless
+    of document size and matching needs no text join.
+
+    Match semantics (approximate by design, the minhash family
+    contract): a new document is DROPPED when any of its bands collides
+    with a historical band bucket and the full-signature agreement
+    fraction ≥ ``threshold``. Deterministic end to end (splitmix hash
+    family, no RNG) — reruns and retries yield identical survivors.
+
+    Three phases, shuffling only the NEW batch (twice):
+      1. band+sign → one bucket shuffle → per-bucket match vs history →
+         hit doc ids;
+      2. drop set = distinct hit ids (size-guarded broadcast ≤
+         ``drop_broadcast_limit``, else a distributed anti hash_join);
+      3. survivors' band rows shuffle once more onto buckets and are
+         written as this epoch's index files (tmp+rename; readers
+         exclude the current epoch, so re-running an epoch is
+         idempotent).
+
+    Within-batch near-duplicates are out of scope (both copies survive
+    and enter the index) — compose with ``minhash_lsh_pairs`` for the
+    intra-batch pass, as ``docs_clean_corpus`` does for the exact case.
+    Returns the surviving ``(id_col,)`` rows.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from cartography_ray.ops.joins import broadcast_semi_anti, hash_join
+    from cartography_ray.runtime import (
+        drop_empty_blocks,
+        known_input_bytes,
+        shuffle_partitions,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    nbytes = known_input_bytes(ds)
+    parts = (
+        num_partitions
+        if num_partitions is not None
+        else shuffle_partitions(n_bytes=nbytes)
+    )
+    hasher = MinHasher(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, payload="sig"
+    )
+
+    def band_bucket(t: pa.Table) -> pa.Table:
+        out = hasher(
+            pa.table(
+                {
+                    "doc_id": pc.cast(t.column(id_col), pa.int64()),
+                    "text": pc.cast(t.column(text_col), pa.string()),
+                }
+            )
+        )
+        gb = (
+            out.column("band_hash").to_numpy(zero_copy_only=False)
+            % num_buckets
+        )
+        return out.append_column("__gb", pa.array(gb, pa.int64()))
+
+    def _bucket_files(bucket: int) -> list[str]:
+        bdir = os.path.join(state_dir, f"bucket={bucket}")
+        return [
+            f
+            for f in sorted(_glob.glob(os.path.join(bdir, "epoch=*.parquet")))
+            if os.path.basename(f) != f"epoch={epoch}.parquet"
+        ]
+
+    def match_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(group["__gb"].iloc[0])
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64")})
+        files = _bucket_files(bucket)
+        if not files:
+            return empty
+        hist = pd.concat(
+            [
+                _pq.read_table(f, columns=["band", "band_hash", "sig"]).to_pandas()
+                for f in files
+            ],
+            ignore_index=True,
+        )
+        cand = group.merge(
+            hist, on=["band", "band_hash"], suffixes=("", "_h")
+        )
+        if not len(cand):
+            return empty
+        sn = np.stack(cand["sig"].to_numpy())
+        sh = np.stack(cand["sig_h"].to_numpy())
+        est = (sn == sh).mean(axis=1)
+        hits = cand.loc[est >= threshold, "doc_id"].unique()
+        return pd.DataFrame({id_col: hits.astype(np.int64)})
+
+    def write_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(group["__gb"].iloc[0])
+        bdir = os.path.join(state_dir, f"bucket={bucket}")
+        os.makedirs(bdir, exist_ok=True)
+        sig_flat = np.concatenate(group["sig"].to_numpy())
+        tbl = pa.table(
+            {
+                "band": pa.array(
+                    group["band"].to_numpy(np.int32), pa.int32()
+                ),
+                "band_hash": pa.array(
+                    group["band_hash"].to_numpy(np.int64), pa.int64()
+                ),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig_flat, pa.int64()), num_perm
+                ),
+            }
+        )
+        tmp = os.path.join(bdir, f".epoch={epoch}.parquet.tmp")
+        _pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(bdir, f"epoch={epoch}.parquet"))
+        return pd.DataFrame({"bucket": [bucket]})
+
+    banded = ds.map_batches(
+        band_bucket, batch_format="pyarrow", concurrency=concurrency
+    ).materialize()
+    dropped = drop_empty_blocks(
+        banded.groupby("__gb", num_partitions=parts).map_groups(
+            match_kernel, batch_format="pandas"
+        )
+    ).materialize()
+
+    ids = ds.map_batches(
+        lambda t: pa.table({id_col: pc.cast(t.column(id_col), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    n_drop = dropped.count()
+    if n_drop == 0:
+        survivors = ids
+        surv_banded = banded
+    elif n_drop <= drop_broadcast_limit:
+        keys = dropped.to_pandas()[id_col].astype(str).tolist()
+        survivors = broadcast_semi_anti(ids, keys, on=id_col, anti=True)
+        surv_banded = broadcast_semi_anti(
+            banded, keys, on="doc_id", anti=True
+        )
+    else:
+        survivors = hash_join(
+            ids, dropped, left_on=id_col, how="anti",
+            num_partitions=parts,
+        )
+        surv_banded = hash_join(
+            banded, dropped.map_batches(
+                lambda t: pa.table({"doc_id": t.column(id_col)}),
+                batch_format="pyarrow",
+            ),
+            left_on="doc_id", how="anti", num_partitions=parts,
+        )
+    # phase 3: persist survivors' band rows as this epoch's index files.
+    # The write is a side effect; consume the tiny bucket-receipt rows.
+    drop_empty_blocks(
+        surv_banded.groupby("__gb", num_partitions=parts).map_groups(
+            write_kernel, batch_format="pandas"
+        )
+    ).materialize()
+    return survivors
+
+
 class MinHasher:
     """Actor-pool stage: doc batch → (band_id, band_hash, id) rows.
 

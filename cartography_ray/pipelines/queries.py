@@ -2442,6 +2442,59 @@ WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
 """
 
 
+def q_docs_incremental_minhash(sf_dir: str):
+    """Cross-run NEAR-dup (functions/dedup.incremental_minhash_dedup):
+    even doc_ids seed the persisted LSH band-bucket index (epoch 1); the
+    new crawl (epoch 2) is the odd docs plus exact text copies of 20
+    even docs under synthetic ids ≥ 10^6 — the copies must be dropped
+    against history while the genuinely novel odd docs survive.
+    Deterministic (splitmix hashing, no RNG) but approximate-by-design →
+    rows-only, with the recall/idempotency semantics governed by
+    tests/test_functions.py::test_incremental_minhash_dedup_epochs."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    rd = _rd()
+    from cartography_ray.functions.dedup import incremental_minhash_dedup
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            return t.filter(
+                pc.equal(pc.bit_wise_and(ids, pa.scalar(1, pa.int64())), parity)
+            )
+
+        return fn
+
+    def with_copies(t: pa.Table) -> pa.Table:
+        odd = half(1)(t)
+        evens = half(0)(t)
+        cp = evens.filter(
+            pc.less(evens.column("doc_id"), pa.scalar(40, pa.int64()))
+        )
+        cp = pa.table(
+            {
+                "doc_id": pc.add(cp.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+                "text": cp.column("text"),
+            }
+        )
+        return pa.concat_tables([odd.select(["doc_id", "text"]), cp])
+
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    state = f"/tmp/graft_incminhash/{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    _sh.rmtree(state, ignore_errors=True)  # fresh per call (deterministic)
+    incremental_minhash_dedup(
+        docs.map_batches(half(0), batch_format="pyarrow"), state, epoch=1,
+        threshold=0.5,
+    ).materialize()
+    return incremental_minhash_dedup(
+        docs.map_batches(with_copies, batch_format="pyarrow"), state, epoch=2,
+        threshold=0.5,
+    ).materialize()
+
+
 def q_docs_exact_dedup(sf_dir: str):
     rd = _rd()
     from cartography_ray.functions.dedup import exact_dedup
@@ -5188,6 +5241,7 @@ QUERIES: dict[str, Callable] = {
     "docs_decontam_joined": q_docs_decontam_joined,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_incremental_dedup": q_docs_incremental_dedup,
+    "docs_incremental_minhash": q_docs_incremental_minhash,
     "docs_mix": q_docs_mix,
     "docs_source_weights": q_docs_source_weights,
     "docs_dup_edges": q_docs_dup_edges,

@@ -495,6 +495,59 @@ def test_topk_and_partial_agg(ray_session):
     assert top["v"].tolist() == [9, 5]
 
 
+def test_incremental_minhash_dedup_epochs(ray_session, tmp_path):
+    """Epoch 2's near-copies of epoch-1 docs are dropped against the
+    persisted band index; novel docs survive; reruns are idempotent."""
+    import ray.data
+
+    from cartography_ray.functions.dedup import incremental_minhash_dedup
+
+    state = str(tmp_path / "mh_index")
+    base = [
+        f"document number {i} talks about topic {i % 7} in some detail "
+        f"with several shared phrases and a unique marker {i * 31}"
+        for i in range(40)
+    ]
+    e1 = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40, dtype=np.int64), pa.int64()),
+            "text": base,
+        }
+    )
+    novel = [
+        f"a completely different subject line {i} — nothing shared with "
+        f"the first corpus, token salad {i * 97} qwertzuiop"
+        for i in range(20)
+    ]
+    copies = base[:10]  # exact text copies under new ids
+    e2 = pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate(
+                    [np.arange(100, 120), np.arange(1000, 1010)]
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+            "text": novel + copies,
+        }
+    )
+    s1 = incremental_minhash_dedup(
+        ray.data.from_arrow(e1), state, epoch=1, threshold=0.5
+    ).to_pandas()
+    assert sorted(s1["doc_id"]) == list(range(40))  # empty history
+
+    s2 = incremental_minhash_dedup(
+        ray.data.from_arrow(e2), state, epoch=2, threshold=0.5
+    ).to_pandas()
+    assert sorted(s2["doc_id"]) == list(range(100, 120))  # copies dropped
+
+    # idempotent rerun of epoch 2 (readers exclude the current epoch)
+    s2b = incremental_minhash_dedup(
+        ray.data.from_arrow(e2), state, epoch=2, threshold=0.5
+    ).to_pandas()
+    assert sorted(s2b["doc_id"]) == sorted(s2["doc_id"])
+
+
 def test_minhash_fold_too_hot_falls_back(ray_session):
     """A dup-heavy corpus under the row/byte guards but over the in-task
     pair-workload guard (Σ per-bucket n² > 4e6) must fall back to the
