@@ -456,17 +456,38 @@ def incremental_minhash_dedup(
         os.replace(tmp, os.path.join(bdir, f"epoch={epoch}.parquet"))
         return pd.DataFrame({"bucket": [bucket]})
 
+    from cartography_ray.ops.joins import _nonempty_or_none
+
     banded = ds.map_batches(
         band_bucket, batch_format="pyarrow", concurrency=concurrency
     ).materialize()
+    banded = _nonempty_or_none(banded)
+    if banded is None:  # proven-empty new batch: nothing to match/index
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema([(id_col, pa.int64())]).empty_table()
+        )
     dropped = drop_empty_blocks(
         banded.groupby("__gb", num_partitions=parts).map_groups(
             match_kernel, batch_format="pandas"
         )
     ).materialize()
 
-    ids = ds.map_batches(
-        lambda t: pa.table({id_col: pc.cast(t.column(id_col), pa.int64())}),
+    # one id row per doc from the already-materialized banded (band 0
+    # exists for every doc) — NOT from the lazy ds, whose whole upstream
+    # would execute a second time (CLAUDE.md fan-out rule)
+    ids = banded.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: pc.cast(
+                    t.filter(
+                        pc.equal(t.column("band"), pa.scalar(0, pa.int32()))
+                    ).column("doc_id"),
+                    pa.int64(),
+                )
+            }
+        ),
         batch_format="pyarrow",
     )
     n_drop = dropped.count()
@@ -493,11 +514,15 @@ def incremental_minhash_dedup(
         )
     # phase 3: persist survivors' band rows as this epoch's index files.
     # The write is a side effect; consume the tiny bucket-receipt rows.
-    drop_empty_blocks(
-        surv_banded.groupby("__gb", num_partitions=parts).map_groups(
-            write_kernel, batch_format="pandas"
-        )
-    ).materialize()
+    # Guard the proven-empty case (everything dropped against history):
+    # a fully-empty groupby input crashes the hash-aggregator finalize.
+    surv_banded = _nonempty_or_none(surv_banded.materialize())
+    if surv_banded is not None:
+        drop_empty_blocks(
+            surv_banded.groupby("__gb", num_partitions=parts).map_groups(
+                write_kernel, batch_format="pandas"
+            )
+        ).materialize()
     return survivors
 
 
@@ -675,6 +700,21 @@ class _FoldTooHot(Exception):
     workload (Σ per-band-bucket n²) is too superlinear for one task;
     the caller falls back to the distributed plan. Module-level so the
     exception unpickles across the task boundary."""
+
+
+_probe_ok_task = None  # bound lazily: ray.remote at import breaks ray-less use
+
+
+def _ensure_probe_task():
+    """Zero-CPU task that dereferences a ref WORKER-side: surfacing a
+    dependency's exception to the driver without copying the (possibly
+    output-sized) payload into the driver heap."""
+    global _probe_ok_task
+    if _probe_ok_task is None:
+        import ray
+
+        _probe_ok_task = ray.remote(num_cpus=0)(lambda _t: True)
+    return _probe_ok_task
 
 
 def _hot_band_buckets(banded_skinny, limit: int, num_partitions: int | None = None) -> dict:
@@ -997,10 +1037,14 @@ def minhash_lsh_pairs(
 
             out_ref = _ensure_merge_task().remote(local_fold, "pyarrow", *refs)
             try:
-                ray.get(out_ref)  # transient driver copy, output-sized
+                # worker-side deref: surfaces _FoldTooHot without an
+                # output-sized driver copy of the pair table
+                ray.get(_ensure_probe_task().remote(out_ref))
                 return _rd.from_arrow_refs([out_ref])
             except ray.exceptions.RayTaskError as e:
-                if not isinstance(e.cause, _FoldTooHot):
+                if not isinstance(
+                    getattr(e, "cause", None), _FoldTooHot
+                ) and "_FoldTooHot" not in str(e):
                     raise
                 # too hot for one task: fall through to the distributed
                 # plan (banded is materialized — no recompute)

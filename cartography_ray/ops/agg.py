@@ -116,23 +116,31 @@ def partial_groupby_agg(
         if not refs:
             if empty_schema is not None:
                 return ray.data.from_arrow(empty_schema.empty_table())
-            # elide_small-only caller with a fully-empty input: derive
-            # the output schema by folding a typed empty frame through
-            # partial→final, instead of falling to the legacy plan,
-            # which would re-run the partial map and hit Ray 2.49's
-            # empty-groupby finalize crash. schema() is metadata-only
-            # for source-backed datasets; for computed pipelines it may
-            # re-execute a probe — acceptable on this degenerate
-            # (proven-empty) path, and callers with expensive upstreams
-            # should pass empty_schema to skip it entirely.
+            # elide_small-only caller with a fully-empty input: build the
+            # typed empty result directly from the input schema (keys
+            # keep their input types; sum/min/max keep the aggregated
+            # column's type, count is int64 — matching the non-empty
+            # path's pandas dtypes) instead of falling to the legacy
+            # plan, which would re-run the partial map and hit Ray
+            # 2.49's empty-groupby finalize crash. Round-tripping an
+            # empty frame through partial→final instead loses string
+            # keys to Arrow type null (empty object column). schema()
+            # is metadata-only for source-backed datasets; computed
+            # pipelines may re-execute a probe — acceptable on this
+            # degenerate path; callers with expensive upstreams should
+            # pass empty_schema to skip it entirely.
             in_schema = ds.schema()
             if in_schema is not None:
-                empty_in = pa.schema(
-                    list(zip(in_schema.names, in_schema.types))
-                ).empty_table().to_pandas()
-                return ray.data.from_arrow(
-                    final(partial(empty_in).to_pandas())
-                )
+                in_types = dict(zip(in_schema.names, in_schema.types))
+                cols = {k: pa.array([], in_types.get(k, pa.string())) for k in keys}
+                for out, (col, fn) in aggs.items():
+                    typ = (
+                        pa.int64()
+                        if fn == "count"
+                        else in_types.get(col, pa.int64())
+                    )
+                    cols[out] = pa.array([], typ)
+                return ray.data.from_arrow(pa.table(cols))
             # schema genuinely unknowable: legacy plan (documented risk)
         else:
             return drop_empty_blocks(
@@ -459,6 +467,10 @@ def table_profile(ds, columns: list[str], num_buckets: int = 64,
             col = t.column(c)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            if pa.types.is_floating(col.type):
+                # normalize signed zero: '-0.0' and '0.0' cast to
+                # distinct strings but SQL COUNT(DISTINCT) counts one
+                col = pc.add(col, pa.scalar(0.0, col.type))
             v = pc.cast(col, pa.string())
             vc = v.drop_null().value_counts()
             vals = vc.field("values")
@@ -514,7 +526,26 @@ def table_profile(ds, columns: list[str], num_buckets: int = 64,
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    melted = ds.map_batches(melt, batch_format="pyarrow")
+    # The melt output is value_counts-collapsed (bounded-ish per block),
+    # so the empty-input guard's materialize barrier is the same price
+    # partial_groupby_agg's elide_small callers pay — and a fully-empty
+    # groupby input crashes the hash-aggregator finalize otherwise.
+    from cartography_ray.ops.joins import _nonempty_or_none
+
+    melted = _nonempty_or_none(ds.map_batches(melt, batch_format="pyarrow"))
+    if melted is None:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "col_name": pa.array(sorted(columns), pa.string()),
+                    "n": pa.array([0] * len(columns), pa.int64()),
+                    "n_null": pa.array([0] * len(columns), pa.int64()),
+                    "n_distinct": pa.array([0] * len(columns), pa.int64()),
+                }
+            )
+        )
     partials = drop_empty_blocks(
         melted.groupby("__gb", num_partitions=num_partitions).map_groups(
             bucket_partial, batch_format="pandas"

@@ -547,6 +547,32 @@ def test_incremental_minhash_dedup_epochs(ray_session, tmp_path):
     ).to_pandas()
     assert sorted(s2b["doc_id"]) == sorted(s2["doc_id"])
 
+    # all-dropped epoch: every doc is a copy of history — the empty
+    # survivor set must not crash the index-write groupby
+    from cartography_ray.runtime import to_pandas_typed
+
+    e3 = pa.table(
+        {
+            "doc_id": pa.array(np.arange(2000, 2040, dtype=np.int64), pa.int64()),
+            "text": base,
+        }
+    )
+    s3 = to_pandas_typed(
+        incremental_minhash_dedup(
+            ray.data.from_arrow(e3), state, epoch=3, threshold=0.5
+        )
+    )
+    assert len(s3) == 0
+
+    # proven-empty input short-circuits to a typed empty result
+    s4 = to_pandas_typed(
+        incremental_minhash_dedup(
+            ray.data.from_arrow(e3).filter(lambda r: False).materialize(),
+            state, epoch=4, threshold=0.5,
+        )
+    )
+    assert len(s4) == 0 and list(s4.columns) == ["doc_id"]
+
 
 def test_minhash_fold_too_hot_falls_back(ray_session):
     """A dup-heavy corpus under the row/byte guards but over the in-task
@@ -595,6 +621,17 @@ def test_table_profile_counts_and_nulls(ray_session):
     assert out.loc["s"].tolist() == [5, 1, 2]
     assert out.loc["f"].tolist() == [5, 1, 3]
 
+    # signed zero: -0.0 and 0.0 are ONE distinct value (SQL semantics)
+    z = pa.table({"f": pa.array([0.0, -0.0, 1.0], pa.float64())})
+    zp = table_profile(ray.data.from_arrow(z), ["f"]).to_pandas()
+    assert zp["n_distinct"].tolist() == [2]
+
+    # fully-empty input: zero-count rows, no finalize crash
+    ep = table_profile(
+        ray.data.from_arrow(tbl).filter(lambda r: False), ["i", "s"]
+    ).to_pandas()
+    assert ep["n"].tolist() == [0, 0] and ep["n_distinct"].tolist() == [0, 0]
+
 
 def test_empty_measured_inputs_short_circuit(ray_session):
     """A PROVEN-empty measured input must return a typed empty result —
@@ -626,14 +663,17 @@ def test_empty_measured_inputs_short_circuit(ray_session):
     empty_in = ray.data.from_arrow(
         pa.schema([("g", pa.string()), ("v", pa.int64())]).empty_table()
     )
-    agg = to_pandas_typed(
-        partial_groupby_agg(
-            empty_in, "g", {"s": ("v", "sum"), "n": (None, "count")},
-            elide_small=True,
-        )
+    out_ds = partial_groupby_agg(
+        empty_in, "g", {"s": ("v", "sum"), "n": (None, "count")},
+        elide_small=True,
     )
+    agg = to_pandas_typed(out_ds)
     assert len(agg) == 0
     assert set(agg.columns) == {"g", "s", "n"}
+    # dtypes must survive the degenerate path (string key, not null)
+    sch = {f.name: f.type for b in [out_ds.schema()] for f in
+           (pa.schema(list(zip(b.names, b.types))) if b else pa.schema([]))}
+    assert str(sch["g"]) == "string" and str(sch["s"]) == "int64"
 
 
 def test_knn_lsh_indexed_partition_pruning(ray_session, tmp_path):
