@@ -172,6 +172,7 @@ def run_queries(sf_dir: str) -> dict:
         "docs_source_weights",
         "events_profile",
         "docs_budget_select",
+        "docs_incremental_minhash",
     ]
     out = {}
     for name in names:

@@ -409,7 +409,7 @@ def incremental_minhash_dedup(
             if os.path.basename(f) != f"epoch={epoch}.parquet"
         ]
 
-    def match_kernel(group: pd.DataFrame) -> pd.DataFrame:
+    def _match_one(group: pd.DataFrame) -> pd.DataFrame:
         bucket = int(group["__gb"].iloc[0])
         empty = pd.DataFrame({id_col: pd.Series(dtype="int64")})
         files = _bucket_files(bucket)
@@ -433,7 +433,16 @@ def incremental_minhash_dedup(
         hits = cand.loc[est >= threshold, "doc_id"].unique()
         return pd.DataFrame({id_col: hits.astype(np.int64)})
 
-    def write_kernel(group: pd.DataFrame) -> pd.DataFrame:
+    def match_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        # bucket-AGNOSTIC (local-merge contract): loops the real __gb
+        # values it was handed — one map_groups bucket or the whole
+        # measured-small union alike
+        outs = [_match_one(sub) for _, sub in group.groupby("__gb", sort=True)]
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    def _write_one(group: pd.DataFrame) -> pd.DataFrame:
         bucket = int(group["__gb"].iloc[0])
         bdir = os.path.join(state_dir, f"bucket={bucket}")
         os.makedirs(bdir, exist_ok=True)
@@ -456,21 +465,34 @@ def incremental_minhash_dedup(
         os.replace(tmp, os.path.join(bdir, f"epoch={epoch}.parquet"))
         return pd.DataFrame({"bucket": [bucket]})
 
-    from cartography_ray.ops.joins import _nonempty_or_none
+    def write_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        outs = [_write_one(sub) for _, sub in group.groupby("__gb", sort=True)]
+        if not outs:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    from cartography_ray.ops.joins import _local_or_shuffle, _nonempty_refs
 
     banded = ds.map_batches(
         band_bucket, batch_format="pyarrow", concurrency=concurrency
     ).materialize()
-    banded = _nonempty_or_none(banded)
-    if banded is None:  # proven-empty new batch: nothing to match/index
+    refs, n_rows, n_bytes = _nonempty_refs(banded)
+    if not refs:  # proven-empty new batch: nothing to match/index
         import ray.data as _rd
 
         return _rd.from_arrow(
             pa.schema([(id_col, pa.int64())]).empty_table()
         )
+    import ray.data as _rd
+
+    banded = _rd.from_arrow_refs(refs)
+    # both kernels are LINEAR in rows (the per-bucket history read is
+    # file-count-bounded) — a measured-small new batch matches and later
+    # writes in ONE task each instead of two hash shuffles
     dropped = drop_empty_blocks(
-        banded.groupby("__gb", num_partitions=parts).map_groups(
-            match_kernel, batch_format="pandas"
+        _local_or_shuffle(
+            refs, n_rows, n_bytes, match_kernel, parts,
+            batch_format="pandas", group_key="__gb",
         )
     ).materialize()
 
@@ -516,11 +538,12 @@ def incremental_minhash_dedup(
     # The write is a side effect; consume the tiny bucket-receipt rows.
     # Guard the proven-empty case (everything dropped against history):
     # a fully-empty groupby input crashes the hash-aggregator finalize.
-    surv_banded = _nonempty_or_none(surv_banded.materialize())
-    if surv_banded is not None:
+    s_refs, s_rows, s_bytes = _nonempty_refs(surv_banded)
+    if s_refs:
         drop_empty_blocks(
-            surv_banded.groupby("__gb", num_partitions=parts).map_groups(
-                write_kernel, batch_format="pandas"
+            _local_or_shuffle(
+                s_refs, s_rows, s_bytes, write_kernel, parts,
+                batch_format="pandas", group_key="__gb",
             )
         ).materialize()
     return survivors
