@@ -141,7 +141,17 @@ def partial_groupby_agg(
                     )
                     cols[out] = pa.array([], typ)
                 return ray.data.from_arrow(pa.table(cols))
-            # schema genuinely unknowable: legacy plan (documented risk)
+            # schema genuinely unknowable (e.g. an empty from_pandas →
+            # repartition chain loses it): a null-typed empty beats the
+            # legacy plan, which CRASHES on a fully-empty groupby —
+            # consumers of this degenerate path check emptiness, and
+            # callers needing exact dtypes pass empty_schema
+            cols = {k: pa.array([], pa.null()) for k in keys}
+            for out, (_, fn) in aggs.items():
+                cols[out] = pa.array(
+                    [], pa.int64() if fn == "count" else pa.null()
+                )
+            return ray.data.from_arrow(pa.table(cols))
         else:
             return drop_empty_blocks(
                 _local_or_shuffle(

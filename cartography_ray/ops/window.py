@@ -1206,6 +1206,8 @@ def ordered_budget_select(
     # whole upstream per consumer (actor pools included). One
     # object-store materialization (spillable) buys all three passes.
     ds = ds.materialize()
+    if ds.count() == 0:  # metadata-only on a materialized dataset
+        return ds
     hist = to_pandas_typed(
         partial_groupby_agg(
             ds, [score_col], {"__tot": (size_col, "sum")},
