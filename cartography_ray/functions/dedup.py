@@ -718,6 +718,70 @@ def _dedup_pairs(cand, num_buckets: int = 64, num_partitions: int | None = None)
     )
 
 
+def compact_dedup_index(state_dir: str, exclude_epochs: tuple = ()):
+    """Merge each bucket's per-epoch index files into ONE base file —
+    the maintenance pass a standing incremental-dedup pipeline runs so
+    per-ingest history reads stay O(1) files per bucket instead of
+    O(#epochs). Works on both incremental index layouts
+    (``incremental_exact_dedup``'s fingerprint files and
+    ``incremental_minhash_dedup``'s band/signature files): readers need
+    NO changes because the base file name ``epoch=base.parquet``
+    matches their ``epoch=*.parquet`` glob and can never collide with
+    an integer epoch name.
+
+    Crash-safe without coordination: the merged base is tmp+renamed
+    FIRST, the merged inputs deleted after — a crash in between leaves
+    duplicated rows, which both consumers treat idempotently
+    (set-membership / deduped hits), and re-running compaction
+    converges to one file. ``exclude_epochs`` skips in-flight epochs.
+    One Ray task per bucket (task-parallel, no shuffle; each task's
+    working set is one bucket's index — the same bound the readers
+    already assume).
+
+    Returns {"buckets": compacted, "files_merged": total}.
+    """
+    import glob as _glob
+    import os
+
+    import ray
+
+    skip = {f"epoch={e}.parquet" for e in exclude_epochs}
+
+    @ray.remote
+    def _compact_one(bdir: str) -> int:
+        import glob as _g
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq2
+
+        files = [
+            f
+            for f in sorted(_g.glob(_os.path.join(bdir, "epoch=*.parquet")))
+            if _os.path.basename(f) not in skip
+        ]
+        if len(files) <= 1:
+            return 0
+        t = _pa.concat_tables([_pq2.read_table(f) for f in files])
+        if t.column_names == ["fingerprint"]:
+            # exact layout: membership set — distinct rows suffice
+            t = t.group_by("fingerprint").aggregate([])
+        tmp = _os.path.join(bdir, ".epoch=base.parquet.tmp")
+        _pq2.write_table(t, tmp)
+        _os.replace(tmp, _os.path.join(bdir, "epoch=base.parquet"))
+        for f in files:
+            if _os.path.basename(f) != "epoch=base.parquet":
+                _os.remove(f)
+        return len(files)
+
+    buckets = sorted(_glob.glob(os.path.join(state_dir, "bucket=*")))
+    merged = ray.get([_compact_one.remote(b) for b in buckets])
+    return {
+        "buckets": sum(1 for m in merged if m),
+        "files_merged": int(sum(merged)),
+    }
+
+
 class _FoldTooHot(Exception):
     """Raised inside the minhash local fold when the measured pair
     workload (Σ per-band-bucket n²) is too superlinear for one task;

@@ -574,6 +574,64 @@ def test_incremental_minhash_dedup_epochs(ray_session, tmp_path):
     assert len(s4) == 0 and list(s4.columns) == ["doc_id"]
 
 
+def test_compact_dedup_index_preserves_semantics(ray_session, tmp_path):
+    """Compacting per-epoch index files into one base file changes
+    nothing the readers can observe: epoch-3 survivors equal an
+    uncompacted twin's, for BOTH incremental layouts; file counts drop
+    to one per touched bucket."""
+    import glob
+
+    import ray.data
+
+    from cartography_ray.functions.dedup import (
+        compact_dedup_index,
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+    )
+
+    # texts must be mutually DISSIMILAR (shared templates near-dup-match
+    # under minhash and the whole epoch gets dropped): random-ish token
+    # salad per doc, deterministic
+    rng = np.random.default_rng(5)
+    vocab = [f"w{k}" for k in range(400)]
+    texts = [
+        " ".join(rng.choice(vocab, size=30, replace=False)) for _ in range(30)
+    ]
+
+    def tbl(ids, txts):
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64), pa.int64()),
+                "text": txts,
+            }
+        )
+
+    for op, state_name in (
+        (incremental_exact_dedup, "ex"),
+        (incremental_minhash_dedup, "mh"),
+    ):
+        twin = {}
+        for variant in ("plain", "compacted"):
+            state = str(tmp_path / f"{state_name}_{variant}")
+            op(ray.data.from_arrow(tbl(range(10), texts[:10])), state, epoch=1,
+               num_buckets=4).materialize()
+            op(ray.data.from_arrow(tbl(range(10, 20), texts[10:20])), state, epoch=2,
+               num_buckets=4).materialize()
+            if variant == "compacted":
+                stats = compact_dedup_index(state)
+                assert stats["files_merged"] > 0
+                for bdir in glob.glob(f"{state}/bucket=*"):
+                    assert len(glob.glob(f"{bdir}/epoch=*.parquet")) == 1
+            # epoch 3: 5 copies of epoch-1 docs + 5 novel
+            e3 = tbl(
+                list(range(100, 105)) + list(range(200, 205)),
+                texts[:5] + texts[25:30],
+            )
+            out = op(ray.data.from_arrow(e3), state, epoch=3, num_buckets=4).to_pandas()
+            twin[variant] = sorted(out["doc_id"])
+        assert twin["plain"] == twin["compacted"] == list(range(200, 205))
+
+
 def test_minhash_fold_too_hot_falls_back(ray_session):
     """A dup-heavy corpus under the row/byte guards but over the in-task
     pair-workload guard (Σ per-bucket n² > 4e6) must fall back to the
