@@ -173,6 +173,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_profile",
         "docs_budget_select",
         "docs_incremental_minhash",
+        "emb_knn_pq",
     ]
     out = {}
     for name in names:

@@ -889,3 +889,202 @@ def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id",
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- product
+# quantization (the IVFPQ-style vector-compression scale path: m uint8
+# codes per vector instead of dim float32s — 32-64x memory, ADC scan)
+
+
+def train_pq_codebooks(
+    ds,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Train product-quantization codebooks: split each NORMALIZED
+    vector into ``m`` contiguous subspaces and k-means each subspace
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search" — public method). All m subspaces train in the SAME
+    streaming pass per Lloyd iteration: per-batch (sub, code) partial
+    sums folded driver-side, bounded by m × k × dsub floats — never the
+    corpus. Returns float64 codebooks of shape (m, k_eff, dsub).
+
+    Cosine works out exactly: for normalized q and x, q·x =
+    Σ_sub q_sub·x_sub, so ADC with per-subspace dot-product lookup
+    tables decomposes the true dot product — the ONLY approximation is
+    snapping x_sub to its nearest codeword.
+    """
+    import ray
+
+    seed_mat, _ = _hashmin_sample(ds, k, id_col, vec_col)
+    if seed_mat.size == 0:
+        return np.zeros((m, 0, 0))
+    seed_mat = _normalize(seed_mat)
+    dim = seed_mat.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    k_eff = min(k, seed_mat.shape[0])
+    # (m, k_eff, dsub): subspace s seeded from the sample's slice s
+    books = np.stack(
+        [seed_mat[:k_eff, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+
+    for _ in range(iters):
+        b_ref = ray.put(books)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            mat = _normalize(_matrix_of(batch, vec_col))
+            bk = ray.get(b_ref)
+            if mat.size == 0:
+                return pa.table(
+                    {
+                        "sub": pa.array([], pa.int64()),
+                        "code": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            subs, codes, cnts, sums = [], [], [], []
+            for s in range(m):
+                x = mat[:, s * dsub : (s + 1) * dsub]
+                # nearest codeword by euclidean == argmax dot - ||c||²/2
+                d = x @ bk[s].T - 0.5 * (bk[s] ** 2).sum(axis=1)[None, :]
+                assign = np.argmax(d, axis=1)
+                cids = np.unique(assign)
+                for cid in cids:
+                    sel = assign == cid
+                    subs.append(s)
+                    codes.append(int(cid))
+                    cnts.append(int(sel.sum()))
+                    sums.append(x[sel].sum(axis=0))
+            sm = np.asarray(sums)
+            return pa.table(
+                {
+                    "sub": pa.array(np.asarray(subs, np.int64), pa.int64()),
+                    "code": pa.array(np.asarray(codes, np.int64), pa.int64()),
+                    "cnt": pa.array(np.asarray(cnts, np.int64), pa.int64()),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sm.ravel(), pa.float64()), dsub
+                    ),
+                }
+            )
+
+        acc_sum = np.zeros((m, k_eff, dsub))
+        acc_cnt = np.zeros((m, k_eff), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            if not b.num_rows:
+                continue
+            su = b.column("sub").to_numpy(zero_copy_only=False)
+            co = b.column("code").to_numpy(zero_copy_only=False)
+            cn = b.column("cnt").to_numpy(zero_copy_only=False)
+            vs = _matrix_of(b, "vsum")
+            np.add.at(acc_sum, (su, co), vs)
+            np.add.at(acc_cnt, (su, co), cn)
+        nonzero = acc_cnt > 0
+        books = books.copy()
+        books[nonzero] = acc_sum[nonzero] / acc_cnt[nonzero][:, None]
+    return books
+
+
+def pq_encode(ds, codebooks, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Encode each vector as m uint8 codes (nearest codeword per
+    subspace of the normalized vector) — a stateless per-batch map; the
+    code table is what a 100-TB corpus persists (m bytes/vector)."""
+    import ray
+
+    m, k_eff, dsub = codebooks.shape
+    b_ref = ray.put(codebooks)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix_of(batch, vec_col))
+        bk = ray.get(b_ref)
+        n = mat.shape[0]
+        codes = np.zeros((n, m), dtype=np.uint8)
+        for s in range(m):
+            x = mat[:, s * dsub : (s + 1) * dsub]
+            d = x @ bk[s].T - 0.5 * (bk[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmax(d, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), m
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def knn_pq(
+    codes_ds,
+    codebooks,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+):
+    """Asymmetric-distance (ADC) top-k over a PQ-coded corpus: the query
+    stays FULL precision; per-subspace dot-product lookup tables (m × k_eff
+    floats, broadcast once) turn each candidate's similarity into m table
+    lookups + a sum — no decode, no float vectors in flight. Per-batch
+    top-k partials → driver merge (corpus never driver-resident), the
+    knn_brute pattern. Returns (rank, vec_id, sim6) rows; approximate by
+    design (codeword snapping), recall-tested against exact brute force.
+    """
+    import ray
+
+    m, k_eff, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-300)
+    # LUT[s, c] = q_sub(s) · codebook[s, c]
+    lut = np.stack(
+        [q[s * dsub : (s + 1) * dsub] @ codebooks[s].T for s in range(m)]
+    )
+    lut_ref = ray.put(lut)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        codes = _matrix_of(batch, "code").astype(np.int64)
+        lt = ray.get(lut_ref)
+        if not len(ids):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "sim6": pa.array([], pa.float64())}
+            )
+        sims = np.zeros(len(ids))
+        for s in range(m):
+            sims += lt[s, codes[:, s]]
+        sims = np.round(sims, 6)
+        order = np.lexsort((ids, -sims))[: min(k, len(ids))]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "sim6": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    cand = codes_ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim6": pa.array([], pa.float64()),
+            }
+        )
+    top = (
+        cand.sort_values(["sim6", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64), pa.int64()),
+            "vec_id": pa.array(top[id_col].to_numpy(np.int64), pa.int64()),
+            "sim6": pa.array(top["sim6"].to_numpy(np.float64), pa.float64()),
+        }
+    )

@@ -2890,6 +2890,29 @@ def q_emb_knn_ivf(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_emb_knn_pq(sf_dir: str):
+    """Product-quantization ANN (functions/ann: train_pq_codebooks →
+    pq_encode → knn_pq ADC scan): the vector-COMPRESSION scale path —
+    m uint8 codes per vector (32× under float32×64dim) with asymmetric-
+    distance lookup-table scans, next to the partition-pruning paths
+    (LSH/IVF indexes). Rows-only (codeword snapping is approximate and
+    k-means float sums are block-order-dependent); recall vs exact
+    brute force asserted in tests."""
+    rd = _rd()
+    from cartography_ray.functions.ann import (
+        knn_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    books = train_pq_codebooks(ds, m=8, k=64, iters=2)
+    codes = pq_encode(ds, books).materialize()  # consumed per query
+    qvec = _knn_queries(sf_dir)[0]
+    return knn_pq(codes, books, qvec, k=KNN_K)
+
+
 EMB_NEARDUP_TAU = 0.4
 # semantic-dedup drop set: broadcast the non-root member ids below this
 # count (same size-guarded contract as REVENUE_CUST_BROADCAST_LIMIT)
@@ -5253,6 +5276,7 @@ QUERIES: dict[str, Callable] = {
     "emb_mmr": q_emb_mmr,
     "emb_knn_lsh": q_emb_knn_lsh,
     "emb_knn_ivf": q_emb_knn_ivf,
+    "emb_knn_pq": q_emb_knn_pq,
     "emb_neardup": q_emb_neardup,
     "emb_pca": q_emb_pca,
     "emb_clusters": q_emb_clusters,

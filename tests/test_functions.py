@@ -574,6 +574,52 @@ def test_incremental_minhash_dedup_epochs(ray_session, tmp_path):
     assert len(s4) == 0 and list(s4.columns) == ["doc_id"]
 
 
+def test_pq_recall_and_fidelity(ray_session):
+    """Product quantization: ADC top-10 must recover most of the exact
+    brute-force top-10 (recall ≥ 0.6 at 256 codewords / 8 subspaces on
+    500 vecs ≈ 2 vecs per codeword), the ADC self-similarity of the
+    query's own row must be ≈1 within quantization error, and encoding
+    must be deterministic given fixed codebooks."""
+    import ray.data
+
+    from cartography_ray.functions.ann import (
+        knn_brute,
+        knn_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from cartography_ray.runtime import to_pandas_typed
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    books = train_pq_codebooks(ds, m=8, k=256, iters=3)
+    assert books.shape[0] == 8 and books.shape[2] == 8  # dim 64 / m 8
+    codes = pq_encode(ds, books).materialize()
+
+    import pyarrow.parquet as pq_
+    t = pq_.read_table(src)
+    qvec = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+
+    got = knn_pq(codes, books, qvec, k=10).to_pandas()
+    assert list(got["rank"]) == list(range(1, 11))
+    # self row: ADC sim of the query's own code ≈ 1 (quantization only)
+    self_sim = float(got.loc[got["vec_id"] == 0, "sim6"].iloc[0]) \
+        if (got["vec_id"] == 0).any() else 0.0
+    assert self_sim > 0.9
+
+    exact = to_pandas_typed(knn_brute(ds, {0: qvec}, k=10))
+    exact_ids = set(exact["neighbor_id"]) | {0}
+    overlap = len(set(got["vec_id"]) & exact_ids)
+    assert overlap >= 6, f"PQ recall too low: {overlap}/10"
+
+    # deterministic encoding under fixed codebooks
+    c1 = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    c2 = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    assert all(
+        np.array_equal(a, b) for a, b in zip(c1["code"], c2["code"])
+    )
+
+
 def test_compact_dedup_index_preserves_semantics(ray_session, tmp_path):
     """Compacting per-epoch index files into one base file changes
     nothing the readers can observe: epoch-3 survivors equal an
