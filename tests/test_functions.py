@@ -574,6 +574,70 @@ def test_incremental_minhash_dedup_epochs(ray_session, tmp_path):
     assert len(s4) == 0 and list(s4.columns) == ["doc_id"]
 
 
+def test_compact_dedup_index_crash_window(ray_session, tmp_path):
+    """The documented crash window — base file renamed, merged inputs
+    not yet deleted — leaves duplicate rows that consumers treat
+    idempotently, and re-running compaction converges to one file."""
+    import glob
+    import shutil
+
+    import ray.data
+
+    from cartography_ray.functions.dedup import (
+        compact_dedup_index,
+        incremental_exact_dedup,
+    )
+
+    state = str(tmp_path / "crash")
+    texts = [f"body {i} marker {i * 7}" for i in range(12)]
+    t1 = pa.table(
+        {
+            "doc_id": pa.array(np.arange(6, dtype=np.int64), pa.int64()),
+            "text": texts[:6],
+        }
+    )
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(np.arange(6, 12, dtype=np.int64), pa.int64()),
+            "text": texts[6:],
+        }
+    )
+    incremental_exact_dedup(ray.data.from_arrow(t1), state, epoch=1,
+                            num_buckets=2).materialize()
+    incremental_exact_dedup(ray.data.from_arrow(t2), state, epoch=2,
+                            num_buckets=2).materialize()
+    # snapshot an epoch file, compact, then restore it — simulating a
+    # crash after the base rename but before the deletes
+    bdir = sorted(glob.glob(f"{state}/bucket=*"))[0]
+    victim = sorted(glob.glob(f"{bdir}/epoch=*.parquet"))[0]
+    saved = str(tmp_path / "saved.parquet")
+    shutil.copy(victim, saved)
+    compact_dedup_index(state)
+    shutil.copy(saved, victim)  # the crash left this behind
+    assert len(glob.glob(f"{bdir}/epoch=*.parquet")) == 2
+
+    # consumers are unaffected by the duplicate rows (set membership):
+    # an epoch-3 rerun of epoch-1 copies drops them all
+    e3 = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, 106, dtype=np.int64), pa.int64()),
+            "text": texts[:6],
+        }
+    )
+    out = incremental_exact_dedup(
+        ray.data.from_arrow(e3), state, epoch=3, num_buckets=2
+    ).to_pandas()
+    assert len(out) == 0
+    # re-running compaction converges back to one file per bucket
+    compact_dedup_index(state, exclude_epochs=(3,))
+    for b in glob.glob(f"{state}/bucket=*"):
+        files = [
+            f for f in glob.glob(f"{b}/epoch=*.parquet")
+            if not f.endswith("epoch=3.parquet")
+        ]
+        assert len(files) == 1
+
+
 def test_pq_recall_and_fidelity(ray_session):
     """Product quantization: ADC top-10 must recover most of the exact
     brute-force top-10 (recall ≥ 0.6 at 256 codewords / 8 subspaces on
