@@ -379,10 +379,13 @@ def cohort_retention(ds, key: str, day_col: str,
         .groupby("__gb", num_partitions=num_partitions)
         .map_groups(kernel, batch_format="pandas")
     )
-    # each (key, day) row is one distinct active user in its cell
+    # each (key, day) row is one distinct active user in its cell;
+    # cells is already materialized (drop_empty_blocks), so the grid
+    # fold (≤ days² rows post-combine) takes the free local-merge
+    # elision instead of a second full shuffle
     return partial_groupby_agg(
         cells, ["cohort_day", "age_days"], {"users": (None, "count")},
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, elide_small=True,
     )
 
 
