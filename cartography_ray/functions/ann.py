@@ -919,6 +919,11 @@ def train_pq_codebooks(
     """
     import ray
 
+    # codes are uint8 by contract (pq_encode) — k beyond 256 would wrap
+    # silently and encode every high codeword as the wrong one (a
+    # correctness guard, so a raise rather than an assert)
+    if not 1 <= k <= 256:
+        raise ValueError(f"PQ codebook size k={k} must be in [1, 256] (uint8 codes)")
     seed_mat, _ = _hashmin_sample(ds, k, id_col, vec_col)
     if seed_mat.size == 0:
         return np.zeros((m, 0, 0))

@@ -248,6 +248,16 @@ def incremental_exact_dedup(
         for f in sorted(_glob.glob(os.path.join(bdir, "epoch=*.parquet"))):
             if os.path.basename(f) == f"epoch={epoch}.parquet":
                 continue  # current epoch: ignored for idempotent reruns
+            if os.path.basename(f) == "epoch=base.parquet":
+                # compacted base: per-row epoch provenance keeps the
+                # rerun contract — skip rows THIS epoch contributed
+                t = _pq.read_table(f)
+                if "epoch" in t.column_names:
+                    t = t.filter(
+                        pc.not_equal(t.column("epoch"), pa.scalar(epoch, pa.int64()))
+                    )
+                hist.append(t.column("fingerprint"))
+                continue
             hist.append(_pq.read_table(f, columns=["fingerprint"]).column("fingerprint"))
         fps = pa.array(new["fingerprint"].to_numpy(), pa.string())
         if hist:
@@ -415,12 +425,24 @@ def incremental_minhash_dedup(
         files = _bucket_files(bucket)
         if not files:
             return empty
+        def _read_hist(f: str) -> pd.DataFrame:
+            if os.path.basename(f) == "epoch=base.parquet":
+                # compacted base: skip rows THIS epoch contributed so
+                # reruns of an already-compacted epoch stay idempotent
+                t = _pq.read_table(f)
+                if "epoch" in t.column_names:
+                    t = t.filter(
+                        pc.not_equal(
+                            t.column("epoch"), pa.scalar(epoch, pa.int64())
+                        )
+                    )
+                return t.select(["band", "band_hash", "sig"]).to_pandas()
+            return _pq.read_table(
+                f, columns=["band", "band_hash", "sig"]
+            ).to_pandas()
+
         hist = pd.concat(
-            [
-                _pq.read_table(f, columns=["band", "band_hash", "sig"]).to_pandas()
-                for f in files
-            ],
-            ignore_index=True,
+            [_read_hist(f) for f in files], ignore_index=True
         )
         cand = group.merge(
             hist, on=["band", "band_hash"], suffixes=("", "_h")
@@ -729,14 +751,23 @@ def compact_dedup_index(state_dir: str, exclude_epochs: tuple = ()):
     matches their ``epoch=*.parquet`` glob and can never collide with
     an integer epoch name.
 
-    Crash-safe without coordination: the merged base is tmp+renamed
-    FIRST, the merged inputs deleted after — a crash in between leaves
-    duplicated rows, which both consumers treat idempotently
-    (set-membership / deduped hits), and re-running compaction
-    converges to one file. ``exclude_epochs`` skips in-flight epochs.
-    One Ray task per bucket (task-parallel, no shuffle; each task's
-    working set is one bucket's index — the same bound the readers
-    already assume).
+    The base PRESERVES per-row epoch provenance (an ``epoch`` column
+    derived from each merged file's name), so the per-epoch
+    rerun-idempotency contract survives compaction: a reader excluding
+    epoch N skips both the ``epoch=N.parquet`` file AND the base rows
+    tagged N — re-running an already-compacted epoch still yields its
+    original survivors instead of dropping everything against itself.
+
+    Crash-safe against KILLS, not concurrent writers: the merged base
+    is tmp+renamed FIRST (unique tmp name per run), the merged inputs
+    deleted after — a crash in between leaves duplicated rows, which
+    both consumers treat idempotently, and re-running compaction
+    converges. A per-bucket flock serializes compactors on one host;
+    run ONE compactor per state_dir across hosts (the same
+    single-writer contract the epoch writers already have per epoch).
+    ``exclude_epochs`` skips in-flight epochs. One Ray task per bucket
+    (task-parallel, no shuffle; each task's working set is one
+    bucket's index — the same bound the readers already assume).
 
     Returns {"buckets": compacted, "files_merged": total}.
     """
@@ -749,30 +780,50 @@ def compact_dedup_index(state_dir: str, exclude_epochs: tuple = ()):
 
     @ray.remote
     def _compact_one(bdir: str) -> int:
+        import fcntl
         import glob as _g
         import os as _os
+        import uuid as _uuid
 
         import pyarrow as _pa
         import pyarrow.parquet as _pq2
 
-        files = [
-            f
-            for f in sorted(_g.glob(_os.path.join(bdir, "epoch=*.parquet")))
-            if _os.path.basename(f) not in skip
-        ]
-        if len(files) <= 1:
-            return 0
-        t = _pa.concat_tables([_pq2.read_table(f) for f in files])
-        if t.column_names == ["fingerprint"]:
-            # exact layout: membership set — distinct rows suffice
-            t = t.group_by("fingerprint").aggregate([])
-        tmp = _os.path.join(bdir, ".epoch=base.parquet.tmp")
-        _pq2.write_table(t, tmp)
-        _os.replace(tmp, _os.path.join(bdir, "epoch=base.parquet"))
-        for f in files:
-            if _os.path.basename(f) != "epoch=base.parquet":
-                _os.remove(f)
-        return len(files)
+        with open(_os.path.join(bdir, ".compact.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            files = [
+                f
+                for f in sorted(_g.glob(_os.path.join(bdir, "epoch=*.parquet")))
+                if _os.path.basename(f) not in skip
+            ]
+            if len(files) <= 1:
+                return 0
+            parts = []
+            for f in files:
+                t = _pq2.read_table(f)
+                if "epoch" not in t.column_names:
+                    ep = int(
+                        _os.path.basename(f)[len("epoch=") : -len(".parquet")]
+                    )
+                    t = t.append_column(
+                        "epoch",
+                        _pa.array([ep] * t.num_rows, _pa.int64()),
+                    )
+                parts.append(t)
+            t = _pa.concat_tables(parts)
+            if sorted(t.column_names) == ["epoch", "fingerprint"]:
+                # exact layout: membership set — one row per fingerprint;
+                # each fingerprint was written by exactly one epoch (it
+                # only enters the index when NOVEL), so min() is that
+                # epoch, not a choice
+                t = t.group_by("fingerprint").aggregate([("epoch", "min")])
+                t = t.rename_columns(["fingerprint", "epoch"])
+            tmp = _os.path.join(bdir, f".base-{_uuid.uuid4().hex[:8]}.tmp")
+            _pq2.write_table(t, tmp)
+            _os.replace(tmp, _os.path.join(bdir, "epoch=base.parquet"))
+            for f in files:
+                if _os.path.basename(f) != "epoch=base.parquet":
+                    _os.remove(f)
+            return len(files)
 
     buckets = sorted(_glob.glob(os.path.join(state_dir, "bucket=*")))
     merged = ray.get([_compact_one.remote(b) for b in buckets])

@@ -2906,7 +2906,9 @@ def q_emb_knn_pq(sf_dir: str):
     )
 
     src = f"{sf_dir}/embeddings.parquet"
-    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    # fan-out rule: sampling + 2 Lloyd passes + encode = 4 consumers of
+    # the same input — materialize once instead of 4 parquet re-reads
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding"]).materialize()
     books = train_pq_codebooks(ds, m=8, k=64, iters=2)
     codes = pq_encode(ds, books).materialize()  # consumed per query
     qvec = _knn_queries(sf_dir)[0]

@@ -739,6 +739,17 @@ def test_compact_dedup_index_preserves_semantics(ray_session, tmp_path):
             )
             out = op(ray.data.from_arrow(e3), state, epoch=3, num_buckets=4).to_pandas()
             twin[variant] = sorted(out["doc_id"])
+            if variant == "compacted":
+                # rerun-idempotency survives compaction of the rerun
+                # epoch itself: merge epoch 3 into the base, rerun
+                # epoch 3 — the base's epoch-tagged rows are excluded,
+                # so survivors are unchanged (not dropped against
+                # themselves)
+                compact_dedup_index(state)
+                rerun = op(
+                    ray.data.from_arrow(e3), state, epoch=3, num_buckets=4
+                ).to_pandas()
+                assert sorted(rerun["doc_id"]) == twin[variant]
         assert twin["plain"] == twin["compacted"] == list(range(200, 205))
 
 
