@@ -219,26 +219,36 @@ def main() -> None:
         sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "kg_pipeline_sec",
-                "value": round(headline["sec"], 3),
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": sf,
-                "num_cpus": NUM_CPUS,
-                "turns": headline["turns"],
-                "turns_per_sec": headline["turns_per_sec"],
-                "timings": headline["timings"],
-                **(
-                    {"headline_runs_sec": headline["runs_sec"]}
-                    if "runs_sec" in headline
-                    else {}
-                ),
-            }
+    # The driver captures only the last ~2000 chars of stdout; the 70+-entry
+    # per-query map blew past that in round 4 ("parsed": null). Print a
+    # compact line and write the full per-query detail to a sidecar file.
+    compact = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "turns": headline["turns"],
+        "turns_per_sec": headline["turns_per_sec"],
+        "timings": {k: round(v, 2) for k, v in headline["timings"].items()},
+        **(
+            {"headline_runs_sec": headline["runs_sec"]}
+            if "runs_sec" in headline
+            else {}
+        ),
+    }
+    if qtimes:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
-    )
+        with open(detail_path, "w") as f:
+            json.dump({**compact, "queries": qtimes}, f, indent=1, sort_keys=True)
+        compact["queries_detail"] = detail_path
+        compact["queries_n"] = len(qtimes)
+        compact["queries_total_sec"] = round(sum(qtimes.values()), 1)
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"bench line too long for driver tail: {len(line)}"
+    print(line)
     ray.shutdown()
 
 

@@ -46,6 +46,52 @@ def _with_bucket(df: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.Data
     return df
 
 
+def _with_bucket_arrow(t, keys: list[str], num_buckets: int):
+    """Arrow-native twin of ``_with_bucket`` for the placement-only tag
+    stages: hashes ONLY the key columns (the pandas conversion is
+    limited to them — payload columns never pay an Arrow→pandas→Arrow
+    round-trip) and appends ``__gb`` to the zero-copy Arrow batch. The
+    grouped kernels key on the REAL columns, so ``__gb`` only controls
+    placement; schema metadata is stripped to keep block schemas
+    hashable (ops.agg._to_clean_arrow's rationale)."""
+    import pyarrow as pa
+
+    h = pd.util.hash_pandas_object(
+        t.select(keys).to_pandas(), index=False
+    ).to_numpy()
+    return t.append_column(
+        "__gb", pa.array((h % num_buckets).astype("int64"))
+    ).replace_schema_metadata(None)
+
+
+def _bucket_tagged(ds, keys: list[str] | str, num_buckets: int):
+    """``ds`` with ``__gb`` appended — the Arrow-native bucket-tag stage
+    shared by every windowed operator whose pre-shuffle step is pure
+    hash-and-append (the grouped kernels stay pandas, where they earn
+    the conversion)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return ds.map_batches(
+        lambda t: _with_bucket_arrow(t, keys, num_buckets),
+        batch_format="pyarrow",
+    )
+
+
+def _ts_us_np(t, ts_col: str) -> np.ndarray:
+    ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+    if np.issubdtype(ts.dtype, np.datetime64):
+        return ts.astype("datetime64[us]").astype("int64")
+    return ts.astype("int64")
+
+
+def _with_chunk_arrow(t, ts_col: str, chunk_us: int):
+    """Append the hot-key time-chunk id (``ts // chunk_us``) in Arrow."""
+    import pyarrow as pa
+
+    return t.append_column(
+        "__chunk", pa.array(_ts_us_np(t, ts_col) // chunk_us, pa.int64())
+    )
+
+
 def _rebased_seq(new_key: np.ndarray, new_session: np.ndarray) -> np.ndarray:
     """1-based per-key session ids from break masks (vectorized): global
     cumsum, then rebase each key to 1 at its first row."""
@@ -90,12 +136,10 @@ def sessionize(
     order_cols = list(order_cols or [])
     part_keys = [key] if chunk_us is None else [key, "__chunk"]
 
-    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
+    def tag(t):
         if chunk_us is not None:
-            ts_us = batch[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
-            batch = batch.copy()
-            batch["__chunk"] = ts_us // chunk_us
-        return _to_clean_arrow(_with_bucket(batch, part_keys, num_buckets))
+            t = _with_chunk_arrow(t, ts_col, chunk_us)
+        return _with_bucket_arrow(t, part_keys, num_buckets)
 
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
         pdf = group.sort_values([*part_keys, ts_col, *order_cols], kind="mergesort")
@@ -129,9 +173,6 @@ def sessionize(
             }
         ).reset_index(drop=True)
         return _to_clean_arrow(out)
-
-    def merge_tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
 
     def merge_kernel(group: pd.DataFrame) -> "pd.DataFrame":
         # per-key sessions are time-disjoint with strictly increasing
@@ -168,7 +209,7 @@ def sessionize(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
     local = drop_empty_blocks(
         tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
             kernel, batch_format="pandas"
@@ -178,7 +219,7 @@ def sessionize(
         return local
     # pass 2: session-summary rows only (output-sized); seq within a
     # (key, chunk) is discarded — merge_kernel renumbers globally per key
-    resharded = local.map_batches(merge_tag, batch_format="pandas")
+    resharded = _bucket_tagged(local, [key], num_buckets)
     return drop_empty_blocks(
         resharded.groupby("__gb", num_partitions=num_partitions).map_groups(
             merge_kernel, batch_format="pandas"
@@ -253,9 +294,6 @@ def with_lag(
     shuffle on ``key``, vectorized shift per bucket.
     """
 
-    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
-
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
         pdf = (
             group.drop(columns="__gb")
@@ -271,7 +309,7 @@ def with_lag(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
+    tagged = _bucket_tagged(ds, [key], num_buckets)
     return drop_empty_blocks(
         tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
             kernel, batch_format="pandas"
@@ -308,9 +346,6 @@ def rolling_sum(
     if window_rows < 1:
         raise ValueError("window_rows must be >= 1")
 
-    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
-
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
         pdf = (
             group.drop(columns="__gb")
@@ -329,7 +364,7 @@ def rolling_sum(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
+    tagged = _bucket_tagged(ds, [key], num_buckets)
     return drop_empty_blocks(
         tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
             kernel, batch_format="pandas"
@@ -414,9 +449,6 @@ def funnel_counts(ds, key: str, step_col: str, steps: list[str],
 
     steps = list(steps)
 
-    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
-
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
         pdf = (
             group.drop(columns="__gb")
@@ -447,7 +479,7 @@ def funnel_counts(ds, key: str, step_col: str, steps: list[str],
         return _to_clean_arrow(out)
 
     partials = drop_empty_blocks(
-        ds.map_batches(tag, batch_format="pandas")
+        _bucket_tagged(ds, [key], num_buckets)
         .groupby("__gb", num_partitions=num_partitions)
         .map_groups(kernel, batch_format="pandas")
     )
@@ -713,9 +745,6 @@ def running_sum(
 
     if chunk_us is None:
 
-        def tag(batch: pd.DataFrame) -> "pd.DataFrame":
-            return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
-
         def kernel(group: pd.DataFrame) -> "pd.DataFrame":
             pdf = (
                 group.drop(columns="__gb")
@@ -725,7 +754,7 @@ def running_sum(
             pdf[out_col] = pdf.groupby(key, sort=False)[value_col].cumsum()
             return _to_clean_arrow(pdf)
 
-        tagged = ds.map_batches(tag, batch_format="pandas")
+        tagged = _bucket_tagged(ds, [key], num_buckets)
         return drop_empty_blocks(
             tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
                 kernel, batch_format="pandas"
@@ -743,18 +772,8 @@ def running_sum(
         else prefix_broadcast_limit
     )
 
-    def with_chunk(batch: pd.DataFrame) -> pd.DataFrame:
-        ts = batch[tsc].to_numpy()
-        if np.issubdtype(ts.dtype, np.datetime64):
-            ts = ts.astype("datetime64[us]").astype("int64")
-        else:
-            ts = ts.astype("int64")
-        batch = batch.copy()
-        batch["__chunk"] = ts // chunk_us
-        return batch
-
     chunked = ds.map_batches(
-        lambda b: _to_clean_arrow(with_chunk(b)), batch_format="pandas"
+        lambda t: _with_chunk_arrow(t, tsc, chunk_us), batch_format="pyarrow"
     )
     # cell totals: per-batch combiner first → the exchange is cell-sized
     cells = partial_groupby_agg(
@@ -764,9 +783,6 @@ def running_sum(
         num_buckets=num_buckets,
         num_partitions=num_partitions,
     )
-
-    def prefix_tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
 
     def prefix_kernel(group: pd.DataFrame) -> "pd.DataFrame":
         pdf = (
@@ -779,15 +795,17 @@ def running_sum(
         return _to_clean_arrow(pdf[[key, "__chunk", "__prefix"]])
 
     prefixes = drop_empty_blocks(
-        cells.map_batches(prefix_tag, batch_format="pandas")
+        _bucket_tagged(cells, [key], num_buckets)
         .groupby("__gb", num_partitions=num_partitions)
         .map_groups(prefix_kernel, batch_format="pandas")
     ).materialize()
 
-    def cell_tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(with_chunk(batch), [key, "__chunk"], num_buckets))
+    def cell_tag(t):
+        return _with_bucket_arrow(
+            _with_chunk_arrow(t, tsc, chunk_us), [key, "__chunk"], num_buckets
+        )
 
-    tagged = ds.map_batches(cell_tag, batch_format="pandas")
+    tagged = ds.map_batches(cell_tag, batch_format="pyarrow")
 
     if prefixes.count() <= limit:
         pdf_prefix = prefixes.to_pandas()
@@ -865,9 +883,6 @@ def with_ntile(
     deterministic (oracle-stable) tiling.
     """
 
-    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
-
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
         pdf = (
             group.drop(columns="__gb")
@@ -889,7 +904,7 @@ def with_ntile(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
+    tagged = _bucket_tagged(ds, [key], num_buckets)
     return drop_empty_blocks(
         tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
             kernel, batch_format="pandas"
@@ -920,9 +935,6 @@ def with_rank(
     """
     if not (rank_col or dense_col or rownum_col):
         raise ValueError("with_rank: request at least one output column")
-
-    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
 
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
         pdf = (
@@ -960,7 +972,7 @@ def with_rank(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
+    tagged = _bucket_tagged(ds, [key], num_buckets)
     return drop_empty_blocks(
         tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
             kernel, batch_format="pandas"
@@ -992,9 +1004,6 @@ def interval_union(
     result is deterministic without a total order.
     """
 
-    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
-
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
         pdf = (
             group.drop(columns="__gb")
@@ -1022,7 +1031,7 @@ def interval_union(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
+    tagged = _bucket_tagged(ds, [key], num_buckets)
     return drop_empty_blocks(
         tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
             kernel, batch_format="pandas"
@@ -1106,9 +1115,6 @@ def gap_fill(
     not a per-key python loop.
     """
 
-    def tag(batch: pd.DataFrame) -> "pd.DataFrame":
-        return _to_clean_arrow(_with_bucket(batch, [key], num_buckets))
-
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
         pdf = group.drop(columns="__gb")
         agg = (
@@ -1134,7 +1140,7 @@ def gap_fill(
 
     from cartography_ray.runtime import drop_empty_blocks
 
-    tagged = drop_empty_blocks(ds).map_batches(tag, batch_format="pandas")
+    tagged = _bucket_tagged(drop_empty_blocks(ds), [key], num_buckets)
     return drop_empty_blocks(
         tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
             kernel, batch_format="pandas"

@@ -60,6 +60,23 @@ def _parts_for(*paths: str) -> int | None:
         return None
 
 
+def _parts_for_rows(*paths: str, scale: float = 1.0) -> int | None:
+    """Shuffle-partition hint from parquet FOOTER row counts — for
+    exchanges whose volume is key-domain-sized (post-combiner groupbys,
+    dimension-keyed joins) rather than input-byte-sized.  ``scale``
+    adjusts when the keyed output is a known multiple of the footer rows
+    (e.g. a gap-filled grid ≈ 2× the sparse series)."""
+    from cartography_ray.runtime import shuffle_partitions
+
+    try:
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:
+        return None
+    return shuffle_partitions(n_rows=int(rows * scale))
+
+
 # --------------------------------------------------------------------------
 # Relational operator family (TPC-H-ish; strong oracles over driver views)
 # --------------------------------------------------------------------------
@@ -480,12 +497,15 @@ def q_cust_orders_events_outer(sf_dir: str):
     # the per-batch combiner collapses each block to key-domain-sized
     # partials BEFORE the exchange, so sizing these shuffles from input
     # bytes (_parts_for) over-partitions them — measured 10.0 → 5.8 s at
-    # sf0.1 from pinning both to the key-domain-sized partition count
+    # sf0.1. The key domain here is the customer id space, which grows
+    # ∝ SF: size the shuffles from the customer table's footer row count
+    # (8 at bench scale, proportional at 100×) instead of a constant.
+    key_parts = _parts_for_rows(f"{sf_dir}/customer.parquet")
     left = partial_groupby_agg(
         orders.map_batches(prep_o, batch_format="pyarrow"),
         ["key"],
         {"n_orders": (None, "count"), "sum_urgent_cents": ("cents", "sum")},
-        num_partitions=8,
+        num_partitions=key_parts,
     )
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
 
@@ -496,7 +516,7 @@ def q_cust_orders_events_outer(sf_dir: str):
         events.map_batches(prep_e, batch_format="pyarrow"),
         ["key"],
         {"n_events": (None, "count")},
-        num_partitions=8,
+        num_partitions=key_parts,
     )
     j = hash_join(
         left,
@@ -508,7 +528,7 @@ def q_cust_orders_events_outer(sf_dir: str):
              ("sum_urgent_cents", pa.int64())]
         ),
         right_schema=pa.schema([("key", pa.int64()), ("n_events", pa.int64())]),
-        num_partitions=8,  # key-domain-sized by construction
+        num_partitions=key_parts,  # key-domain-sized by construction
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -609,13 +629,15 @@ def q_events_gapfill(sf_dir: str):
         num_partitions=_parts_for(f"{sf_dir}/events.parquet"),
     )
     # the filled series is slot-range-sized (types × slots), tiny next
-    # to the event table — a handful of buckets suffices
+    # to the event table — size the exchange from the sparse series'
+    # upper bound (≈2× footer rows covers the densified grid at every
+    # observed SF; the cluster cap in shuffle_partitions bounds it above)
     return gap_fill(
         sparse,
         key="event_type",
         bucket_col="slot",
         value_cols=["n_events", "sum_value_cents"],
-        num_partitions=8,
+        num_partitions=_parts_for_rows(f"{sf_dir}/events.parquet", scale=2.0),
     )
 
 
@@ -3462,11 +3484,17 @@ def _kg_mentions_ds(sf_dir: str):
 
 
 def _kg_labels(sf_dir: str, mentions):
+    from cartography_ray.runtime import known_input_bytes, shuffle_partitions
     from cartography_ray.stages.canonicalize import connected_components
     from cartography_ray.stages.link import alias_edges_batch
 
     alias_edges = mentions.map_batches(alias_edges_batch, batch_format="pyarrow")
-    return connected_components(alias_edges, num_partitions=8)
+    # alias edges are a subset of the (file-backed, checkpointed) mention
+    # table — size the CC exchanges from its footprint instead of a
+    # constant so the partition count grows with the corpus (8 at bench
+    # scale; the distinct-aliased-key domain grows ∝ SF)
+    parts = shuffle_partitions(n_bytes=known_input_bytes(mentions)) or 16
+    return connected_components(alias_edges, num_partitions=parts)
 
 
 def q_kg_turns(sf_dir: str):
@@ -5208,6 +5236,69 @@ SELECT node, hops FROM d{hops}
 
 
 QUERIES: dict[str, Callable] = {
+    # Ordering contract: the driver gates only the FIRST 50 entries, so
+    # never-driver-checked oracled entries lead, then entries last checked
+    # in round 3, then round-4-green entries; approximate rows-only
+    # entries (no oracle by design) sit at the end so no gate slot is
+    # spent on a permanent no_oracle row.  (VERDICT r04 next-round #2)
+    # --- never driver-checked (oracled) ---
+    # (kg_pagerank's r03 row was no_oracle — its oracle landed in r04
+    # outside the window, so it has never been driver hash-checked)
+    "kg_pagerank": q_kg_pagerank,
+    "docs_packed": q_docs_packed,
+    "docs_span_dedup": q_docs_span_dedup,
+    "docs_span_dedup_hashed": q_docs_span_dedup_hashed,
+    "docs_pruned": q_docs_pruned,
+    "docs_decontam": q_docs_decontam,
+    "docs_decontam_joined": q_docs_decontam_joined,
+    "docs_incremental_dedup": q_docs_incremental_dedup,
+    "docs_mix": q_docs_mix,
+    "docs_source_weights": q_docs_source_weights,
+    "emb_semantic_dedup": q_emb_semantic_dedup,
+    "kg_pii_redacted": q_kg_pii_redacted,
+    "kg_domains": q_kg_domains,
+    "kg_triangles": q_kg_triangles,
+    "events_retention": q_events_retention,
+    "events_funnel": q_events_funnel,
+    "events_rolling": q_events_rolling,
+    "events_rank": q_events_rank,
+    "docs_bigrams": q_docs_bigrams,
+    "events_user_mode": q_events_user_mode,
+    "events_coverage": q_events_coverage,
+    "customers_fuzzy_names": q_customers_fuzzy_names,
+    "kg_kcore": q_kg_kcore,
+    "kg_reach": q_kg_reach,
+    "events_user_path": q_events_user_path,
+    "events_outliers": q_events_outliers,
+    "regional_supplier_revenue": q_regional_supplier_revenue,
+    "shipping_priority": q_shipping_priority,
+    "kg_top_partners": q_kg_top_partners,
+    "customers_fuzzy_clusters": q_customers_fuzzy_clusters,
+    "docs_dup_clusters": q_docs_dup_clusters,
+    "docs_lang_routed": q_docs_lang_routed,
+    "events_corr": q_events_corr,
+    "events_histogram": q_events_histogram,
+    # --- last driver-checked in round 3 ---
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_dup_edges": q_docs_dup_edges,
+    "docs_jaccard_pairs": q_docs_jaccard_pairs,
+    "docs_clean_corpus": q_docs_clean_corpus,
+    "emb_knn": q_emb_knn,
+    "emb_neardup": q_emb_neardup,
+    "fuzzy_match_parts": q_fuzzy_match_parts,
+    "one_to_many_part_words": q_one_to_many_part_words,
+    "events_props_k": q_events_props_k,
+    "load_customers": q_load_customers,
+    "ont_project_customers": q_ont_project_customers,
+    "ont_users_merged": q_ont_users_merged,
+    "kg_turns": q_kg_turns,
+    "kg_mentions": q_kg_mentions,
+    "kg_entities": q_kg_entities,
+    "kg_alias_components": q_kg_alias_components,
+    "kg_conversations": q_kg_conversations,
+    "kg_triples": q_kg_triples,
+    "kg_co_mentions": q_kg_co_mentions,
+    # --- driver-green in round 4 ---
     "pricing_summary": q_pricing_summary,
     "lineitem_rollup": q_lineitem_rollup,
     "lineitem_cube": q_lineitem_cube,
@@ -5245,7 +5336,6 @@ QUERIES: dict[str, Callable] = {
     "events_stratified": q_events_stratified,
     "events_distinct_users": q_events_distinct_users,
     "events_profile": q_events_profile,
-    "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_stats": q_docs_stats,
     "docs_budget_select": q_docs_budget_select,
     "docs_langid": q_docs_langid,
@@ -5258,70 +5348,19 @@ QUERIES: dict[str, Callable] = {
     "docs_lm_score": q_docs_lm_score,
     "docs_chunks": q_docs_chunks,
     "docs_repetition": q_docs_repetition,
-    "docs_packed": q_docs_packed,
-    "docs_span_dedup": q_docs_span_dedup,
-    "docs_span_dedup_hashed": q_docs_span_dedup_hashed,
-    "docs_pruned": q_docs_pruned,
-    "docs_decontam": q_docs_decontam,
-    "docs_decontam_joined": q_docs_decontam_joined,
-    "docs_exact_dedup": q_docs_exact_dedup,
-    "docs_incremental_dedup": q_docs_incremental_dedup,
+    # --- approximate / rows-only (no oracle by design) ---
+    "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
-    "docs_mix": q_docs_mix,
-    "docs_source_weights": q_docs_source_weights,
-    "docs_dup_edges": q_docs_dup_edges,
-    "docs_jaccard_pairs": q_docs_jaccard_pairs,
-    "docs_clean_corpus": q_docs_clean_corpus,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash_pairs": q_docs_simhash_pairs,
-    "emb_knn": q_emb_knn,
     "emb_mmr": q_emb_mmr,
     "emb_knn_lsh": q_emb_knn_lsh,
     "emb_knn_ivf": q_emb_knn_ivf,
     "emb_knn_pq": q_emb_knn_pq,
-    "emb_neardup": q_emb_neardup,
     "emb_pca": q_emb_pca,
     "emb_clusters": q_emb_clusters,
-    "emb_semantic_dedup": q_emb_semantic_dedup,
-    "fuzzy_match_parts": q_fuzzy_match_parts,
-    "one_to_many_part_words": q_one_to_many_part_words,
-    "events_props_k": q_events_props_k,
-    "load_customers": q_load_customers,
-    "ont_project_customers": q_ont_project_customers,
-    "ont_users_merged": q_ont_users_merged,
-    "kg_turns": q_kg_turns,
-    "kg_pii_redacted": q_kg_pii_redacted,
-    "kg_domains": q_kg_domains,
-    "kg_mentions": q_kg_mentions,
-    "kg_entities": q_kg_entities,
-    "kg_alias_components": q_kg_alias_components,
-    "kg_conversations": q_kg_conversations,
-    "kg_triples": q_kg_triples,
-    "kg_co_mentions": q_kg_co_mentions,
-    "kg_pagerank": q_kg_pagerank,
-    "kg_triangles": q_kg_triangles,
-    "events_retention": q_events_retention,
-    "events_funnel": q_events_funnel,
-    "events_rolling": q_events_rolling,
-    "events_rank": q_events_rank,
-    "docs_bigrams": q_docs_bigrams,
-    "events_user_mode": q_events_user_mode,
-    "events_coverage": q_events_coverage,
-    "customers_fuzzy_names": q_customers_fuzzy_names,
-    "kg_kcore": q_kg_kcore,
-    "kg_reach": q_kg_reach,
-    "events_user_path": q_events_user_path,
     "docs_bpe_merges": q_docs_bpe_merges,
-    "events_outliers": q_events_outliers,
-    "regional_supplier_revenue": q_regional_supplier_revenue,
-    "shipping_priority": q_shipping_priority,
-    "kg_top_partners": q_kg_top_partners,
     "docs_token_freq_cms": q_docs_token_freq_cms,
-    "customers_fuzzy_clusters": q_customers_fuzzy_clusters,
-    "docs_dup_clusters": q_docs_dup_clusters,
-    "docs_lang_routed": q_docs_lang_routed,
-    "events_corr": q_events_corr,
-    "events_histogram": q_events_histogram,
 }
 
 
