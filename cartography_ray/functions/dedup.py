@@ -834,10 +834,16 @@ def compact_dedup_index(state_dir: str, exclude_epochs: tuple = ()):
 
 
 class _FoldTooHot(Exception):
-    """Raised inside the minhash local fold when the measured pair
-    workload (Σ per-band-bucket n²) is too superlinear for one task;
-    the caller falls back to the distributed plan. Module-level so the
-    exception unpickles across the task boundary."""
+    """Raised inside a fold/bucket task when the measured pair workload
+    (Σ per-bucket n²) is too superlinear for the current plan; the
+    caller falls back to a plan built for that regime (minhash local
+    fold → distributed plan; jaccard default path → prefix-filtered
+    plan). Module-level so the exception unpickles across the task
+    boundary."""
+
+
+def _is_fold_too_hot(e: BaseException) -> bool:
+    return isinstance(getattr(e, "cause", None), _FoldTooHot) or "_FoldTooHot" in str(e)
 
 
 _probe_ok_task = None  # bound lazily: ray.remote at import breaks ray-less use
@@ -1480,6 +1486,9 @@ def jaccard_pairs_smallside(
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+JACCARD_BUCKET_PAIR_LIMIT = 16_000_000
+
+
 def jaccard_pairs_exact(
     ds,
     threshold: float,
@@ -1488,7 +1497,8 @@ def jaccard_pairs_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
+    workload_limit: int | None = None,
 ):
     """EXACT all-pairs n-gram-Jaccard set-similarity join via a shingle
     inverted index — no broadcast side (unlike ``jaccard_pairs_smallside``)
@@ -1518,11 +1528,31 @@ def jaccard_pairs_exact(
     exactly against the full capped shingle sets. More shuffles than the
     one-exchange default — use it when posting volume, not fixed shuffle
     cost, dominates (i.e. at scale, not at bench scale).
+
+    ``prefix_filter="auto"`` (the default) runs the one-exchange plan
+    OPTIMISTICALLY with an in-task workload guard (the minhash fold's
+    pattern): each posting bucket already computes the per-shingle df
+    histogram for the cap, so checking its measured pair workload
+    (Σ df² over kept shingles) is free — a bucket that would merge more
+    than ``workload_limit`` pair partials (default
+    ``JACCARD_BUCKET_PAIR_LIMIT``) raises a sentinel BEFORE the n²
+    merge, and the caller falls back to the prefix plan over the same
+    input. Skewed corpora get the 100-TB plan without a caller flag;
+    benign ones never pay the prefix path's extra shuffles. Both arms
+    are forced and asserted pair-identical in tests/test_functions.py.
+    The fallback re-reads ``ds`` (the shingle explode is linear and the
+    pair partials it would have exchanged are the thing being avoided) —
+    pass a file-backed or materialized input per the fan-out rule.
     """
-    if prefix_filter:
+    if prefix_filter is True:
         return _jaccard_pairs_prefix(
             ds, threshold, ngram, max_df, id_col, text_col, num_partitions
         )
+    guard_limit = (
+        (JACCARD_BUCKET_PAIR_LIMIT if workload_limit is None else workload_limit)
+        if prefix_filter == "auto"
+        else None
+    )
     from cartography_ray.ops.agg import partial_groupby_agg
     from cartography_ray.ops.joins import hash_join
 
@@ -1538,9 +1568,15 @@ def jaccard_pairs_exact(
         """All postings of each shingle are in this bucket: apply the df
         cap, emit per-doc size partials (kind 0) and per-pair
         intersection-count partials (kind 1)."""
-        if max_df is not None:
+        if max_df is not None or guard_limit is not None:
             df_per_g = group.groupby("g", sort=False)["id"].transform("size")
-            group = group[df_per_g <= max_df]
+            if max_df is not None:
+                keep = df_per_g <= max_df
+                group, df_per_g = group[keep], df_per_g[keep]
+            if guard_limit is not None and float(df_per_g.sum()) > guard_limit:
+                # Σ over kept rows of df == Σ_g df_g² — the exact row count
+                # the merge below would materialize; too hot for this plan
+                raise _FoldTooHot()
         sizes = group.groupby("id", sort=False).size()
         p = group[["g", "id"]]
         pairs = p.merge(p, on="g")
@@ -1580,7 +1616,17 @@ def jaccard_pairs_exact(
         _nonempty_refs,
     )
 
-    refs, n_rows, n_bytes = _nonempty_refs(grouped)
+    try:
+        refs, n_rows, n_bytes = _nonempty_refs(grouped)
+    except Exception as e:
+        if guard_limit is None or not _is_fold_too_hot(e):
+            raise
+        # a posting bucket measured its pair workload too hot for the
+        # one-exchange plan: rerun as the prefix-filtered plan (the
+        # posting-volume regime it exists for); identical pair output
+        return _jaccard_pairs_prefix(
+            ds, threshold, ngram, max_df, id_col, text_col, num_partitions
+        )
     if not refs:
         import ray.data as _rd
 

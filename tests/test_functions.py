@@ -1147,6 +1147,43 @@ def test_jaccard_pairs_exact_vs_reference(ray_session):
     assert any(a == 0 and b == 1 for a, b, _ in ref_pairs(df, 0.3))
 
 
+def test_jaccard_auto_workload_guard(ray_session):
+    """prefix_filter="auto" (the default): the in-task workload guard —
+    benign corpora stay on the one-exchange plan, a corpus whose posting
+    buckets measure too hot falls back to the prefix plan, and BOTH guard
+    arms return the identical pair set (the _FoldTooHot sentinel pattern,
+    here auto-routing to the AllPairs plan instead of a caller flag)."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.dedup import jaccard_pairs_exact
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox"]
+    texts = []
+    for i in range(80):
+        words = list(rng.choice(vocab, size=rng.integers(8, 14)))
+        texts.append(" ".join(words) + " shared boilerplate tail common to every doc")
+    for i in range(0, 16, 2):
+        texts[i + 1] = texts[i] + " tiny tail"
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"), "text": texts})
+
+    def run(**kw):
+        got = jaccard_pairs_exact(
+            ray.data.from_pandas(df).repartition(3), threshold=0.5,
+            max_df=64, num_partitions=4, **kw,
+        ).to_pandas()
+        return sorted(zip(got["id_a"], got["id_b"], got["jaccard"].round(12)))
+
+    benign = run()                      # auto, generous default limit
+    hot = run(workload_limit=10)        # auto, forced onto the fallback arm
+    forced_default = run(prefix_filter=False)
+    forced_prefix = run(prefix_filter=True)
+    assert benign == forced_default, "benign auto must match the default plan"
+    assert hot == forced_prefix == benign, "guard fallback must be pair-identical"
+    assert benign, "vacuous test (no pairs found)"
+
+
 def test_jaccard_prefix_filter_identity_and_reduction(ray_session):
     """VERDICT r03 item 5: prefix filtering must (a) return the IDENTICAL
     pair set to the one-exchange path on a skewed corpus at several
