@@ -4,11 +4,17 @@ metadata), with REAL decoders where the format needs no codec library:
 - PPM/PGM (``P6``/``P5`` netpbm) images: parsed with numpy alone —
   header scan + ``frombuffer`` reshape. Real pixel features and a real
   nearest-neighbor resize.
+- GIF87a images: a REAL compressed codec — full LZW encoder/decoder
+  (variable-width codes, clear/EOI handling, sub-block framing,
+  interlace) in numpy + stdlib, byte-exact index roundtrip. This is the
+  compressed-image path: decode/resize of an actual entropy-coded
+  format, no PIL.
 - PCM WAV audio: parsed with the stdlib ``wave`` module + numpy — real
   duration / RMS / zero-crossing features.
 
-Compressed codecs (JPEG/PNG/MP3/video containers) would need PIL /
-ffmpeg, which are NOT in this container: those paths raise
+Codecs that genuinely need external libraries (JPEG/PNG's
+DEFLATE+DCT stacks, MP3, video containers) would need PIL/ffmpeg,
+which are NOT in this container: those paths raise
 ``NotImplementedError`` unless the deterministic ``fake=True`` stub is
 requested (clearly marked; the Ray-side plumbing — schemas, actor-pool
 signatures, batch sizing — is identical either way).
@@ -38,6 +44,7 @@ MEDIA_SCHEMA = pa.schema(
 
 PPM_MIME = "image/x-portable-pixmap"
 PGM_MIME = "image/x-portable-graymap"
+GIF_MIME = "image/gif"
 WAV_MIME = "audio/wav"
 
 
@@ -128,6 +135,243 @@ def synth_media_table(n: int, seed: int = 3, real: bool = False) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# GIF87a — real compressed codec (LZW), numpy + stdlib only
+# --------------------------------------------------------------------------
+#
+# Entropy coding is inherently sequential per image, so the LZW inner
+# loops are plain Python over one image's pixels — parallelism comes
+# from the actor pool (one task per batch of images), which is the same
+# division of labor PIL-backed pipelines have. Reference analogue for
+# the artifact-decode stage: cartography/intel/trivy/scanner.py's
+# image-artifact handling.
+
+
+def _lzw_compress(seq: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first packing),
+    CLEAR emitted up front and on table overflow at 4096 entries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    it = iter(seq)
+    try:
+        prefix = next(it)
+    except StopIteration:
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+    for s in it:
+        key = (prefix, s)
+        hit = table.get(key)
+        if hit is not None:
+            prefix = hit
+            continue
+        emit(prefix)
+        if next_code == 4096:
+            # table full: reset both sides via CLEAR (the entry that
+            # would have been 4096 is never assigned on either side)
+            emit(clear)
+            table.clear()
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        else:
+            table[key] = next_code
+            next_code += 1
+            # the decoder adds its twin entry one code LATER, so its
+            # width bump lands before the same emitted code iff we bump
+            # at capacity+1 (verified byte-exact in the roundtrip test)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        prefix = s
+    emit(prefix)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    acc = nbits = pos = 0
+    n = len(data)
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                return bytes(out)  # tolerate a missing EOI
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"decode_gif: corrupt LZW stream (code {code})")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette → GIF87a
+    bytes (global color table, non-interlaced, real LZW)."""
+    import struct
+
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("encode_gif: need (h,w) indices and (n,3) palette")
+    if palette.shape[0] > 256 or int(indices.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("encode_gif: index out of palette range")
+    h, w = indices.shape
+    pal_bits = max(1, int(palette.shape[0] - 1).bit_length())
+    full = np.zeros(((1 << pal_bits), 3), np.uint8)
+    full[: palette.shape[0]] = palette
+    min_code_size = max(2, pal_bits)
+    packed = 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    out += full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code_size)
+    comp = _lzw_compress(indices.ravel().tolist(), min_code_size)
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """GIF87a/89a bytes → ((h, w) uint8 indices, (n, 3) uint8 palette)
+    for the FIRST image. Handles global/local color tables, interlace,
+    and skips 89a extension blocks; animation frames past the first are
+    ignored (this is a training-data feature path, not a player)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"decode_gif: bad magic {payload[:6]!r}")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # 89a extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"decode_gif: unexpected block 0x{b:02x} at {pos - 1}")
+        _lx, _ty, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("decode_gif: no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        raw = _lzw_decompress(b"".join(chunks), min_code_size)
+        if len(raw) < w * h:
+            raise ValueError("decode_gif: truncated pixel data")
+        idx = np.frombuffer(raw, np.uint8, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(start, h, step) for start, step in _GIF_INTERLACE_PASSES]
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        return idx, pal.copy()
+    raise ValueError("decode_gif: no image block found")
+
+
+def gif_to_rgb(payload: bytes) -> np.ndarray:
+    idx, pal = decode_gif(payload)
+    return pal[idx]
+
+
+def synth_gif_table(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic corpus of REAL GIF87a images (random palettes +
+    blocky index fields — compresses well enough to exercise multi-chunk
+    LZW sub-block framing)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        h, w = int(rng.integers(8, 49)), int(rng.integers(8, 49))
+        ncol = int(rng.integers(2, 17))
+        palette = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        blocky = rng.integers(0, ncol, ((h + 3) // 4, (w + 3) // 4), dtype=np.uint8)
+        idx = np.repeat(np.repeat(blocky, 4, axis=0), 4, axis=1)[:h, :w]
+        rows.append((encode_gif(idx, palette), w, h))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array([r[0] for r in rows], pa.binary()),
+            "mime": pa.array([GIF_MIME] * n, pa.string()),
+            "width": pa.array([r[1] for r in rows], pa.int32()),
+            "height": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
 # WAV (PCM) — real, stdlib wave + numpy
 # --------------------------------------------------------------------------
 
@@ -193,9 +437,10 @@ class ImageDecoder:
     """Actor-pool decode stage: payload → pixel features.
 
     REAL decode for netpbm mimes (``image/x-portable-pixmap`` /
-    ``-graymap``). Other mimes: ``fake=True`` runs the deterministic
-    byte-stats stub; ``fake=False`` raises ``NotImplementedError`` (the
-    compressed codecs need PIL/opencv, absent here).
+    ``-graymap``) and for ``image/gif`` (the in-repo GIF87a/LZW codec —
+    an actual compressed format, no PIL). Other mimes: ``fake=True``
+    runs the deterministic byte-stats stub; ``fake=False`` raises
+    ``NotImplementedError`` (JPEG/PNG need PIL/opencv, absent here).
     """
 
     def __init__(self, fake: bool = False):
@@ -208,8 +453,8 @@ class ImageDecoder:
         means, stds, widths, heights, digests = [], [], [], [], []
         for p, mime in zip(payloads, mimes):
             p = p or b"\x00"
-            if mime in (PPM_MIME, PGM_MIME):
-                img = decode_ppm(p)
+            if mime in (PPM_MIME, PGM_MIME, GIF_MIME):
+                img = decode_ppm(p) if mime != GIF_MIME else gif_to_rgb(p)
                 means.append(float(img.mean()))
                 stds.append(float(img.std()))
                 heights.append(img.shape[0])
@@ -240,8 +485,11 @@ class ImageDecoder:
 
 
 class ImageResizer:
-    """Actor-pool resize stage: netpbm payload → resized netpbm payload
-    (REAL nearest-neighbor; non-netpbm mimes raise as in ImageDecoder)."""
+    """Actor-pool resize stage: netpbm/GIF payload → resized payload in
+    the SAME format (REAL nearest-neighbor; GIF resizes the index plane
+    and re-encodes against the unchanged palette — a full
+    decompress→transform→recompress cycle through the LZW codec).
+    Other mimes raise as in ImageDecoder."""
 
     def __init__(self, out_h: int, out_w: int):
         self.out_h, self.out_w = out_h, out_w
@@ -251,9 +499,15 @@ class ImageResizer:
         for p, mime in zip(
             batch.column("payload").to_pylist(), batch.column("mime").to_pylist()
         ):
-            if mime not in (PPM_MIME, PGM_MIME):
+            if mime == GIF_MIME:
+                idx, pal = decode_gif(p)
+                out.append(encode_gif(resize_nearest(idx, self.out_h, self.out_w), pal))
+            elif mime in (PPM_MIME, PGM_MIME):
+                out.append(
+                    encode_ppm(resize_nearest(decode_ppm(p), self.out_h, self.out_w))
+                )
+            else:
                 raise NotImplementedError(f"ImageResizer: unsupported mime {mime!r}")
-            out.append(encode_ppm(resize_nearest(decode_ppm(p), self.out_h, self.out_w)))
         return pa.table(
             {
                 "media_id": batch.column("media_id"),

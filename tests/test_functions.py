@@ -1043,6 +1043,114 @@ def test_image_resizer_stage(ray_session):
         assert decode_ppm(p).shape == (8, 8, 3)
 
 
+def test_gif_codec_roundtrip_byte_exact():
+    """The REAL compressed codec (GIF87a/LZW): encode→decode is
+    byte-exact on the index plane across palette sizes, including the
+    4096-entry LZW table overflow (mid-stream CLEAR) and the KwKwK
+    self-referencing code path."""
+    from cartography_ray.functions.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(21)
+    for ncol in (2, 5, 16, 97, 256):
+        h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+        got_idx, got_pal = decode_gif(encode_gif(idx, pal))
+        assert np.array_equal(got_idx, idx), ncol
+        assert np.array_equal(got_pal[:ncol], pal), ncol
+    # 96×96 at 256 colors exceeds 4096 LZW entries → exercises the
+    # table-full CLEAR reset on both sides
+    idx = rng.integers(0, 256, (96, 96), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal))[0], idx)
+    # KwKwK: aaa... emits the just-added code immediately
+    idx = np.zeros((1, 64), np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal[:2]))[0], idx)
+
+
+def test_gif_decode_foreign_and_interlaced():
+    """The decoder handles GIFs our encoder never produces: a real-world
+    89a file (extension blocks) and an interlaced image."""
+    import base64
+    import struct
+
+    from cartography_ray.functions.multimodal import (
+        _GIF_INTERLACE_PASSES,
+        decode_gif,
+        encode_gif,
+    )
+
+    # the canonical 1×1 transparent-pixel GIF89a (external encoder:
+    # exercises the extension-block skip + a foreign LZW stream)
+    one_px = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    idx, pal = decode_gif(one_px)
+    assert idx.shape == (1, 1) and pal.shape[0] >= 2
+
+    # interlace: store rows in pass order + set the interlace bit; the
+    # decoder must un-interlace back to the original
+    rng = np.random.default_rng(3)
+    h, w, ncol = 13, 9, 8
+    pal8 = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    idx0 = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+    order = np.concatenate(
+        [np.arange(s, h, st) for s, st in _GIF_INTERLACE_PASSES]
+    )
+    enc = bytearray(encode_gif(idx0[order], pal8))
+    pal_bits = max(1, int(ncol - 1).bit_length())
+    ipacked_at = 13 + 3 * (1 << pal_bits) + 9  # image-descriptor packed byte
+    assert enc[ipacked_at - 9] == 0x2C and enc[ipacked_at] == 0
+    (sw, sh) = struct.unpack("<HH", bytes(enc[ipacked_at - 4 : ipacked_at]))
+    assert (sw, sh) == (w, h)
+    enc[ipacked_at] = 0x40
+    got, _ = decode_gif(bytes(enc))
+    assert np.array_equal(got, idx0)
+
+
+def test_gif_actor_stages(ray_session):
+    """GIF payloads flow through the SAME actor-pool stages as netpbm
+    with fake=False — the compressed-codec row of the multimodal family
+    is real end-to-end (decode features + decompress→resize→recompress)."""
+    import ray.data
+
+    from cartography_ray.functions.multimodal import (
+        ImageResizer,
+        decode_gif,
+        decode_pipeline,
+        gif_to_rgb,
+        synth_gif_table,
+    )
+
+    src = synth_gif_table(12)
+    media = ray.data.from_arrow(src)
+    feats = (
+        decode_pipeline(media, concurrency=2, batch_size=4, fake=False)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(12):
+        rgb = gif_to_rgb(src.column("payload")[i].as_py())
+        assert feats.loc[i, "pixel_mean"] == rgb.mean()
+        assert feats.loc[i, "decoded_h"] == rgb.shape[0]
+        assert feats.loc[i, "decoded_w"] == rgb.shape[1]
+
+    out = media.map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    for i in range(12):
+        idx, pal = decode_gif(out.loc[i, "payload"])
+        assert idx.shape == (8, 8)
+        src_idx, src_pal = decode_gif(src.column("payload")[i].as_py())
+        assert np.array_equal(pal[: src_pal.shape[0]], src_pal)
+        # nearest-neighbor on the index plane matches the numpy reference
+        from cartography_ray.functions.multimodal import resize_nearest
+
+        assert np.array_equal(idx, resize_nearest(src_idx, 8, 8))
+
+
 def test_wav_decode_features(ray_session):
     """REAL PCM WAV decode: a pure sine's RMS is amp/sqrt(2) and its
     zero-crossing rate tracks 2f/sr."""
