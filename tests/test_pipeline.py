@@ -71,6 +71,34 @@ def test_full_sync_and_invariants(ray_session, tmp_root):
     assert set(mentions.column("dst_id").to_pylist()) <= entities
 
 
+def test_entry_triples_precision_recall(ray_session):
+    """The north rule's correctness pin: the flagship pipeline's emitted
+    (subj, pred, obj) triples must hold P ≥ 0.95 AND R ≥ 0.95 against
+    the frozen golden triple set (tests/fixtures/golden_triples_sf0001.
+    parquet — the sf0.001 output captured at a commit where every KG
+    oracle hash-matched its independent DuckDB twin). entry() returns
+    exactly this query, so this is the driver-entry P/R gate; today the
+    sets are identical (P = R = 1.0) and the assertion leaves the
+    rule's 5% semantic-drift margin before it fires."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cartography_ray.pipelines.queries import q_kg_triples
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "golden_triples_sf0001.parquet")
+    golden = pq.read_table(fix).to_pandas()
+    got = q_kg_triples("/root/testdata/sf0.001").to_pandas()
+    g_set = set(map(tuple, golden[["subj", "pred", "obj"]].itertuples(index=False)))
+    o_set = set(map(tuple, got[["subj", "pred", "obj"]].itertuples(index=False)))
+    assert o_set, "pipeline emitted no triples"
+    tp = len(o_set & g_set)
+    precision = tp / len(o_set)
+    recall = tp / len(g_set)
+    assert precision >= 0.95, f"triple precision {precision:.4f} < 0.95"
+    assert recall >= 0.95, f"triple recall {recall:.4f} < 0.95"
+
+
 def test_idempotent_rerun_same_tag(ray_session, tmp_root):
     store = GraphStore(os.path.join(tmp_root, "store"), num_buckets=8)
     ctx = IngestContext.make(update_tag=1000)
