@@ -160,6 +160,8 @@ def run_queries(sf_dir: str) -> dict:
         "docs_lang_routed",
         "events_corr",
         "events_histogram",
+        "events_cume_dist",
+        "events_trend",
         "kg_reach",
         "events_gapfill",
         "cust_orders_events_outer",

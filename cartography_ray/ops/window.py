@@ -919,21 +919,27 @@ def with_rank(
     rank_col: str | None = "rnk",
     dense_col: str | None = None,
     rownum_col: str | None = None,
+    cume_col: str | None = None,
+    pctrank_col: str | None = None,
     num_buckets: int = 64,
     num_partitions: int | None = None,
 ):
-    """SQL ``RANK()`` / ``DENSE_RANK()`` / ``ROW_NUMBER()`` ``OVER
-    (PARTITION BY key ORDER BY order_cols)`` — any subset in ONE pass
-    (pass the output column name to request a mode, ``None`` to skip).
-    Ties (equal ``order_cols`` tuples) share a rank; RANK leaves gaps,
-    DENSE_RANK doesn't; ROW_NUMBER breaks ties by shuffle-stable
-    mergesort order, so give it a total order for determinism.
+    """SQL ``RANK()`` / ``DENSE_RANK()`` / ``ROW_NUMBER()`` /
+    ``CUME_DIST()`` / ``PERCENT_RANK()`` ``OVER (PARTITION BY key ORDER
+    BY order_cols)`` — any subset in ONE pass (pass the output column
+    name to request a mode, ``None`` to skip). Ties (equal
+    ``order_cols`` tuples) share a rank; RANK leaves gaps, DENSE_RANK
+    doesn't; ROW_NUMBER breaks ties by shuffle-stable mergesort order,
+    so give it a total order for determinism. CUME_DIST = (rows ≤ the
+    tie group) / partition size; PERCENT_RANK = (rank − 1) /
+    (size − 1), 0 for single-row partitions — both are one int64/int64
+    IEEE division of exact integers, so the SQL twins hash-match.
 
     Same shape and partitioning assumption as ``with_lag``: one hash
     shuffle on ``key``, vectorized change-flag arithmetic per bucket
     (no per-group loop).
     """
-    if not (rank_col or dense_col or rownum_col):
+    if not (rank_col or dense_col or rownum_col or cume_col or pctrank_col):
         raise ValueError("with_rank: request at least one output column")
 
     def kernel(group: pd.DataFrame) -> "pd.DataFrame":
@@ -947,7 +953,7 @@ def with_rank(
         rn = (pdf.groupby(key, sort=False).cumcount() + 1).to_numpy(dtype="int64")
         if rownum_col:
             pdf[rownum_col] = rn
-        if rank_col or dense_col:
+        if rank_col or dense_col or cume_col or pctrank_col:
             changed = np.ones(n, dtype=bool)  # row 0 and every key start
             if n > 1:
                 same_key = kv[1:] == kv[:-1]
@@ -963,11 +969,34 @@ def with_rank(
                     .cumsum()
                     .to_numpy()
                 )
-            if rank_col:
+            if rank_col or pctrank_col:
                 anchored = pd.Series(np.where(changed, rn.astype("float64"), np.nan))
-                pdf[rank_col] = (
+                rank_vals = (
                     anchored.groupby(kv, sort=False).ffill().to_numpy().astype("int64")
                 )
+                if rank_col:
+                    pdf[rank_col] = rank_vals
+            if cume_col or pctrank_col:
+                size = (
+                    pdf.groupby(key, sort=False)[key].transform("size")
+                    .to_numpy(dtype="int64")
+                )
+                if pctrank_col:
+                    pdf[pctrank_col] = np.where(
+                        size > 1,
+                        (rank_vals - 1) / np.maximum(size - 1, 1),
+                        0.0,
+                    )
+                if cume_col:
+                    # rows preceding-or-peer = the tie group's max row
+                    # number (tie groups delimited by the change flags)
+                    grp = np.cumsum(changed)
+                    tie_max = (
+                        pd.Series(rn).groupby(grp, sort=False)
+                        .transform("max")
+                        .to_numpy(dtype="int64")
+                    )
+                    pdf[cume_col] = tie_max / size
         return _to_clean_arrow(pdf)
 
     from cartography_ray.runtime import drop_empty_blocks

@@ -815,4 +815,16 @@ def run_kg_pipeline(
             synced_sub_buckets=store.num_buckets,
         )
         timings["cleanup"] = round(time.time() - t0, 2)
+    # metrics emission (reference stats parity): stage timings + loaded
+    # counts under kg.*, no-op unless a stats backend is installed
+    from cartography_ray.stats import get_stats_client
+
+    stats = get_stats_client("kg")
+    if stats.is_enabled():
+        for stage, sec in timings.items():
+            stats.timing(stage, sec)
+        for label, n in metrics["nodes"].items():
+            stats.incr(f"nodes.{label}", int(n))
+        for label, n in metrics["edges"].items():
+            stats.incr(f"edges.{label}", int(n))
     return metrics

@@ -1516,6 +1516,46 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(round(value * 100) AS BIGINT))
 """
 
 
+def q_events_cume_dist(sf_dir: str):
+    """Per-user CUME_DIST + PERCENT_RANK over spend (the distribution-
+    position window modes of ``ops/window.with_rank``, same one-shuffle
+    pass as rank/dense_rank). Both outputs are a single IEEE division
+    of exact int64s — (tie-group max row)/size and (rank−1)/(size−1) —
+    so the DuckDB window twins hash-match bit-for-bit; cent ties are
+    real in this corpus, so the peer semantics genuinely engage."""
+    rd = _rd()
+    from cartography_ray.ops.window import with_rank
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "v_cents": _cents(t.column("value")),
+            }
+        )
+
+    ranked = with_rank(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", order_cols=["v_cents"],
+        rank_col=None, cume_col="cume", pctrank_col="pctr",
+        num_partitions=_parts_for(path),
+    )
+    return ranked.select_columns(["event_id", "user_id", "cume", "pctr"])
+
+
+SQL_EVENTS_CUME_DIST = """
+SELECT event_id, user_id,
+       CUME_DIST() OVER w AS cume,
+       PERCENT_RANK() OVER w AS pctr
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(round(value * 100) AS BIGINT))
+"""
+
+
 def q_events_attribution(sf_dir: str, chunk_us: int | None = None):
     """Purchase→click attribution: each purchase matched to the user's
     most recent preceding click (distributed as-of join, ops/joins.py)."""
@@ -4249,6 +4289,111 @@ SELECT event_type, n,
 FROM s
 """
 
+# hour index of 2026-01-01T00:00:00Z — the trend regressor is hours
+# since corpus start, keeping x² (and its sums) far from int64 range
+TREND_BASE_HOURS = 490_896
+
+
+def q_events_trend(sf_dir: str):
+    """Per-type least-squares spend trend (slope + intercept of cents vs
+    hours-since-corpus-start) — grouped linear regression from the SAME
+    integer-exact co-moment partials as ``events_corr``: the per-batch
+    combiner sums (x, y, xy, x², n) in int64, the final is a
+    dimension-bounded driver fold, and slope = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²) is evaluated with the identical float64 expression
+    tree on both engines (DuckDB's built-in REGR_SLOPE uses a
+    single-pass update order that diverges in the last bits, so the SQL
+    twin hand-writes the formula). Co-moment magnitudes are bounded by
+    the rebased hour index — the contract that keeps int64 exact at
+    gate scale (events_corr's convention)."""
+    rd = _rd()
+    from cartography_ray.ops.agg import bounded_groupby_agg
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        y = _cents(t.column("value"))
+        x = pc.subtract(
+            pc.divide(
+                pc.cast(t.column("ts"), pa.int64()),
+                pa.scalar(3_600_000_000, pa.int64()),
+            ),
+            pa.scalar(TREND_BASE_HOURS, pa.int64()),
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "x2": pc.multiply(x, x),
+            }
+        )
+
+    agg = bounded_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        {
+            "n": (None, "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxy": ("xy", "sum"),
+            "sx2": ("x2", "sum"),
+        },
+    )
+    pdf = agg.to_pandas()  # event types: dimension-bounded by contract
+    n = pdf["n"].to_numpy().astype("float64")
+    sx = pdf["sx"].to_numpy().astype("float64")
+    sy = pdf["sy"].to_numpy().astype("float64")
+    sxy = pdf["sxy"].to_numpy().astype("float64")
+    sx2 = pdf["sx2"].to_numpy().astype("float64")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    icept = (sy - slope * sx) / n
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(pdf["event_type"].astype(str), pa.string()),
+                "n": pa.array(pdf["n"].to_numpy().astype("int64"), pa.int64()),
+                "slope9": pc.round(
+                    pa.array(slope, pa.float64()), 9,
+                    round_mode="half_towards_infinity",
+                ),
+                "icept9": pc.round(
+                    pa.array(icept, pa.float64()), 9,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+    )
+
+
+SQL_EVENTS_TREND = f"""
+WITH m AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) - {TREND_BASE_HOURS} AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2
+  FROM m GROUP BY 1
+), f AS (
+  SELECT event_type, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM s
+)
+SELECT event_type, n, round(slope, 9) AS slope9,
+       round((syd - slope * sxd) / CAST(n AS DOUBLE), 9) AS icept9
+FROM f
+"""
+
 
 def q_docs_lang_routed(sf_dir: str):
     """The resumable partitioned sink exercised END-TO-END through the
@@ -5278,6 +5423,9 @@ QUERIES: dict[str, Callable] = {
     "docs_lang_routed": q_docs_lang_routed,
     "events_corr": q_events_corr,
     "events_histogram": q_events_histogram,
+    # --- new in round 5 (never driver-checked) ---
+    "events_cume_dist": q_events_cume_dist,
+    "events_trend": q_events_trend,
     # --- last driver-checked in round 3 ---
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_dup_edges": q_docs_dup_edges,
@@ -5416,6 +5564,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_langid": SQL_DOCS_LANGID,
         "docs_lang_routed": SQL_DOCS_LANGID,
         "events_corr": SQL_EVENTS_CORR,
+        "events_cume_dist": SQL_EVENTS_CUME_DIST,
+        "events_trend": SQL_EVENTS_TREND,
         "events_histogram": SQL_EVENTS_HISTOGRAM,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "docs_token_freq": SQL_DOCS_TOKEN_FREQ,

@@ -70,12 +70,17 @@ class Sync:
     def run(self, store: GraphStore, ctx: IngestContext, config: dict | None = None) -> dict:
         """Execute all stages in registration order; any unhandled
         exception aborts the sync (reference sync.py:282-295)."""
+        from cartography_ray.stats import get_stats_client
+
         config = config or {}
         results: dict[str, Any] = {}
+        stats = get_stats_client("sync").get_stats_client(self.name)
         logger.info("starting sync '%s' with update tag %d", self.name, ctx.update_tag)
         for stage_name, stage_func in self._stages.items():
             logger.info("starting sync stage '%s'", stage_name)
-            results[stage_name] = stage_func(store, ctx, config)
+            with stats.timer(stage_name):
+                results[stage_name] = stage_func(store, ctx, config)
+            stats.incr(f"{stage_name}.runs")
             logger.info("finishing sync stage '%s'", stage_name)
         return results
 

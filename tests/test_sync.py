@@ -353,3 +353,69 @@ def test_module_auto_discovery(ray_session, tmp_path):
     assert results["kg"]["nodes"]["Turn"] > 0
     assert results["docs"]["nodes"]["Document"] == 2
     assert store.read_nodes("Turn") is not None
+
+
+def test_stats_client_scoping_and_backends(ray_session, tmp_path):
+    """Reference stats parity: scoped prefixes compose, disabled = no-op,
+    the memory backend records a real sync's stage timers/counters, and
+    the UDP backend emits statsd line protocol a real socket receives."""
+    import socket
+
+    import ray.data
+
+    from cartography_ray.sources.transcripts import synth_transcripts_table
+    from cartography_ray.stats import (
+        MemoryBackend,
+        UdpStatsdBackend,
+        get_stats_client,
+        set_stats_backend,
+    )
+    from cartography_ray.sync import build_sync
+
+    # scoping + disabled no-op
+    set_stats_backend(None)
+    c = get_stats_client("a").get_stats_client("b")
+    assert not c.is_enabled()
+    c.incr("x")  # must not raise while disabled
+
+    # memory backend through a REAL sync run
+    mem = MemoryBackend()
+    set_stats_backend(mem)
+    try:
+        store = GraphStore(str(tmp_path / "store"), num_buckets=4)
+        build_sync("kg").run(
+            store,
+            IngestContext.make(update_tag=901),
+            {
+                "transcripts": ray.data.from_arrow(synth_transcripts_table(120)),
+                "work_dir": str(tmp_path / "work"),
+            },
+        )
+        kinds = {(k, s) for k, s, _ in mem.events}
+        assert ("ms", "sync.kg.kg") in kinds          # stage timer fired
+        assert ("c", "sync.kg.kg.runs") in kinds      # stage counter fired
+        assert any(s.startswith("kg.nodes.") for k, s, _ in mem.events if k == "c")
+        assert mem.counters()["sync.kg.kg.runs"] == 1
+    finally:
+        set_stats_backend(None)
+
+    # UDP backend: real datagrams, statsd line protocol
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.settimeout(5)
+    port = srv.getsockname()[1]
+    set_stats_backend(UdpStatsdBackend("127.0.0.1", port))
+    try:
+        s = get_stats_client("kg")
+        s.incr("nodes.Turn", 7)
+        s.gauge("queue_depth", 3)
+        s.timing("detect", 1.5)
+        got = sorted(srv.recv(512).decode() for _ in range(3))
+        assert got == [
+            "kg.detect:1500.000|ms",
+            "kg.nodes.Turn:7|c",
+            "kg.queue_depth:3|g",
+        ]
+    finally:
+        set_stats_backend(None)
+        srv.close()
