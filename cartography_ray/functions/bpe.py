@@ -213,3 +213,94 @@ def train_bpe_merges(
 
         reps = reps.map_batches(apply, batch_format="pandas").materialize()
     return _result(merges)
+
+
+class BpeEncoder:
+    """Actor-pool tokenizer-apply stage: the other half of the BPE loop
+    (``train_bpe_merges`` learns the merge table, this applies it).
+
+    State per ACTOR, not per batch: the merge table is pulled from the
+    object store once and its ``n_merges`` boundary-anchored regexes are
+    compiled in ``__init__``. Per batch, the classic unique-word cache
+    trick keeps the work sublinear in corpus size: merges rewrite only
+    the batch's DISTINCT words (vectorized ``str.replace`` in rank
+    order — identical leftmost-greedy semantics to training), then
+    per-word token counts fan back to documents with a groupby sum.
+    Emits ``(id_col, n_words, bpe_n_tokens)``; empty/whitespace docs
+    count zero of both.
+    """
+
+    def __init__(self, merges_ref, text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        merges = ray.get(merges_ref) if not isinstance(merges_ref, list) else merges_ref
+        self.text_col, self.id_col = text_col, id_col
+        self.steps = [
+            (
+                re.compile(
+                    "(?:^|(?<=" + re.escape(BPE_SEP) + "))"
+                    + re.escape(left + BPE_SEP + right)
+                    + "(?=$|" + re.escape(BPE_SEP) + ")"
+                ),
+                (left + right).replace("\\", "\\\\"),
+            )
+            for left, right in merges
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(self.id_col), pa.int64())
+        lowered = pc.utf8_lower(
+            pc.fill_null(pc.cast(batch.column(self.text_col), pa.string()), "")
+        )
+        lowered = pc.replace_substring(lowered, BPE_SEP, "")
+        lowered = pc.replace_substring(lowered, BPE_EOW, "")
+        toks = pc.split_pattern_regex(lowered, r"\s+")
+        flat = pd.Series(pc.list_flatten(toks).to_pandas())
+        doc_of = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+        )
+        keep = flat.to_numpy() != ""
+        flat, doc_of = flat[keep].reset_index(drop=True), doc_of[keep]
+        uniq, inv = np.unique(flat.to_numpy(), return_inverse=True)
+        rep = _bpe_rep(pd.Series(uniq, dtype=object))
+        for pat, repl in self.steps:
+            rep = rep.str.replace(pat, repl, regex=True)
+        word_tokens = (rep.str.count(re.escape(BPE_SEP)) + 1).to_numpy(np.int64)
+        per_doc_tokens = np.zeros(batch.num_rows, np.int64)
+        np.add.at(per_doc_tokens, doc_of, word_tokens[inv])
+        per_doc_words = np.zeros(batch.num_rows, np.int64)
+        np.add.at(per_doc_words, doc_of, 1)
+        return pa.table(
+            {
+                self.id_col: ids,
+                "n_words": pa.array(per_doc_words, pa.int64()),
+                "bpe_n_tokens": pa.array(per_doc_tokens, pa.int64()),
+            }
+        )
+
+
+def bpe_encode(
+    ds,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+    batch_size: int | None = None,
+):
+    """Apply a trained merge table to a corpus (actor pool — regexes
+    compiled once per actor, merge table broadcast once via ``ray.put``).
+    Shuffle-free: pure per-batch transform."""
+    import ray
+
+    return ds.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={
+            "merges_ref": ray.put([(l, r) for l, r in merges]),
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -5070,6 +5070,32 @@ def q_docs_bpe_merges(sf_dir: str):
     )
 
 
+def q_docs_bpe_encoded(sf_dir: str):
+    """The tokenizer-APPLY half of the BPE loop: train the corpus's 40
+    merges (same spec as ``docs_bpe_merges``), then encode every
+    document with them (functions/bpe.bpe_encode — actor pool, regexes
+    compiled once per actor, merge table broadcast once, unique-word
+    cache per batch). Output: (doc_id, n_words, bpe_n_tokens). Rows-only
+    like its training twin (the merge loop is not SQL-expressible);
+    correctness is the pure-python encode reference-equality test in
+    tests/test_bpe.py."""
+    rd = _rd()
+    from cartography_ray.functions.bpe import bpe_encode, train_bpe_merges
+
+    path = f"{sf_dir}/documents.parquet"
+    merges = train_bpe_merges(
+        rd.read_parquet(path, columns=["text"]), text_col="text",
+        n_merges=BPE_N_MERGES, num_partitions=_parts_for(path),
+    ).to_pandas()
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    return bpe_encode(
+        ds,
+        list(zip(merges["left"], merges["right"])),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
 PATH_MAX_LEN = 20
 
 
@@ -5509,6 +5535,7 @@ QUERIES: dict[str, Callable] = {
     "emb_clusters": q_emb_clusters,
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_token_freq_cms": q_docs_token_freq_cms,
+    "docs_bpe_encoded": q_docs_bpe_encoded,
 }
 
 

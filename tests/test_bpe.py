@@ -100,3 +100,67 @@ def test_bpe_overlap_and_exhaustion(ray_session):
     got = train_bpe_merges(ray.data.from_pandas(df), n_merges=50).to_pandas()
     assert list(zip(got["left"], got["right"], got["freq"])) == want
     assert len(got) < 50  # exhausted
+
+
+def _ref_encode_counts(text: str, merges: list):
+    """Textbook BPE APPLY: split to words, char+</w> symbols, apply the
+    merge list in rank order (leftmost-greedy), count symbols."""
+    total_tokens = 0
+    n_words = 0
+    for w in text.lower().split():
+        sym = list(w) + ["</w>"]
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        total_tokens += len(sym)
+        n_words += 1
+    return n_words, total_tokens
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    """The tokenizer-apply stage (functions/bpe.bpe_encode) equals the
+    textbook per-word merge loop on every document, including empty and
+    null texts; zero merges degrades to chars+1 per word."""
+    import ray.data
+
+    from cartography_ray.functions.bpe import bpe_encode, train_bpe_merges
+
+    rng = np.random.default_rng(71)
+    df = _corpus_df(rng, n_docs=40)
+    df.loc[3, "text"] = ""          # empty doc
+    df.loc[7, "text"] = "   "       # whitespace-only
+    df = pd.concat(
+        [df, pd.DataFrame({"doc_id": [999], "text": [None]})], ignore_index=True
+    )
+    merges_df = train_bpe_merges(
+        ray.data.from_pandas(df), n_merges=20, num_partitions=4
+    ).to_pandas()
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+
+    got = (
+        bpe_encode(ray.data.from_pandas(df).repartition(4), merges, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(df)
+    for _, row in df.iterrows():
+        nw, nt = _ref_encode_counts(row["text"] or "", merges)
+        g = got[got["doc_id"] == row["doc_id"]].iloc[0]
+        assert (g["n_words"], g["bpe_n_tokens"]) == (nw, nt), row["doc_id"]
+
+    # zero merges: every word costs len(word)+1 symbols
+    got0 = bpe_encode(ray.data.from_pandas(df), [], concurrency=2).to_pandas()
+    want0 = {
+        int(r["doc_id"]): sum(len(w) + 1 for w in (r["text"] or "").lower().split())
+        for _, r in df.iterrows()
+    }
+    for _, g in got0.iterrows():
+        assert g["bpe_n_tokens"] == want0[int(g["doc_id"])]
