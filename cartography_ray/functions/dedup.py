@@ -2092,6 +2092,147 @@ def decontaminate(
     )
 
 
+NEAR_DECONTAM_BROADCAST_LIMIT = 5_000_000  # bench (band, hash) rows
+
+
+def near_decontaminate(
+    corpus,
+    bench,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+):
+    """NEAR-duplicate benchmark decontamination — ``decontaminate``'s
+    MinHash sibling: drop every corpus document whose LSH banding
+    collides with ANY benchmark document (share ≥1 of the ``bands``
+    band hashes ⇒ likely char-``shingle_k``-gram Jaccard near-dup; with
+    r = num_perm/bands rows per band a collision certifies r minhash
+    agreements, so precision is tuned by r exactly as in
+    ``minhash_lsh_pairs``). Catches the paraphrased/reformatted eval
+    leakage exact-shingle containment misses. Approximate-by-design
+    (rows-only; recall asserted in tests), deterministic end to end
+    (splitmix hash family, no RNG at apply time).
+
+    Two plans behind one size guard (the ``decontaminate`` contract),
+    asserted row-identical in tests:
+
+    - bench (band, band_hash) rows ≤ ``broadcast_limit`` (benchmarks are
+      small by nature — the real-world shape): ONE ``ray.put`` of the
+      per-band hash sets, then a pure per-batch signature scan of the
+      corpus — ZERO corpus shuffles at any corpus scale.
+    - above the limit: corpus banded rows ``hash_join(how="semi")`` the
+      bench banded rows on (band, band_hash), the contaminated id set
+      folds distinct, and an anti join returns survivors — one
+      banded-row exchange (fixed 3 int64s/row × bands, text never moves).
+    """
+    import ray
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+
+    limit = NEAR_DECONTAM_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    band_kwargs = dict(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, payload="none"
+    )
+
+    def banded(ds):
+        sel = ds.map_batches(
+            lambda t, _i=id_col, _t=text_col: pa.table(
+                {"doc_id": pc.cast(t.column(_i), pa.int64()),
+                 "text": pc.cast(t.column(_t), pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+        # elastic pool (min 1): a fixed min-4 pool deadlocks a 4-CPU
+        # cluster when two pools + shuffle aggregators contend for slots
+        return sel.map_batches(
+            MinHasher, fn_constructor_kwargs=band_kwargs,
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
+
+    bench_bands = partial_groupby_agg(
+        banded(bench).map_batches(
+            lambda t: t.select(["band", "band_hash"]), batch_format="pyarrow"
+        ),
+        ["band", "band_hash"],
+        {"__c": (None, "count")},
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [("band", pa.int32()), ("band_hash", pa.int64()), ("__c", pa.int64())]
+        ),
+    ).materialize()
+
+    if bench_bands.count() <= limit:
+        bpdf = bench_bands.select_columns(["band", "band_hash"]).to_pandas()
+        per_band = {
+            int(b): np.sort(g.to_numpy(np.int64))
+            for b, g in bpdf.groupby("band", sort=False)["band_hash"]
+        }
+        bands_ref = ray.put(per_band)
+
+        class _Scanner(MinHasher):
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                bset = ray.get(bands_ref)
+                rows = super().__call__(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(
+                                np.arange(batch.num_rows, dtype=np.int64), pa.int64()
+                            ),
+                            "text": pc.cast(
+                                pc.fill_null(
+                                    pc.cast(batch.column(text_col), pa.string()), ""
+                                ),
+                                pa.string(),
+                            ),
+                        }
+                    )
+                )
+                keep = np.ones(batch.num_rows, dtype=bool)
+                rid = rows.column("doc_id").to_numpy(zero_copy_only=False)
+                rb = rows.column("band").to_numpy(zero_copy_only=False)
+                rh = rows.column("band_hash").to_numpy(zero_copy_only=False)
+                for b, arr in bset.items():  # ≤ `bands` iterations
+                    sel = rb == b
+                    if sel.any():
+                        hit = np.isin(rh[sel], arr, assume_unique=False)
+                        keep[rid[sel][hit]] = False
+                return batch.filter(pa.array(keep))
+
+        return corpus.map_batches(
+            _Scanner, fn_constructor_kwargs=band_kwargs,
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
+
+    hits = hash_join(
+        banded(corpus),
+        bench_bands.select_columns(["band", "band_hash"]),
+        left_on=["band", "band_hash"],
+        how="semi",
+        num_partitions=num_partitions,
+    )
+    contaminated = partial_groupby_agg(
+        hits.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
+        ["doc_id"],
+        {"__c": (None, "count")},
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([("doc_id", pa.int64()), ("__c", pa.int64())]),
+    )
+    return hash_join(
+        corpus,
+        contaminated.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
+        left_on=id_col,
+        right_on="doc_id",
+        how="anti",
+        num_partitions=num_partitions,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+
 def span_dedup(
     ds,
     id_col: str = "doc_id",

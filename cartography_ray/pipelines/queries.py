@@ -1444,6 +1444,91 @@ WHERE e.value >= b.lo AND e.value <= b.hi
 """
 
 
+def q_events_zscore(sf_dir: str):
+    """Per-group feature standardization (z-score) — the normalization
+    step of training-data pipelines, with the co-moment exactness idiom
+    made PER-ROW: one pass folds exact int64 (n, Σx, Σx²) per type
+    (dimension-bounded, broadcast via ``ray.put``), then every row's
+    z = (n·x − Σx) / √(n·(n·Σx² − Σx²)/(n−1)) is evaluated per batch
+    with the identical float64 expression tree the SQL twin hand-writes
+    (sample stddev; both engines make the same IEEE int64→double
+    conversions, so the 1e-9-rounded outputs hash-match). Groups need
+    n ≥ 2 and non-constant values (true of this corpus by construction;
+    degenerate groups emit 0)."""
+    import ray
+
+    rd = _rd()
+    from cartography_ray.ops.agg import bounded_groupby_agg
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _cents(t.column("value"))
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": x,
+                "x2": pc.multiply(x, x),
+            }
+        )
+
+    moments = bounded_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": (None, "count"), "sx": ("x", "sum"), "sx2": ("x2", "sum")},
+    ).to_pandas()  # event types: dimension-bounded by contract
+    mref = ray.put(
+        {
+            r.event_type: (float(r.n), float(r.sx), float(r.sx2))
+            for r in moments.itertuples()
+        }
+    )
+
+    def zscore(t: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        et = t.column("event_type").to_pylist()
+        x = _cents(t.column("value")).to_numpy(zero_copy_only=False).astype("float64")
+        n = np.fromiter((m[e][0] for e in et), dtype="float64", count=len(et))
+        sx = np.fromiter((m[e][1] for e in et), dtype="float64", count=len(et))
+        sx2 = np.fromiter((m[e][2] for e in et), dtype="float64", count=len(et))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (n * x - sx) / np.sqrt(n * (n * sx2 - sx * sx) / (n - 1.0))
+        z = np.where(n > 1.0, z, 0.0)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "z9": pc.round(
+                    pa.array(z, pa.float64()), 9, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+
+    return ds.map_batches(zscore, batch_format="pyarrow")
+
+
+SQL_EVENTS_ZSCORE = """
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sx2
+  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events)
+  GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(
+         CASE WHEN m.n > 1 THEN
+           (CAST(m.n AS DOUBLE) * CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE)
+            - CAST(m.sx AS DOUBLE))
+           / sqrt(CAST(m.n AS DOUBLE)
+                  * (CAST(m.n AS DOUBLE) * CAST(m.sx2 AS DOUBLE)
+                     - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+                  / (CAST(m.n AS DOUBLE) - 1))
+         ELSE 0.0 END, 9) AS z9
+FROM events e JOIN m USING (event_type)
+"""
+
+
 NTILE_N = 4
 
 
@@ -2387,6 +2472,22 @@ def q_docs_decontam_joined(sf_dir: str):
     corpus, bench, path = _decontam_parts(sf_dir)
     return decontaminate(
         corpus, bench, ngram=DECONTAM_NGRAM, broadcast_limit=0,
+        num_partitions=_parts_for(path),
+    ).select_columns(["doc_id", "source"])
+
+
+def q_docs_near_decontam(sf_dir: str):
+    """NEAR-dup benchmark decontamination (functions/dedup.
+    near_decontaminate): corpus docs whose MinHash-LSH banding collides
+    with the benchmark subset are dropped — catches paraphrased eval
+    leakage the exact 24-gram scrub misses. Rows-only (LSH is
+    approximate by design); recall + broadcast≡join plan identity are
+    asserted in tests/test_functions.py."""
+    from cartography_ray.functions.dedup import near_decontaminate
+
+    corpus, bench, path = _decontam_parts(sf_dir)
+    return near_decontaminate(
+        corpus, bench, num_perm=64, bands=8, shingle_k=5,
         num_partitions=_parts_for(path),
     ).select_columns(["doc_id", "source"])
 
@@ -5452,6 +5553,7 @@ QUERIES: dict[str, Callable] = {
     # --- new in round 5 (never driver-checked) ---
     "events_cume_dist": q_events_cume_dist,
     "events_trend": q_events_trend,
+    "events_zscore": q_events_zscore,
     # --- last driver-checked in round 3 ---
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_dup_edges": q_docs_dup_edges,
@@ -5536,6 +5638,7 @@ QUERIES: dict[str, Callable] = {
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_token_freq_cms": q_docs_token_freq_cms,
     "docs_bpe_encoded": q_docs_bpe_encoded,
+    "docs_near_decontam": q_docs_near_decontam,
 }
 
 
@@ -5593,6 +5696,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_corr": SQL_EVENTS_CORR,
         "events_cume_dist": SQL_EVENTS_CUME_DIST,
         "events_trend": SQL_EVENTS_TREND,
+        "events_zscore": SQL_EVENTS_ZSCORE,
         "events_histogram": SQL_EVENTS_HISTOGRAM,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "docs_token_freq": SQL_DOCS_TOKEN_FREQ,

@@ -30,6 +30,6 @@ def test_ray_entry_exposes_catalogue():
         "docs_simhash_pairs", "emb_knn_lsh", "emb_knn_ivf", "emb_pca",
         "emb_clusters", "docs_bpe_merges", "docs_token_freq_cms",
         "emb_mmr", "docs_incremental_minhash", "emb_knn_pq",
-        "docs_bpe_encoded",
+        "docs_bpe_encoded", "docs_near_decontam",
     }, f"rows-only set changed: {sorted(rows_only)} — update this test "
     "deliberately when adding an approximate operator"

@@ -2117,3 +2117,49 @@ def test_bm25_topk_matches_bruteforce(ray_session):
     assert list(got["score_micro"]) == [s for _, s in ranked]
     assert list(got["rn"]) == [1, 2, 3]
     assert 4 not in set(got["doc_id"])
+
+
+def test_near_decontaminate_recall_and_plan_identity(ray_session):
+    """MinHash-LSH cross-corpus scrub: seeded near-dups of benchmark docs
+    are dropped (recall), unrelated docs overwhelmingly survive
+    (precision), and the broadcast and join plans return the identical
+    surviving set (the decontaminate plan-identity contract)."""
+    import pandas as pd
+    import ray.data
+
+    from cartography_ray.functions.dedup import near_decontaminate
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i:03d}" for i in range(400)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab, n))
+
+    bench_texts = [doc(60) for _ in range(10)]
+    bench = pd.DataFrame(
+        {"doc_id": np.arange(10, dtype="int64"), "text": bench_texts}
+    )
+    near = [t + " tiny appended tail" for t in bench_texts]        # ≈0.9 jaccard
+    clean = [doc(60) for _ in range(40)]                            # unrelated
+    corpus = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, 100 + len(near) + len(clean), dtype="int64"),
+            "text": near + clean,
+        }
+    )
+    near_ids = set(range(100, 110))
+
+    def run(**kw):
+        out = near_decontaminate(
+            ray.data.from_pandas(corpus).repartition(3),
+            ray.data.from_pandas(bench).repartition(2),
+            num_perm=64, bands=16, shingle_k=5, num_partitions=4, **kw,
+        ).to_pandas()
+        return set(out["doc_id"].astype(int))
+
+    kept = run()
+    assert kept.isdisjoint(near_ids), "a seeded near-dup survived the scrub"
+    n_clean_kept = len(kept & set(corpus["doc_id"][len(near):].astype(int)))
+    assert n_clean_kept >= 36, f"too many unrelated docs dropped ({n_clean_kept}/40 kept)"
+    kept_join = run(broadcast_limit=0)
+    assert kept_join == kept, "broadcast and join plans diverged"
