@@ -9,11 +9,16 @@ metadata), with REAL decoders where the format needs no codec library:
   interlace) in numpy + stdlib, byte-exact index roundtrip. This is the
   compressed-image path: decode/resize of an actual entropy-coded
   format, no PIL.
+- PNG images: a REAL compressed codec — PNG's entropy layer is
+  DEFLATE, which the stdlib ``zlib`` provides, so the full chunk
+  framing (CRC-checked), all five scanline filters (None/Sub/Up/
+  Average/Paeth), and gray/RGB/RGBA/palette color types are
+  implemented here in numpy + zlib, byte-exact pixel roundtrip.
 - PCM WAV audio: parsed with the stdlib ``wave`` module + numpy — real
   duration / RMS / zero-crossing features.
 
-Codecs that genuinely need external libraries (JPEG/PNG's
-DEFLATE+DCT stacks, MP3, video containers) would need PIL/ffmpeg,
+Codecs that genuinely need external libraries (JPEG's DCT+Huffman
+stack, MP3, video containers) would need PIL/ffmpeg,
 which are NOT in this container: those paths raise
 ``NotImplementedError`` unless the deterministic ``fake=True`` stub is
 requested (clearly marked; the Ray-side plumbing — schemas, actor-pool
@@ -45,6 +50,7 @@ MEDIA_SCHEMA = pa.schema(
 PPM_MIME = "image/x-portable-pixmap"
 PGM_MIME = "image/x-portable-graymap"
 GIF_MIME = "image/gif"
+PNG_MIME = "image/png"
 WAV_MIME = "audio/wav"
 
 
@@ -372,6 +378,238 @@ def synth_gif_table(n: int, seed: int = 7) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# PNG — real compressed codec (DEFLATE via stdlib zlib), numpy + stdlib only
+# --------------------------------------------------------------------------
+#
+# PNG = chunk framing (CRC32) + per-scanline prediction filters + DEFLATE.
+# zlib ships in the stdlib, so unlike JPEG nothing here needs an external
+# library. Filters Sub/Up are fully vectorizable on decode (Sub is a
+# cumulative sum mod 256 per byte lane); Average/Paeth depend on the
+# reconstructed LEFT byte so their decode loops over x — the encode side
+# of all five is vectorized because it predicts from RAW neighbors.
+# Reference analogue for the artifact-decode stage:
+# cartography/intel/trivy/scanner.py's image-artifact handling.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def _paeth_vec(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (int16 inputs, uint8 result)."""
+    p = left + up - upleft
+    pa_ = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - upleft)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, up, upleft))
+    return out.astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_type: int | str = "heuristic") -> bytes:
+    """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA → PNG bytes.
+
+    ``filter_type``: 0-4 forces that scanline filter on every row;
+    ``"heuristic"`` picks per row by minimum sum of absolute differences
+    (the libpng default heuristic). All five filter paths are real."""
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, ch = 0, 1
+        raw = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        color_type = 2 if arr.shape[2] == 3 else 6
+        ch = arr.shape[2]
+        raw = arr
+    else:
+        raise ValueError(f"encode_png: expected (h,w), (h,w,3) or (h,w,4), got {arr.shape}")
+    h, w = raw.shape[0], raw.shape[1]
+    rows = raw.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, np.int16)
+    shift = ch  # bpp in bytes at depth 8
+
+    def shifted(row: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(row)
+        out[shift:] = row[:-shift]
+        return out
+
+    body = bytearray()
+    for y in range(h):
+        row = rows[y]
+        left = shifted(row)
+        upleft = shifted(prev)
+        cand = {
+            0: row.astype(np.uint8),
+            1: (row - left).astype(np.uint8),
+            2: (row - prev).astype(np.uint8),
+            3: (row - ((left + prev) >> 1)).astype(np.uint8),
+            4: (row - _paeth_vec(left, prev, upleft)).astype(np.uint8),
+        }
+        if filter_type == "heuristic":
+            # minimum sum of |signed byte| — libpng's MSD heuristic
+            ft = min(
+                cand,
+                key=lambda k: int(
+                    np.abs(cand[k].astype(np.int8).astype(np.int16)).sum()
+                ),
+            )
+        else:
+            ft = int(filter_type)
+        body.append(ft)
+        body += cand[ft].tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array: (h, w) for grayscale, (h, w, 3) for
+    RGB/palette, (h, w, 2)/(h, w, 4) for the alpha variants. Verifies
+    chunk CRCs; supports bit depth 8, color types 0/2/3/4/6,
+    non-interlaced (Adam7 is rejected explicitly). All five scanline
+    filters are reconstructed."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError(f"decode_png: bad signature {payload[:8]!r}")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"decode_png: CRC mismatch in {tag!r} chunk")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        # ancillary chunks (tEXt, gAMA, …) are skipped
+    if ihdr is None:
+        raise ValueError("decode_png: missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"decode_png: unsupported depth/compression ({depth}, {comp})")
+    if interlace:
+        raise ValueError("decode_png: Adam7 interlace not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"decode_png: unsupported color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (1 + stride):
+        raise ValueError("decode_png: truncated pixel data")
+    lines = np.frombuffer(raw, np.uint8, h * (1 + stride)).reshape(h, 1 + stride)
+    ftypes = lines[:, 0]
+    data = lines[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), np.int16)
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        ft = int(ftypes[y])
+        row = data[y]
+        if ft == 0:
+            r = row.copy()
+        elif ft == 1:
+            # Sub: recon[x] = row[x] + recon[x-bpp]  ⇒ per-lane cumsum mod 256
+            r = (
+                row.reshape(-1, ch).astype(np.int64).cumsum(axis=0).reshape(-1) & 0xFF
+            ).astype(np.int16)
+        elif ft == 2:
+            r = (row + prev) & 0xFF
+        elif ft in (3, 4):
+            r = np.zeros(stride, np.int16)
+            for x in range(stride):
+                left = r[x - ch] if x >= ch else 0
+                up = prev[x]
+                if ft == 3:
+                    r[x] = (row[x] + ((left + up) >> 1)) & 0xFF
+                else:
+                    upleft = prev[x - ch] if x >= ch else 0
+                    p = left + up - upleft
+                    pa_, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if (pa_ <= pb and pa_ <= pc) else (up if pb <= pc else upleft)
+                    r[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"decode_png: bad filter type {ft} on row {y}")
+        recon[y] = r
+        prev = r
+    out = recon.astype(np.uint8)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("decode_png: palette image without PLTE")
+        return plte[out.reshape(h, w)]
+    if ch == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, ch)
+
+
+def png_to_rgb(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 (gray broadcast, alpha dropped)."""
+    img = decode_png(payload)
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 2:  # gray+alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]
+
+
+def synth_png_table(n: int, seed: int = 11) -> pa.Table:
+    """Deterministic corpus of REAL PNGs: gradient + noise images across
+    gray/RGB/RGBA, heuristic per-row filters (so decode sees a mix of
+    all five filter types)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = int(rng.integers(8, 49)), int(rng.integers(8, 49))
+        ch = int(rng.choice([0, 3, 4]))
+        grad = (
+            np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 2
+        ) % 256
+        noise = rng.integers(0, 32, (h, w), dtype=np.uint8)
+        plane = ((grad + noise) % 256).astype(np.uint8)
+        img = plane if ch == 0 else np.stack(
+            [(plane + 37 * c) % 256 for c in range(ch)], axis=2
+        ).astype(np.uint8)
+        rows.append((encode_png(img), w, h))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array([r[0] for r in rows], pa.binary()),
+            "mime": pa.array([PNG_MIME] * n, pa.string()),
+            "width": pa.array([r[1] for r in rows], pa.int32()),
+            "height": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
 # WAV (PCM) — real, stdlib wave + numpy
 # --------------------------------------------------------------------------
 
@@ -437,10 +675,11 @@ class ImageDecoder:
     """Actor-pool decode stage: payload → pixel features.
 
     REAL decode for netpbm mimes (``image/x-portable-pixmap`` /
-    ``-graymap``) and for ``image/gif`` (the in-repo GIF87a/LZW codec —
-    an actual compressed format, no PIL). Other mimes: ``fake=True``
+    ``-graymap``), ``image/gif`` (in-repo GIF87a/LZW codec) and
+    ``image/png`` (in-repo DEFLATE+filter codec) — two actual
+    compressed formats, no PIL. Other mimes: ``fake=True``
     runs the deterministic byte-stats stub; ``fake=False`` raises
-    ``NotImplementedError`` (JPEG/PNG need PIL/opencv, absent here).
+    ``NotImplementedError`` (JPEG needs PIL/opencv, absent here).
     """
 
     def __init__(self, fake: bool = False):
@@ -453,8 +692,13 @@ class ImageDecoder:
         means, stds, widths, heights, digests = [], [], [], [], []
         for p, mime in zip(payloads, mimes):
             p = p or b"\x00"
-            if mime in (PPM_MIME, PGM_MIME, GIF_MIME):
-                img = decode_ppm(p) if mime != GIF_MIME else gif_to_rgb(p)
+            if mime in (PPM_MIME, PGM_MIME, GIF_MIME, PNG_MIME):
+                if mime == GIF_MIME:
+                    img = gif_to_rgb(p)
+                elif mime == PNG_MIME:
+                    img = png_to_rgb(p)
+                else:
+                    img = decode_ppm(p)
                 means.append(float(img.mean()))
                 stds.append(float(img.std()))
                 heights.append(img.shape[0])
@@ -485,10 +729,11 @@ class ImageDecoder:
 
 
 class ImageResizer:
-    """Actor-pool resize stage: netpbm/GIF payload → resized payload in
-    the SAME format (REAL nearest-neighbor; GIF resizes the index plane
-    and re-encodes against the unchanged palette — a full
-    decompress→transform→recompress cycle through the LZW codec).
+    """Actor-pool resize stage: netpbm/GIF/PNG payload → resized payload
+    in the SAME format (REAL nearest-neighbor; GIF resizes the index
+    plane and re-encodes against the unchanged palette, PNG runs a full
+    inflate→unfilter→resize→refilter→deflate cycle — both are complete
+    decompress→transform→recompress passes through a real codec).
     Other mimes raise as in ImageDecoder."""
 
     def __init__(self, out_h: int, out_w: int):
@@ -502,6 +747,10 @@ class ImageResizer:
             if mime == GIF_MIME:
                 idx, pal = decode_gif(p)
                 out.append(encode_gif(resize_nearest(idx, self.out_h, self.out_w), pal))
+            elif mime == PNG_MIME:
+                out.append(
+                    encode_png(resize_nearest(decode_png(p), self.out_h, self.out_w))
+                )
             elif mime in (PPM_MIME, PGM_MIME):
                 out.append(
                     encode_ppm(resize_nearest(decode_ppm(p), self.out_h, self.out_w))

@@ -1151,6 +1151,108 @@ def test_gif_actor_stages(ray_session):
         assert np.array_equal(idx, resize_nearest(src_idx, 8, 8))
 
 
+def test_png_codec_roundtrip_byte_exact():
+    """The REAL PNG codec (DEFLATE + scanline filters): encode→decode is
+    byte-exact on pixels for gray/RGB/RGBA across ALL five filter types
+    (each forced) plus the per-row heuristic."""
+    from cartography_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(17)
+    for ch in (0, 3, 4):
+        for ft in (0, 1, 2, 3, 4, "heuristic"):
+            h, w = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+            shape = (h, w) if ch == 0 else (h, w, ch)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            got = decode_png(encode_png(img, filter_type=ft))
+            assert np.array_equal(got, img), (ch, ft)
+    # wide row: the Sub-filter cumsum lane must not overflow
+    img = rng.integers(0, 256, (3, 2000, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, filter_type=1)), img)
+
+
+def test_png_decode_foreign_palette_and_crc():
+    """Decoder paths our encoder never produces: a real-world external
+    PNG, an indexed-color (PLTE) image, and CRC verification."""
+    import base64
+    import struct
+    import zlib
+
+    from cartography_ray.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        png_to_rgb,
+    )
+
+    # canonical 1×1 transparent PNG from an external encoder
+    one_px = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    img = decode_png(one_px)
+    assert img.shape[0] == 1 and img.shape[1] == 1
+    assert png_to_rgb(one_px).shape == (1, 1, 3)
+
+    # hand-built indexed-color image: IHDR(color type 3) + PLTE + IDAT
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    body = b"".join(b"\x00" + row.tobytes() for row in idx)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), pal[idx])
+
+    # corrupt one IDAT byte → CRC check must fire
+    bad = bytearray(payload)
+    bad[-20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
+def test_png_actor_stages(ray_session):
+    """PNG payloads flow through the SAME actor-pool stages as netpbm
+    and GIF with fake=False — including a full inflate→unfilter→resize→
+    refilter→deflate cycle in ImageResizer."""
+    import ray.data
+
+    from cartography_ray.functions.multimodal import (
+        ImageResizer,
+        decode_pipeline,
+        decode_png,
+        png_to_rgb,
+        resize_nearest,
+        synth_png_table,
+    )
+
+    src = synth_png_table(12)
+    media = ray.data.from_arrow(src)
+    feats = (
+        decode_pipeline(media, concurrency=2, batch_size=4, fake=False)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(12):
+        rgb = png_to_rgb(src.column("payload")[i].as_py())
+        assert feats.loc[i, "pixel_mean"] == rgb.mean()
+        assert feats.loc[i, "decoded_h"] == rgb.shape[0]
+        assert feats.loc[i, "decoded_w"] == rgb.shape[1]
+
+    out = media.map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    for i in range(12):
+        resized = decode_png(out.loc[i, "payload"])
+        assert resized.shape[0] == 8 and resized.shape[1] == 8
+        orig = decode_png(src.column("payload")[i].as_py())
+        assert np.array_equal(resized, resize_nearest(orig, 8, 8))
+
+
 def test_wav_decode_features(ray_session):
     """REAL PCM WAV decode: a pure sine's RMS is amp/sqrt(2) and its
     zero-crossing rate tracks 2f/sr."""
