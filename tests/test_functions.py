@@ -1253,6 +1253,139 @@ def test_png_actor_stages(ray_session):
         assert np.array_equal(resized, resize_nearest(orig, 8, 8))
 
 
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def test_jpeg_codec_roundtrip_psnr():
+    """The REAL baseline JPEG codec (DCT + Annex-K Huffman): encode→
+    decode reconstructs smooth images above 35 dB PSNR at q90 for
+    gray and RGB, including non-multiple-of-8 dimensions, and pure
+    noise above 30 dB at q95 (lossy codec — PSNR-bounded, the
+    analogue of the PNG/GIF byte-exact gates)."""
+    from cartography_ray.functions.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    for h, w in ((37, 53), (8, 8), (9, 17), (64, 48)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.clip(96 + 64 * np.sin(yy / 9.0) + 48 * np.cos(xx / 7.0), 0, 255)
+        gray = base.astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(gray, 90))
+        assert got.shape == (h, w) and _psnr(gray, got) > 35, (h, w)
+        rgb = np.stack([gray, np.roll(gray, 3, 0), np.roll(gray, 5, 1)], axis=2)
+        got3 = decode_jpeg(encode_jpeg(rgb, 90))
+        assert got3.shape == (h, w, 3) and _psnr(rgb, got3) > 35, (h, w)
+    noisy = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    assert _psnr(noisy, decode_jpeg(encode_jpeg(noisy, 95))) > 30
+    # flat image: every AC coefficient is zero → DC-only stream
+    flat = np.full((16, 16), 128, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90)), flat)
+    # determinism: same input → same bytes
+    assert encode_jpeg(rgb, 85) == encode_jpeg(rgb, 85)
+
+
+def test_jpeg_decode_foreign_420_and_16bit_dqt():
+    """Decoder paths our encoder never produces: a real-world external
+    4:2:0 JPEG (libjpeg output, chroma subsampled 2×2) and a 16-bit-
+    precision DQT segment."""
+    import base64
+
+    from cartography_ray.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_to_rgb,
+    )
+
+    # 16×16 4:2:0 JPEG from an external encoder (CPython test corpus)
+    foreign = base64.b64decode(
+        "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUG"
+        "CQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgE"
+        "BAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+        "EBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QA"
+        "JBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAA"
+        "AAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEA"
+        "AhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZds"
+        "kzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0"
+        "rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo"
+        "5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmIT"
+        "jbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"
+    )
+    # SOF sampling factors really are 4:2:0 (decoder exercises upsampling)
+    pos, samp = 2, None
+    while pos < len(foreign) - 1:
+        marker = foreign[pos + 1]
+        ln = int.from_bytes(foreign[pos + 2 : pos + 4], "big")
+        if marker in (0xC0, 0xC1):
+            samp = (foreign[pos + 11] >> 4, foreign[pos + 11] & 15)
+            break
+        pos += 2 + ln
+    assert samp == (2, 2)
+    img = decode_jpeg(foreign)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    assert decode_jpeg(foreign).tobytes() == img.tobytes()  # deterministic
+    assert jpeg_to_rgb(foreign).shape == (16, 16, 3)
+
+    # rewrite our own encoder's 8-bit DQT segments as 16-bit precision
+    # (pq=1) — pixel output must be identical
+    gray = (np.arange(24 * 24, dtype=np.int64) % 251).astype(np.uint8).reshape(24, 24)
+    enc = encode_jpeg(gray, 80)
+    out = bytearray()
+    pos = 0
+    while pos < len(enc):
+        if enc[pos] == 0xFF and enc[pos + 1] == 0xDB:
+            ln = int.from_bytes(enc[pos + 2 : pos + 4], "big")
+            body = enc[pos + 4 : pos + 2 + ln]
+            tbl = np.frombuffer(body[1:65], dtype=np.uint8).astype(">u2")
+            new_body = bytes([0x10 | (body[0] & 0x0F)]) + tbl.tobytes()
+            out += b"\xff\xdb" + (len(new_body) + 2).to_bytes(2, "big") + new_body
+            pos += 2 + ln
+        else:
+            out.append(enc[pos])
+            pos += 1
+    assert np.array_equal(decode_jpeg(bytes(out)), decode_jpeg(enc))
+
+
+def test_jpeg_actor_stages(ray_session):
+    """JPEG payloads flow through the SAME actor-pool stages as the
+    other codecs with fake=False — including a full Huffman+IDCT →
+    resize → DCT+Huffman recompress cycle in ImageResizer."""
+    import ray.data
+
+    from cartography_ray.functions.multimodal import (
+        ImageResizer,
+        decode_jpeg,
+        decode_pipeline,
+        jpeg_to_rgb,
+        resize_nearest,
+        synth_jpeg_table,
+    )
+
+    src = synth_jpeg_table(10)
+    media = ray.data.from_arrow(src)
+    feats = (
+        decode_pipeline(media, concurrency=2, batch_size=4, fake=False)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(10):
+        rgb = jpeg_to_rgb(src.column("payload")[i].as_py())
+        assert feats.loc[i, "pixel_mean"] == rgb.mean()
+        assert feats.loc[i, "decoded_h"] == rgb.shape[0]
+        assert feats.loc[i, "decoded_w"] == rgb.shape[1]
+
+    out = media.map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_h": 16, "out_w": 16},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    for i in range(10):
+        resized = decode_jpeg(out.loc[i, "payload"])
+        assert resized.shape[0] == 16 and resized.shape[1] == 16
+        want = resize_nearest(decode_jpeg(src.column("payload")[i].as_py()), 16, 16)
+        assert _psnr(want, resized) > 28  # lossy recompress, bounded loss
+
+
 def test_wav_decode_features(ray_session):
     """REAL PCM WAV decode: a pure sine's RMS is amp/sqrt(2) and its
     zero-crossing rate tracks 2f/sr."""
