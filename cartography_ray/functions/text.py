@@ -67,6 +67,77 @@ class TextStats:
         )
 
 
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — public).
+# Every rule is an INTEGER comparison over RE2-count features (ratios
+# cross-multiplied), so the DuckDB oracle matches bit-for-bit.
+GOPHER_BULLET_RE = r"(?m)^[-*•]"
+GOPHER_ELLIPSIS_RE = r"(?m)(\.\.\.|…)$"
+GOPHER_SYMBOL_RE = r"#|…|\.\.\."
+GOPHER_ALPHA_WORD_RE = r"\S*[a-zA-Z]\S*"
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "a", "is", "in")
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+
+
+class GopherQuality:
+    """Actor-pool stage: per-document Gopher quality rules as 0/1 int
+    columns plus the conjunction (``gopher_pass``).
+
+    Rules (all integer arithmetic — no float ratios):
+      r_wordcount  GOPHER_MIN_WORDS ≤ words ≤ GOPHER_MAX_WORDS
+      r_meanlen    3 ≤ mean word length ≤ 10   (cross-multiplied)
+      r_symbol     symbol(#/…/...)-to-word ratio ≤ 0.1
+      r_bullet     ≤ 90% of lines start with a bullet
+      r_ellipsis   ≤ 30% of lines end with an ellipsis
+      r_alpha      ≥ 80% of words contain an alphabetic character
+      r_stop       ≥ 2 distinct stopwords present
+    """
+
+    def __init__(self) -> None:
+        self.word = re.compile(TOKEN_RE)
+        self.space = re.compile(r"\s")
+        self.bullet = re.compile(GOPHER_BULLET_RE)
+        self.ellipsis = re.compile(GOPHER_ELLIPSIS_RE)
+        self.symbol = re.compile(GOPHER_SYMBOL_RE)
+        self.alpha_word = re.compile(GOPHER_ALPHA_WORD_RE)
+        self.stops = [re.compile(rf"\b{w}\b") for w in GOPHER_STOPWORDS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        cols: dict[str, np.ndarray] = {
+            k: np.zeros(n, np.int64)
+            for k in (
+                "n_words", "r_wordcount", "r_meanlen", "r_symbol",
+                "r_bullet", "r_ellipsis", "r_alpha", "r_stop",
+            )
+        }
+        for i, t in enumerate(texts):
+            t = t or ""
+            words = len(self.word.findall(t))
+            word_chars = len(t) - len(self.space.findall(t))
+            lines = t.count("\n") + 1
+            cols["n_words"][i] = words
+            cols["r_wordcount"][i] = GOPHER_MIN_WORDS <= words <= GOPHER_MAX_WORDS
+            cols["r_meanlen"][i] = (
+                3 * words <= word_chars and word_chars <= 10 * words
+            )
+            cols["r_symbol"][i] = 10 * len(self.symbol.findall(t)) <= words
+            cols["r_bullet"][i] = 10 * len(self.bullet.findall(t)) <= 9 * lines
+            cols["r_ellipsis"][i] = 10 * len(self.ellipsis.findall(t)) <= 3 * lines
+            cols["r_alpha"][i] = 5 * len(self.alpha_word.findall(t)) >= 4 * words
+            cols["r_stop"][i] = sum(1 for p in self.stops if p.search(t)) >= 2
+        passing = np.ones(n, np.int64)
+        for k in cols:
+            if k.startswith("r_"):
+                passing &= cols[k]
+        out = {"doc_id": batch.column("doc_id")}
+        out.update({k: pa.array(v) for k, v in cols.items()})
+        out["gopher_pass"] = pa.array(passing)
+        return pa.table(out)
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
     """Heuristic language-ID: argmax of marker-word hits, ties → code asc."""
     texts = [(t or "").lower() for t in batch.column("text").to_pylist()]

@@ -2331,6 +2331,57 @@ FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN btop USING (doc_id)
 """
 
 
+def q_docs_gopher(sf_dir: str):
+    """Gopher quality-rule filter (Rae et al. 2021 §A1.1; functions/
+    text.GopherQuality): seven per-document rules as 0/1 integers plus
+    the conjunction — word-count bounds, mean-word-length bounds,
+    symbol/bullet/ellipsis density caps, alphabetic-word floor, distinct-
+    stopword floor. All cross-multiplied integer comparisons, shuffle-
+    free per-batch actor stage."""
+    rd = _rd()
+    from cartography_ray.functions.text import GopherQuality
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(GopherQuality, batch_format="pyarrow", concurrency=2)
+
+
+SQL_DOCS_GOPHER = r"""
+WITH feat AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS words,
+         length(text) - len(regexp_extract_all(text, '\s')) AS word_chars,
+         length(text) - length(replace(text, chr(10), '')) + 1 AS lines,
+         len(regexp_extract_all(text, '#|…|\.\.\.')) AS syms,
+         len(regexp_extract_all(text, '(?m)^[-*•]')) AS bullets,
+         len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS ellips,
+         len(regexp_extract_all(text, '\S*[a-zA-Z]\S*')) AS alpha_words,
+         (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\ba\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bis\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bin\b') THEN 1 ELSE 0 END) AS stops
+  FROM documents
+), rules AS (
+  SELECT doc_id,
+         CAST(words AS BIGINT) AS n_words,
+         CAST(CASE WHEN words BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+         CAST(CASE WHEN 3 * words <= word_chars AND word_chars <= 10 * words THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+         CAST(CASE WHEN 10 * syms <= words THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+         CAST(CASE WHEN 10 * bullets <= 9 * lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+         CAST(CASE WHEN 10 * ellips <= 3 * lines THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+         CAST(CASE WHEN 5 * alpha_words >= 4 * words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+         CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+  FROM feat
+)
+SELECT *,
+       r_wordcount * r_meanlen * r_symbol * r_bullet * r_ellipsis
+         * r_alpha * r_stop AS gopher_pass
+FROM rules
+"""
+
+
 PACK_BUDGET = 512
 
 
@@ -5624,6 +5675,7 @@ QUERIES: dict[str, Callable] = {
     "docs_lm_score": q_docs_lm_score,
     "docs_chunks": q_docs_chunks,
     "docs_repetition": q_docs_repetition,
+    "docs_gopher": q_docs_gopher,
     # --- approximate / rows-only (no oracle by design) ---
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
@@ -5710,6 +5762,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_lm_score": SQL_DOCS_LM_SCORE,
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_repetition": SQL_DOCS_REPETITION,
+        "docs_gopher": SQL_DOCS_GOPHER,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         # plan twin through the hash-payload + bloom-semi-join path —

@@ -1824,6 +1824,38 @@ def test_repetition_stats_vs_bruteforce(ray_session):
         assert row["top_bigram_n"] == (max(bigs.values()) if bigs else 0)
 
 
+def test_gopher_quality_rules():
+    """Each Gopher rule fires on a crafted violator and passes on a
+    clean doc (integer cross-multiplied semantics, no float ratios)."""
+    from cartography_ray.functions.text import GopherQuality
+
+    good = "the quick brown fox is happy and jumps over a lazy dog " * 3
+    cases = {
+        # 5 words < GOPHER_MIN_WORDS=20
+        "r_wordcount": "the cat is in a",
+        # 40 single-char words → mean word length 1 < 3 (has 2 stopwords)
+        "r_meanlen": "a " * 38 + "is a",
+        # >10% symbol hits among words
+        "r_symbol": "# # # # # " + good,
+        # every line starts with a bullet
+        "r_bullet": "\n".join("- the item is here and fine" for _ in range(30)),
+        # every line ends with an ellipsis
+        "r_ellipsis": "\n".join("the story trails of to..." for _ in range(30)),
+        # >20% pure-number words
+        "r_alpha": "1 2 3 4 5 6 7 8 9 10 " + "the of " * 10,
+        # only one distinct stopword present
+        "r_stop": "the " + "word " * 30,
+    }
+    texts = [good] + list(cases.values())
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = GopherQuality()(tbl).to_pandas()
+    assert out.loc[0, "gopher_pass"] == 1, out.iloc[0].to_dict()
+    for i, rule in enumerate(cases, start=1):
+        assert out.loc[i, rule] == 0, (rule, out.iloc[i].to_dict())
+        assert out.loc[i, "gopher_pass"] == 0, rule
+
+
 def test_prune_frequent_tokens(ray_session):
     import ray.data
 
