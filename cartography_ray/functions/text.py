@@ -448,6 +448,64 @@ def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+ENTROPY_SCALE = 1_000_000
+
+
+def token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document token-distribution Shannon entropy, integer-exact.
+
+    A gibberish / repetition quality signal: low entropy = one token
+    dominates, high entropy = uniform vocabulary. Emitted as
+    ``entropy_scaled = Σ_distinct c·(fln(T) − fln(c))`` where
+    ``fln(x) = floor(ENTROPY_SCALE·ln(x))``, T = total tokens — the
+    floor-scaled-ln construction ``lm_score`` / ``tfidf_topk`` already
+    use, so DuckDB's ``ln`` reproduces every term bit-exactly and the
+    oracle is a full hash match (true entropy in nats ≈
+    entropy_scaled / (ENTROPY_SCALE·T)). Pure per-batch kernel — a doc
+    is one row, so no shuffle.
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        lists = pc.split_pattern_regex(lowered, VOCAB_SPLIT_RE)
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(toks, "")
+        tv = toks.filter(keep).to_pandas().to_numpy()
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        n_tokens = np.zeros(n, np.int64)
+        ent = np.zeros(n, np.int64)
+        if len(par):
+            counts = (
+                pd.DataFrame({"p": par, "t": tv})
+                .groupby(["p", "t"], sort=False)
+                .size()
+            )
+            c = counts.to_numpy(np.int64)
+            p = counts.index.get_level_values(0).to_numpy(np.int64)
+            tot = np.zeros(n, np.int64)
+            np.add.at(tot, p, c)
+            fln_c = np.floor(ENTROPY_SCALE * np.log(c)).astype(np.int64)
+            fln_t = np.zeros(n, np.int64)
+            nz = tot > 0
+            fln_t[nz] = np.floor(
+                ENTROPY_SCALE * np.log(tot[nz].astype(np.float64))
+            ).astype(np.int64)
+            np.add.at(ent, p, c * (fln_t[p] - fln_c))
+            n_tokens[:] = tot
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tokens),
+                "entropy_scaled": pa.array(ent),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def prune_frequent_tokens(
     ds,
     n_docs: int,

@@ -2382,6 +2382,44 @@ FROM rules
 """
 
 
+def q_docs_entropy(sf_dir: str):
+    """Per-document token-distribution Shannon entropy (functions/text.
+    token_entropy) in integer-exact scaled nats — low entropy flags
+    gibberish / single-token spam. Floor-scaled-ln construction (the
+    lm_score idiom) keeps the DuckDB oracle a full hash match;
+    shuffle-free per-batch kernel."""
+    rd = _rd()
+    from cartography_ray.functions.text import token_entropy
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_entropy(ds)
+
+
+SQL_DOCS_ENTROPY = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE token <> '' GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM tf GROUP BY 1
+), ent AS (
+  SELECT tf.doc_id,
+         CAST(SUM(c * (CAST(floor(1000000 * ln(CAST(t AS DOUBLE))) AS BIGINT)
+                       - CAST(floor(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT))) AS BIGINT) AS e
+  FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(tot.t, 0) AS n_tokens,
+       COALESCE(ent.e, 0) AS entropy_scaled
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN ent ON d.doc_id = ent.doc_id
+"""
+
+
 PACK_BUDGET = 512
 
 
@@ -5676,6 +5714,7 @@ QUERIES: dict[str, Callable] = {
     "docs_chunks": q_docs_chunks,
     "docs_repetition": q_docs_repetition,
     "docs_gopher": q_docs_gopher,
+    "docs_entropy": q_docs_entropy,
     # --- approximate / rows-only (no oracle by design) ---
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
@@ -5763,6 +5802,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_chunks": SQL_DOCS_CHUNKS,
         "docs_repetition": SQL_DOCS_REPETITION,
         "docs_gopher": SQL_DOCS_GOPHER,
+        "docs_entropy": SQL_DOCS_ENTROPY,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         # plan twin through the hash-payload + bloom-semi-join path —

@@ -1856,6 +1856,47 @@ def test_gopher_quality_rules():
         assert out.loc[i, "gopher_pass"] == 0, rule
 
 
+def test_token_entropy_vs_bruteforce(ray_session):
+    """entropy_scaled equals the Counter brute-force of the same floor-
+    scaled-ln construction; single-token spam → 0; uniform doc → the
+    maximum over its token multiset."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from cartography_ray.functions.text import ENTROPY_SCALE, token_entropy
+
+    texts = [
+        "spam spam spam spam",          # one distinct token → entropy 0
+        "a b c d e f",                  # uniform → maximal
+        "the the the rare",             # skewed
+        "",                             # empty
+        "T.T! t,t? q",                  # splitting + case folding
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = (
+        token_entropy(ray.data.from_arrow(tbl))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    def fln(x: int) -> int:
+        return math.floor(ENTROPY_SCALE * math.log(x))
+
+    for i, t in enumerate(texts):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        cnt = Counter(toks)
+        total = sum(cnt.values())
+        want = sum(c * (fln(total) - fln(c)) for c in cnt.values()) if total else 0
+        assert out.loc[i, "n_tokens"] == total
+        assert out.loc[i, "entropy_scaled"] == want, (i, t)
+    assert out.loc[0, "entropy_scaled"] == 0
+    # uniform doc dominates the skewed one of equal length
+    assert out.loc[1, "entropy_scaled"] > out.loc[2, "entropy_scaled"]
+
+
 def test_prune_frequent_tokens(ray_session):
     import ray.data
 
