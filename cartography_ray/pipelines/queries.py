@@ -5517,6 +5517,195 @@ LIMIT 10
 """
 
 
+Q10_DATE_LO = "1996-01-01"
+Q10_DATE_HI = "1996-04-01"
+Q10_CUST_BROADCAST_LIMIT = 2_000_000
+
+
+def q_returned_item_revenue(sf_dir: str, cust_broadcast_limit: int | None = None):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter (lineitem[R-flag] ⋈ orders[date window] ⋈
+    customer ⋈ nation, group by customer, top-k).
+
+    Scale posture: the quarter window keeps ~4% of orders, so the
+    lineitem⋈orders join runs with a bloom prefilter of the windowed
+    order keys — ~96% of returned-lineitem rows drop BEFORE the
+    exchange. Customer auto-switches broadcast↔hash_join on footer row
+    count (the revenue_by_nation guard); nation (fixed 25 rows) is the
+    only unconditional broadcast. Top-20 is per-block prune + bounded
+    driver final, never a global sort."""
+    rd = _rd()
+    import pyarrow.parquet as pq
+
+    from cartography_ray.ops.agg import partial_groupby_agg
+    from cartography_ray.ops.joins import broadcast_join, hash_join
+
+    lo = np.datetime64(Q10_DATE_LO, "us")
+    hi = np.datetime64(Q10_DATE_HI, "us")
+    limit = (
+        Q10_CUST_BROADCAST_LIMIT if cust_broadcast_limit is None else cust_broadcast_limit
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        t = t.filter(keep)
+        return t.select(["o_orderkey", "o_custkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        tt = pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "revenue_cents": _cents(disc)}
+        )
+        # per-batch combine on orderkey before the shuffle (lineitem is
+        # clustered by orderkey — the revenue_by_nation combiner)
+        g = tt.group_by("l_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "revenue_cents": g.column("revenue_cents_sum"),
+            }
+        )
+
+    parts = _parts_for(f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet")
+    fact = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=parts,
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        bloom_prefilter_bits=1 << 22,
+    )
+
+    def combine_by_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("revenue_cents", "sum")])
+        return pa.table(
+            {
+                "o_custkey": g.column("o_custkey"),
+                "revenue_cents": g.column("revenue_cents_sum"),
+            }
+        )
+
+    fact = fact.map_batches(combine_by_cust, batch_format="pyarrow")
+    fact_schema = pa.schema([("o_custkey", pa.int64()), ("revenue_cents", pa.int64())])
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    cust_cols = ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    if pq.read_metadata(cust_path).num_rows <= limit:
+        cust_tbl = pq.read_table(cust_path, columns=cust_cols)
+        cust_pdf = cust_tbl.to_pandas()
+        # DuckDB round() is half-away-from-zero — go through _cents (the
+        # repo's rounding convention), not numpy's banker's round
+        cust_pdf["acctbal_cents"] = _cents(cust_tbl.column("c_acctbal")).to_numpy()
+        cn = cust_pdf.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        cn = cn[["c_custkey", "c_name", "acctbal_cents", "n_name"]]
+        joined = broadcast_join(fact, cn, left_on="o_custkey", right_on="c_custkey")
+    else:
+        customer = rd.read_parquet(cust_path, columns=cust_cols)
+
+        def cust_prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "c_custkey": t.column("c_custkey"),
+                    "c_name": t.column("c_name"),
+                    "acctbal_cents": _cents(t.column("c_acctbal")),
+                    "c_nationkey": t.column("c_nationkey"),
+                }
+            )
+
+        with_cust = hash_join(
+            fact,
+            customer.map_batches(cust_prep, batch_format="pyarrow"),
+            left_on="o_custkey",
+            right_on="c_custkey",
+            num_partitions=_parts_for(f"{sf_dir}/customer.parquet"),
+            left_schema=fact_schema,
+        )
+        with_nation = broadcast_join(
+            with_cust, nation, left_on="c_nationkey", right_on="n_nationkey"
+        )
+
+        def unify(t: pa.Table) -> pa.Table:
+            # hash_join folds the right key into the left key column —
+            # re-expose it under the broadcast plan's name (in-UDF rename;
+            # Dataset.rename_columns mis-fuses with pandas stages)
+            return pa.table(
+                {
+                    "c_custkey": t.column("o_custkey"),
+                    "c_name": t.column("c_name"),
+                    "acctbal_cents": t.column("acctbal_cents"),
+                    "n_name": t.column("n_name"),
+                    "revenue_cents": t.column("revenue_cents"),
+                }
+            )
+
+        joined = with_nation.map_batches(unify, batch_format="pyarrow")
+
+    grouped = partial_groupby_agg(
+        joined.select_columns(
+            ["c_custkey", "c_name", "acctbal_cents", "n_name", "revenue_cents"]
+        ),
+        ["c_custkey", "c_name", "acctbal_cents", "n_name"],
+        {"revenue_cents": ("revenue_cents", "sum")},
+        num_partitions=_parts_for(cust_path),
+    )
+
+    sort_cols = ["revenue_cents", "c_custkey"]
+    order = [False, True]
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(sort_cols, ascending=order).head(20)
+
+    final = (
+        grouped.map_batches(local, batch_format="pandas")
+        .to_pandas()
+        .sort_values(sort_cols, ascending=order)
+        .head(20)
+    )
+    cols = ["c_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name"]
+    return pa.Table.from_pandas(
+        final[cols].reset_index(drop=True), preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+SQL_RETURNED_ITEM_REVENUE = f"""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q10_DATE_HI}'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, acctbal_cents, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
 # 'ticket:' entities are sparse (one per support ticket mention), so the
 # 4-hop reach set exercises genuinely multi-round frontier growth
 KG_REACH_SEED_PREFIX = "ticket:"
@@ -5715,6 +5904,7 @@ QUERIES: dict[str, Callable] = {
     "docs_repetition": q_docs_repetition,
     "docs_gopher": q_docs_gopher,
     "docs_entropy": q_docs_entropy,
+    "returned_item_revenue": q_returned_item_revenue,
     # --- approximate / rows-only (no oracle by design) ---
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
@@ -5803,6 +5993,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_repetition": SQL_DOCS_REPETITION,
         "docs_gopher": SQL_DOCS_GOPHER,
         "docs_entropy": SQL_DOCS_ENTROPY,
+        "returned_item_revenue": SQL_RETURNED_ITEM_REVENUE,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         # plan twin through the hash-payload + bloom-semi-join path —

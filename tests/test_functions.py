@@ -1638,6 +1638,28 @@ def test_revenue_by_nation_join_strategy_matches_broadcast(ray_session):
     assert len(a) > 0
 
 
+def test_returned_item_revenue_join_strategy_matches_broadcast(ray_session):
+    """Q10's customer attach auto-switches broadcast↔hash_join on footer
+    row count; both plans must produce identical top-20 rows (and the
+    bloom-prefiltered lineitem⋈orders join must not drop matches)."""
+    import pandas as pd
+
+    from cartography_ray.pipelines.queries import q_returned_item_revenue
+
+    sf = "/root/testdata/sf0.001"
+    a = q_returned_item_revenue(sf).to_pandas().reset_index(drop=True)
+    b = (
+        q_returned_item_revenue(sf, cust_broadcast_limit=0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert 0 < len(a) <= 20
+    # top-k ordering invariant: revenue desc, custkey asc on ties
+    rc = a["revenue_cents"].to_numpy()
+    assert (rc[:-1] >= rc[1:]).all()
+
+
 def test_token_frequency_empty_corpus_guard(ray_session):
     """A whitespace-only corpus (realistic after an upstream quality
     filter empties a shard) must return a typed empty result, not crash
