@@ -5706,6 +5706,253 @@ LIMIT 20
 """
 
 
+Q4_DATE_LO = "1996-01-01"
+Q4_DATE_HI = "1997-01-01"
+Q4_LATE_DAYS = 30
+_US_PER_DAY = 86_400_000_000
+
+
+def q_priority_late_orders(sf_dir: str):
+    """TPC-H Q4 shape: per-priority census of orders (one year window)
+    with at least one LATE line item — EXISTS(lineitem shipped > 30
+    days after the order date).
+
+    Scale posture: the EXISTS never materializes order×line pairs — the
+    fact table reduces FIRST to one (orderkey, max ship) row per order
+    (per-batch combine exploits orderkey clustering, then one keyed
+    shuffle over the combined partials), so the join input is
+    order-cardinality, not line-cardinality. The lineitem read also
+    pre-drops rows that cannot satisfy the predicate for ANY windowed
+    order (shipdate ≤ window_lo + 30d — existence over a max is
+    insensitive to dropping sub-threshold rows). The windowed-order key
+    set bloom-prefilters the probe side; the 5-row priority census
+    folds driver-side with zero further shuffles
+    (``bounded_groupby_agg``). Reference analogue: the saved asset-age /
+    staleness census queries in cartography/client (bounded-dimension
+    GROUP BY over an EXISTS-style predicate)."""
+    rd = _rd()
+    from cartography_ray.ops.agg import bounded_groupby_agg, partial_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+
+    lo = np.datetime64(Q4_DATE_LO, "us")
+    hi = np.datetime64(Q4_DATE_HI, "us")
+    late_us = Q4_LATE_DAYS * _US_PER_DAY
+    ship_floor = pa.scalar(np.datetime64(Q4_DATE_LO, "us") + np.timedelta64(Q4_LATE_DAYS, "D"))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_date_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        # rows with shipdate ≤ window_lo+30d can't satisfy the predicate
+        # for any windowed order (o_orderdate ≥ window_lo) — drop before
+        # the combine; max-EXISTS is unchanged
+        t = t.filter(pc.greater(t.column("l_shipdate"), ship_floor))
+        tt = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
+            }
+        )
+        g = tt.group_by("l_orderkey").aggregate([("ship_us", "max")])
+        return pa.table(
+            {"l_orderkey": g.column("l_orderkey"), "ship_us": g.column("ship_us_max")}
+        )
+
+    parts = _parts_for(f"{sf_dir}/orders.parquet")
+    max_ship = partial_groupby_agg(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"max_ship_us": ("ship_us", "max")},
+        num_partitions=parts,
+    )
+    j = hash_join(
+        max_ship,
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=parts,
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("max_ship_us", pa.int64())]),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_date_us", pa.int64()),
+             ("o_orderpriority", pa.string())]
+        ),
+        bloom_prefilter_bits=1 << 22,
+    )
+
+    def late_filter(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            t.column("max_ship_us"),
+            pc.add(t.column("o_date_us"), pa.scalar(late_us, pa.int64())),
+        )
+        return t.filter(keep).select(["o_orderpriority"])
+
+    census = bounded_groupby_agg(
+        j.map_batches(late_filter, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"order_count": (None, "count")},
+    )
+    return census.sort_by([("o_orderpriority", "ascending")])
+
+
+SQL_PRIORITY_LATE_ORDERS = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q4_DATE_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+Q12_DATE_LO = "1997-01-01"
+Q12_DATE_HI = "1998-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+Q12_ORD_BROADCAST_LIMIT = 2_000_000
+
+
+def q_urgent_lines_by_status(sf_dir: str, ord_broadcast_limit: int | None = None):
+    """TPC-H Q12 shape: per line-status census of lines shipped in one
+    year, split by whether the owning order is high-priority
+    (1-URGENT/2-HIGH) — the conditional-aggregation-after-join pattern.
+
+    Scale posture: the order side carries ONE bit per key, so under the
+    footer-row-count guard it broadcasts as a sorted int64 key array +
+    packed bool (``ray.put`` once, ``searchsorted`` per batch) and the
+    whole plan is shuffle-FREE: per-batch lookup → per-batch (status,
+    high) partials → driver-side bounded fold over 2 statuses. Above
+    the guard it falls back to one bloom-prefiltered hash join (orders
+    outside the shipped-window key set drop pre-shuffle). Both arms are
+    equality-tested (tests/test_relational_pipelines.py)."""
+    rd = _rd()
+    import pyarrow.parquet as pq
+    import ray
+
+    from cartography_ray.ops.agg import bounded_groupby_agg
+    from cartography_ray.ops.joins import hash_join
+
+    lo = np.datetime64(Q12_DATE_LO, "us")
+    hi = np.datetime64(Q12_DATE_HI, "us")
+    limit = (
+        Q12_ORD_BROADCAST_LIMIT if ord_broadcast_limit is None else ord_broadcast_limit
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    )
+
+    def li_window(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        t = t.filter(keep)
+        return t.select(["l_orderkey", "l_linestatus"])
+
+    ord_path = f"{sf_dir}/orders.parquet"
+
+    def census(ds) -> pa.Table:
+        out = bounded_groupby_agg(
+            ds,
+            ["l_linestatus"],
+            {"high_line_count": ("high", "sum"), "low_line_count": ("low", "sum")},
+        )
+        return out.sort_by([("l_linestatus", "ascending")])
+
+    windowed = li.map_batches(li_window, batch_format="pyarrow")
+    if pq.read_metadata(ord_path).num_rows <= limit:
+        ot = pq.read_table(ord_path, columns=["o_orderkey", "o_orderpriority"])
+        keys = ot.column("o_orderkey").to_numpy()
+        order_idx = np.argsort(keys, kind="stable")
+        keys = keys[order_idx]
+        high = pc.is_in(
+            ot.column("o_orderpriority"), value_set=pa.array(Q12_HIGH)
+        ).to_numpy(zero_copy_only=False)[order_idx]
+        side_ref = ray.put((keys, high))
+
+        def lookup(t: pa.Table) -> pa.Table:
+            k, h = ray.get(side_ref)
+            ok = t.column("l_orderkey").to_numpy()
+            pos = np.searchsorted(k, ok)
+            pos = np.clip(pos, 0, len(k) - 1)
+            hit = k[pos] == ok  # FK integrity holds in this corpus, but
+            is_high = (h[pos] & hit).astype("int64")  # misses count as no row
+            return pa.table(
+                {
+                    "l_linestatus": t.column("l_linestatus").filter(pa.array(hit)),
+                    "high": pa.array(is_high[hit]),
+                    "low": pa.array(1 - is_high[hit]),
+                }
+            )
+
+        return census(windowed.map_batches(lookup, batch_format="pyarrow"))
+
+    orders = rd.read_parquet(ord_path, columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(
+        windowed,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=_parts_for(ord_path),
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_linestatus", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+        bloom_prefilter_bits=1 << 22,
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        is_high = pc.cast(
+            pc.is_in(t.column("o_orderpriority"), value_set=pa.array(Q12_HIGH)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "high": is_high,
+                "low": pc.subtract(pa.scalar(1, pa.int64()), is_high),
+            }
+        )
+
+    return census(j.map_batches(split, batch_format="pyarrow"))
+
+
+SQL_URGENT_LINES_BY_STATUS = f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_DATE_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q12_DATE_HI}'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 # 'ticket:' entities are sparse (one per support ticket mention), so the
 # 4-hop reach set exercises genuinely multi-round frontier growth
 KG_REACH_SEED_PREFIX = "ticket:"
@@ -5905,6 +6152,8 @@ QUERIES: dict[str, Callable] = {
     "docs_gopher": q_docs_gopher,
     "docs_entropy": q_docs_entropy,
     "returned_item_revenue": q_returned_item_revenue,
+    "priority_late_orders": q_priority_late_orders,
+    "urgent_lines_by_status": q_urgent_lines_by_status,
     # --- approximate / rows-only (no oracle by design) ---
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
@@ -5994,6 +6243,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "docs_gopher": SQL_DOCS_GOPHER,
         "docs_entropy": SQL_DOCS_ENTROPY,
         "returned_item_revenue": SQL_RETURNED_ITEM_REVENUE,
+        "priority_late_orders": SQL_PRIORITY_LATE_ORDERS,
+        "urgent_lines_by_status": SQL_URGENT_LINES_BY_STATUS,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         # plan twin through the hash-payload + bloom-semi-join path —

@@ -1660,6 +1660,72 @@ def test_returned_item_revenue_join_strategy_matches_broadcast(ray_session):
     assert (rc[:-1] >= rc[1:]).all()
 
 
+def test_urgent_lines_by_status_join_strategy_matches_broadcast(ray_session):
+    """Q12's order side auto-switches between the searchsorted broadcast
+    (zero shuffles) and the bloom-prefiltered hash join; both arms must
+    produce the identical 2-row census."""
+    import pandas as pd
+
+    from cartography_ray.pipelines.queries import q_urgent_lines_by_status
+
+    sf = "/root/testdata/sf0.001"
+    a = q_urgent_lines_by_status(sf).to_pandas().reset_index(drop=True)
+    b = (
+        q_urgent_lines_by_status(sf, ord_broadcast_limit=0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert len(a) > 0 and (a["high_line_count"] + a["low_line_count"] > 0).all()
+
+
+def test_priority_late_orders_pandas_reference(ray_session):
+    """The Q4-shape EXISTS is computed as max(l_shipdate) per order (with
+    a ship-floor pre-drop) — verify the reduction against a literal
+    per-pair EXISTS evaluated in pandas."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cartography_ray.pipelines.queries import (
+        Q4_DATE_HI,
+        Q4_DATE_LO,
+        Q4_LATE_DAYS,
+        q_priority_late_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_priority_late_orders(sf).to_pandas()
+
+    orders = pq.read_table(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).to_pandas()
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pandas()
+    w = orders[
+        (orders.o_orderdate >= pd.Timestamp(Q4_DATE_LO))
+        & (orders.o_orderdate < pd.Timestamp(Q4_DATE_HI))
+    ]
+    pairs = w.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    late = pairs[
+        pairs.l_shipdate > pairs.o_orderdate + pd.Timedelta(days=Q4_LATE_DAYS)
+    ]
+    want = (
+        late.drop_duplicates("o_orderkey")
+        .groupby("o_orderpriority")
+        .size()
+        .rename("order_count")
+        .reset_index()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype({"order_count": "int64"})
+    )
+    assert len(got) > 0
+
+
 def test_token_frequency_empty_corpus_guard(ray_session):
     """A whitespace-only corpus (realistic after an upstream quality
     filter empties a shard) must return a typed empty result, not crash
