@@ -176,6 +176,16 @@ def run_queries(sf_dir: str) -> dict:
         "docs_budget_select",
         "docs_incremental_minhash",
         "emb_knn_pq",
+        "docs_gopher",
+        "docs_entropy",
+        "events_zscore",
+        "docs_near_decontam",
+        "docs_bpe_encoded",
+        "returned_item_revenue",
+        "priority_late_orders",
+        "urgent_lines_by_status",
+        "discounted_revenue",
+        "promo_revenue_share",
     ]
     out = {}
     # The graph family (kg_triangles/kg_kcore/kg_reach/kg_top_partners)

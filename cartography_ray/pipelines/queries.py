@@ -5953,6 +5953,208 @@ ORDER BY l_linestatus
 """
 
 
+Q6_DATE_LO = "1997-01-01"
+Q6_DATE_HI = "1998-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY_MAX = 24.0
+
+
+def q_discounted_revenue(sf_dir: str):
+    """TPC-H Q6 shape: what-if revenue from mid-discount small-quantity
+    lines shipped in one year — the pure scan-aggregate, and the repo's
+    prune-at-the-read showcase: the ship-date window is pushed into
+    ``read_parquet(filter=...)`` so non-matching row groups never leave
+    storage, the residual predicates filter per batch, and the global
+    sum is order-free integer cents. ZERO shuffles end-to-end: one
+    int64 partial per block streams through a driver fold whose memory
+    is O(blocks), never O(rows). Empty match set returns 0 (the SQL
+    twin coalesces NULL identically)."""
+    rd = _rd()
+    import pyarrow.dataset as pads
+
+    lo = np.datetime64(Q6_DATE_LO, "us")
+    hi = np.datetime64(Q6_DATE_HI, "us")
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(
+            (pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        keep = pc.and_(
+            keep,
+            pc.and_(
+                pc.greater_equal(t.column("l_discount"), pa.scalar(Q6_DISC_LO)),
+                pc.less_equal(t.column("l_discount"), pa.scalar(Q6_DISC_HI)),
+            ),
+        )
+        keep = pc.and_(keep, pc.less(t.column("l_quantity"), pa.scalar(Q6_QTY_MAX)))
+        t = t.filter(keep)
+        rev = _cents(pc.multiply(t.column("l_extendedprice"), t.column("l_discount")))
+        s = pc.sum(rev).as_py()
+        return pa.table({"revenue_cents": pa.array([s or 0], pa.int64())})
+
+    total = 0
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        total += pc.sum(b.column("revenue_cents")).as_py() or 0
+    return pa.table({"revenue_cents": pa.array([total], pa.int64())})
+
+
+SQL_DISCOUNTED_REVENUE = f"""
+SELECT COALESCE(CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT), 0) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q6_DATE_HI}'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_MAX}
+"""
+
+
+Q14_DATE_LO = "1997-03-01"
+Q14_DATE_HI = "1997-06-01"
+Q14_PROMO_TYPE = "PROMO"
+Q14_PART_BROADCAST_LIMIT = 4_000_000
+
+
+def q_promo_revenue_share(sf_dir: str, part_broadcast_limit: int | None = None):
+    """TPC-H Q14 shape: promo-part share of revenue in one quarter —
+    two conditional sums over a lineitem⋈part join, reported as exact
+    integer numerator/denominator (promo_revenue_cents,
+    total_revenue_cents) so the output is hash-stable (the percentage
+    is the consumer's one division; a float share would hash on
+    last-bit division order).
+
+    Scale posture: like Q12's order bit, the part side reduces to ONE
+    bit per key — under the footer guard it broadcasts as sorted int64
+    keys + packed bool (``ray.put`` once, ``searchsorted`` per batch;
+    zero shuffles), above it one bloom-prefiltered hash join. Output is
+    a single global row, folded from per-block int64 partials."""
+    rd = _rd()
+    import pyarrow.parquet as pq
+    import ray
+
+    from cartography_ray.ops.joins import hash_join
+
+    lo = np.datetime64(Q14_DATE_LO, "us")
+    hi = np.datetime64(Q14_DATE_HI, "us")
+    limit = (
+        Q14_PART_BROADCAST_LIMIT if part_broadcast_limit is None else part_broadcast_limit
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        t = t.filter(keep)
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {"l_partkey": t.column("l_partkey"), "revenue_cents": _cents(disc)}
+        )
+
+    def fold(ds_tagged) -> pa.Table:
+        def partial(t: pa.Table) -> pa.Table:
+            rev = t.column("revenue_cents")
+            promo = pc.sum(pc.multiply(rev, t.column("is_promo"))).as_py() or 0
+            tot = pc.sum(rev).as_py() or 0
+            return pa.table(
+                {
+                    "promo_revenue_cents": pa.array([promo], pa.int64()),
+                    "total_revenue_cents": pa.array([tot], pa.int64()),
+                }
+            )
+
+        promo = total = 0
+        for b in ds_tagged.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            promo += pc.sum(b.column("promo_revenue_cents")).as_py() or 0
+            total += pc.sum(b.column("total_revenue_cents")).as_py() or 0
+        return pa.table(
+            {
+                "promo_revenue_cents": pa.array([promo], pa.int64()),
+                "total_revenue_cents": pa.array([total], pa.int64()),
+            }
+        )
+
+    part_path = f"{sf_dir}/part.parquet"
+    prepped = li.map_batches(li_prep, batch_format="pyarrow")
+    if pq.read_metadata(part_path).num_rows <= limit:
+        ptab = pq.read_table(part_path, columns=["p_partkey", "p_type"])
+        keys = ptab.column("p_partkey").to_numpy()
+        order_idx = np.argsort(keys, kind="stable")
+        keys = keys[order_idx]
+        is_promo = pc.equal(
+            ptab.column("p_type"), pa.scalar(Q14_PROMO_TYPE)
+        ).to_numpy(zero_copy_only=False)[order_idx]
+        side_ref = ray.put((keys, is_promo))
+
+        def lookup(t: pa.Table) -> pa.Table:
+            k, pr = ray.get(side_ref)
+            pk = t.column("l_partkey").to_numpy()
+            pos = np.searchsorted(k, pk)
+            pos = np.clip(pos, 0, len(k) - 1)
+            hit = k[pos] == pk  # inner-join semantics: misses drop
+            flag = (pr[pos] & hit).astype("int64")
+            return pa.table(
+                {
+                    "revenue_cents": t.column("revenue_cents").filter(pa.array(hit)),
+                    "is_promo": pa.array(flag[hit]),
+                }
+            )
+
+        return fold(prepped.map_batches(lookup, batch_format="pyarrow"))
+
+    part = rd.read_parquet(part_path, columns=["p_partkey", "p_type"])
+
+    def part_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "is_promo": pc.cast(
+                    pc.equal(t.column("p_type"), pa.scalar(Q14_PROMO_TYPE)), pa.int64()
+                ),
+            }
+        )
+
+    j = hash_join(
+        prepped,
+        part.map_batches(part_prep, batch_format="pyarrow"),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        num_partitions=_parts_for(part_path),
+        left_schema=pa.schema([("l_partkey", pa.int64()), ("revenue_cents", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()), ("is_promo", pa.int64())]),
+        bloom_prefilter_bits=1 << 22,
+    )
+    return fold(j)
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+SELECT CAST(SUM(CASE WHEN p_type = '{Q14_PROMO_TYPE}'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_revenue_cents,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_DATE_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q14_DATE_HI}'
+"""
+
+
 # 'ticket:' entities are sparse (one per support ticket mention), so the
 # 4-hop reach set exercises genuinely multi-round frontier growth
 KG_REACH_SEED_PREFIX = "ticket:"
@@ -6154,6 +6356,8 @@ QUERIES: dict[str, Callable] = {
     "returned_item_revenue": q_returned_item_revenue,
     "priority_late_orders": q_priority_late_orders,
     "urgent_lines_by_status": q_urgent_lines_by_status,
+    "discounted_revenue": q_discounted_revenue,
+    "promo_revenue_share": q_promo_revenue_share,
     # --- approximate / rows-only (no oracle by design) ---
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
@@ -6245,6 +6449,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "returned_item_revenue": SQL_RETURNED_ITEM_REVENUE,
         "priority_late_orders": SQL_PRIORITY_LATE_ORDERS,
         "urgent_lines_by_status": SQL_URGENT_LINES_BY_STATUS,
+        "discounted_revenue": SQL_DISCOUNTED_REVENUE,
+        "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         # plan twin through the hash-payload + bloom-semi-join path —

@@ -1726,6 +1726,65 @@ def test_priority_late_orders_pandas_reference(ray_session):
     assert len(got) > 0
 
 
+def test_promo_revenue_share_join_strategy_matches_broadcast(ray_session):
+    """Q14's part side auto-switches searchsorted-broadcast ↔ hash join;
+    both arms must produce the identical single-row numerator and
+    denominator, and promo ≤ total always."""
+    import pandas as pd
+
+    from cartography_ray.pipelines.queries import q_promo_revenue_share
+
+    sf = "/root/testdata/sf0.001"
+    a = q_promo_revenue_share(sf).to_pandas().reset_index(drop=True)
+    b = (
+        q_promo_revenue_share(sf, part_broadcast_limit=0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert len(a) == 1
+    assert 0 <= a.promo_revenue_cents[0] <= a.total_revenue_cents[0]
+
+
+def test_discounted_revenue_pandas_reference(ray_session):
+    """The Q6-shape zero-shuffle scan aggregate (read-level row-group
+    filter + per-batch residual + driver fold of int64 partials) must
+    equal a literal pandas evaluation of the same predicate."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cartography_ray.pipelines.queries import (
+        Q6_DATE_HI,
+        Q6_DATE_LO,
+        Q6_DISC_HI,
+        Q6_DISC_LO,
+        Q6_QTY_MAX,
+        q_discounted_revenue,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_discounted_revenue(sf).to_pandas()
+
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    w = li[
+        (li.l_shipdate >= pd.Timestamp(Q6_DATE_LO))
+        & (li.l_shipdate < pd.Timestamp(Q6_DATE_HI))
+        & (li.l_discount >= Q6_DISC_LO)
+        & (li.l_discount <= Q6_DISC_HI)
+        & (li.l_quantity < Q6_QTY_MAX)
+    ]
+    import numpy as np
+
+    prod = (w.l_extendedprice * w.l_discount).to_numpy() * 100.0
+    # half-away-from-zero, the repo rounding convention (_cents)
+    want = int(np.sign(prod) @ np.floor(np.abs(prod) + 0.5))
+    assert got.revenue_cents[0] == want
+    assert want > 0
+
+
 def test_token_frequency_empty_corpus_guard(ray_session):
     """A whitespace-only corpus (realistic after an upstream quality
     filter empties a shard) must return a typed empty result, not crash
