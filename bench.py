@@ -186,6 +186,7 @@ def run_queries(sf_dir: str) -> dict:
         "urgent_lines_by_status",
         "discounted_revenue",
         "promo_revenue_share",
+        "events_ewma",
     ]
     out = {}
     # The graph family (kg_triangles/kg_kcore/kg_reach/kg_top_partners)

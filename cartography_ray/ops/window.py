@@ -317,6 +317,55 @@ def with_lag(
     )
 
 
+def ewma(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Per-key exponentially weighted moving average ordered by
+    ``order_cols`` — the recursive smoothing y_i = (1-α)·y_{i-1} + α·x_i
+    seeded with y_1 = x_1 (pandas ``ewm(adjust=False)`` semantics; the
+    kernel IS pandas' C ewm loop, never a Python row loop).
+
+    The recurrence is inherently sequential per key, so the shape is
+    the ``with_lag`` contract: one hash shuffle on ``key``, C-level
+    kernel per bucket. IEEE note: with dyadic α (0.5, 0.25, …) and
+    integer inputs each step is multiply/multiply/add, the same
+    expression tree a recursive-CTE SQL twin evaluates, so outputs
+    hash-match exactly (the ``events_ewma`` oracle); non-dyadic α still
+    matches pandas but an oracle should then compare at a rounding
+    tolerance.
+    """
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pdf[out_col] = (
+            pdf.groupby(key, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        return _to_clean_arrow(pdf)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = _bucket_tagged(ds, [key], num_buckets)
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )
+
+
 def rolling_sum(
     ds,
     key: str,

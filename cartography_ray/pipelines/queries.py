@@ -1292,6 +1292,68 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_events_ewma(sf_dir: str):
+    """Per-user exponential smoothing of spend (ops/window.ewma, α=0.5)
+    — the recursive member of the windowed family. Dyadic α makes every
+    step the identical multiply/multiply/add the recursive-CTE twin
+    evaluates, so the float64 stream hash-matches exactly (rounded to
+    1e-9 like events_zscore; dyadic values can never sit on a decimal
+    half-boundary, so the rounding modes agree too)."""
+    rd = _rd()
+    from cartography_ray.ops.window import ewma
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "cents": _cents(t.column("value")),
+            }
+        )
+
+    sm = ewma(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="cents",
+        alpha=0.5,
+        num_partitions=_parts_for(path),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ewma9": pc.round(
+                    t.column("ewma"), 9, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+
+    return sm.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EVENTS_EWMA = """
+WITH RECURSIVE base AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT event_id, user_id, rn, CAST(cents AS DOUBLE) AS y FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.event_id, b.user_id, b.rn, 0.5 * b.cents + 0.5 * r.y
+  FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT event_id, user_id, round(y, 9) AS ewma9 FROM rec
+"""
+
+
 def q_events_running_sum(sf_dir: str, chunk_us: int | None = None):
     """Per-user cumulative spend (ops/window.running_sum) — the ordered
     running-aggregate member of the windowed family; integer cents so
@@ -6358,6 +6420,7 @@ QUERIES: dict[str, Callable] = {
     "urgent_lines_by_status": q_urgent_lines_by_status,
     "discounted_revenue": q_discounted_revenue,
     "promo_revenue_share": q_promo_revenue_share,
+    "events_ewma": q_events_ewma,
     # --- approximate / rows-only (no oracle by design) ---
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
@@ -6451,6 +6514,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "urgent_lines_by_status": SQL_URGENT_LINES_BY_STATUS,
         "discounted_revenue": SQL_DISCOUNTED_REVENUE,
         "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+        "events_ewma": SQL_EVENTS_EWMA,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         # plan twin through the hash-payload + bloom-semi-join path —

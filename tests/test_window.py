@@ -1073,6 +1073,49 @@ def test_hash_split_key_cohesion(ray_session):
         hash_split(ds, "key", {"all": 1.0})
 
 
+def test_ewma_matches_pandas(ray_session):
+    """ops/window.ewma must equal pandas groupby-ewm(adjust=False)
+    bit-for-bit — dyadic AND non-dyadic α (the distributed shuffle must
+    not perturb the per-key C kernel)."""
+    import ray.data
+
+    from cartography_ray.ops.window import ewma
+
+    rng = np.random.default_rng(33)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),
+            "ts": rng.integers(0, 10_000_000, n).astype("int64"),
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 500_000, n).astype("int64"),
+        }
+    )
+    for alpha in (0.5, 0.3):
+        out = (
+            ewma(
+                ray.data.from_pandas(df), key="k", order_cols=["ts", "id"],
+                value_col="v", alpha=alpha, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        ref = df.sort_values(["k", "ts", "id"], kind="mergesort")
+        ref = ref.assign(
+            ewma=ref.groupby("k")["v"]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .reset_index(level=0, drop=True)
+        ).sort_values("id").reset_index(drop=True)
+        assert (out["ewma"].to_numpy() == ref["ewma"].to_numpy()).all(), alpha
+    # seed semantics: each key's first (ts, id)-ordered row equals its raw value
+    first = (
+        ref.sort_values(["k", "ts", "id"], kind="mergesort").groupby("k").head(1)
+    )
+    assert (first["ewma"].to_numpy() == first["v"].to_numpy().astype("float64")).all()
+
+
 def test_rolling_sum_matches_pandas(ray_session):
     import ray.data
 
