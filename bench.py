@@ -187,6 +187,7 @@ def run_queries(sf_dir: str) -> dict:
         "discounted_revenue",
         "promo_revenue_share",
         "events_ewma",
+        "events_gapfill_locf",
     ]
     out = {}
     # The graph family (kg_triangles/kg_kcore/kg_reach/kg_top_partners)

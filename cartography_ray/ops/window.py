@@ -317,6 +317,60 @@ def with_lag(
     )
 
 
+def locf(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    observed_col: str | None = None,
+    out_col: str = "locf",
+    sentinel: int = -1,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Per-key last-observation-carried-forward fill ordered by
+    ``order_cols`` (SQL ``LAST_VALUE(x IGNORE NULLS) OVER (PARTITION BY
+    key ORDER BY ... ROWS UNBOUNDED PRECEDING)``): rows where
+    ``observed_col`` is 0/null (or where ``value_col`` itself is null,
+    when no observed column is given) inherit the most recent observed
+    value; keys with no prior observation get ``sentinel``. Integer
+    inputs come back int64 (the nullable-int hash convention); floats
+    stay float.
+
+    Same shape as ``with_lag``: one hash shuffle on ``key``, grouped
+    C-level ffill per bucket — the densify→carry-forward stage that
+    follows ``gap_fill`` in resample pipelines.
+    """
+    import pandas.api.types as ptypes
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        vals = pdf[value_col].astype("float64")
+        if observed_col is not None:
+            vals = vals.where(pdf[observed_col].to_numpy() != 0)
+        filled = (
+            pdf.assign(__locf=vals).groupby(key, sort=False)["__locf"].ffill()
+        )
+        if ptypes.is_integer_dtype(pdf[value_col].dtype):
+            pdf[out_col] = filled.fillna(sentinel).astype("int64")
+        else:
+            pdf[out_col] = filled
+        return _to_clean_arrow(pdf)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = _bucket_tagged(ds, [key], num_buckets)
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )
+
+
 def ewma(
     ds,
     key: str,

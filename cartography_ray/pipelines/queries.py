@@ -656,6 +656,51 @@ FROM g LEFT JOIN b USING (event_type, slot)
 """
 
 
+def q_events_gapfill_locf(sf_dir: str):
+    """Resample + forward-fill: the densified per-type 15-min series
+    (same spec as ``events_gapfill``) with every empty slot inheriting
+    the last OBSERVED slot's summed cents (ops/window.locf) — the
+    carry-forward stage that makes a resampled series usable as a
+    model feature. Dense series is slot-range-sized, so the extra key
+    shuffle is over the tiny grid, never the event table. First slot
+    of each range is observed by construction (ranges start at each
+    type's min observed slot), so the -1 sentinel never fires here —
+    it exists for callers whose ranges lead with gaps."""
+    from cartography_ray.ops.window import locf
+
+    dense = q_events_gapfill(sf_dir)
+    return locf(
+        dense,
+        key="event_type",
+        order_cols=["slot"],
+        value_col="sum_value_cents",
+        observed_col="n_events",
+        out_col="locf_cents",
+        num_partitions=_parts_for_rows(f"{sf_dir}/events.parquet", scale=2.0),
+    )
+
+
+SQL_EVENTS_GAPFILL_LOCF = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // {GAPFILL_SLOT_US} AS slot,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, MIN(slot) AS mn, MAX(slot) AS mx FROM b GROUP BY 1),
+g AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS slot FROM r),
+d AS (SELECT g.event_type, g.slot,
+             COALESCE(b.n_events, 0) AS n_events,
+             COALESCE(b.sum_value_cents, 0) AS sum_value_cents
+      FROM g LEFT JOIN b USING (event_type, slot))
+SELECT event_type, slot, n_events, sum_value_cents,
+       COALESCE(LAST_VALUE(CASE WHEN n_events > 0 THEN sum_value_cents END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY slot
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                -1) AS locf_cents
+FROM d
+"""
+
+
 HOP_WINDOW_US = 2 * 3_600_000_000  # 2h windows ...
 HOP_US = 3_600_000_000             # ... hopping every 1h (2 copies/row)
 
@@ -6421,6 +6466,7 @@ QUERIES: dict[str, Callable] = {
     "discounted_revenue": q_discounted_revenue,
     "promo_revenue_share": q_promo_revenue_share,
     "events_ewma": q_events_ewma,
+    "events_gapfill_locf": q_events_gapfill_locf,
     # --- approximate / rows-only (no oracle by design) ---
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
@@ -6515,6 +6561,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "discounted_revenue": SQL_DISCOUNTED_REVENUE,
         "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
         "events_ewma": SQL_EVENTS_EWMA,
+        "events_gapfill_locf": SQL_EVENTS_GAPFILL_LOCF,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         # plan twin through the hash-payload + bloom-semi-join path —

@@ -1073,6 +1073,56 @@ def test_hash_split_key_cohesion(ray_session):
         hash_split(ds, "key", {"all": 1.0})
 
 
+def test_locf_matches_pandas_ffill(ray_session):
+    """ops/window.locf: carry-forward equals grouped pandas ffill;
+    leading unobserved rows get the sentinel (int path) / NaN (float
+    path)."""
+    import ray.data
+
+    from cartography_ray.ops.window import locf
+
+    rng = np.random.default_rng(44)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "slot": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 1000, n).astype("int64"),
+            "obs": (rng.random(n) < 0.3).astype("int64"),
+        }
+    )
+    # force a leading gap: key 0's earliest rows unobserved
+    df.loc[df.sort_values(["k", "slot"]).groupby("k").head(3).index, "obs"] = 0
+    out = (
+        locf(
+            ray.data.from_pandas(df), key="k", order_cols=["slot"],
+            value_col="v", observed_col="obs", out_col="f", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "slot"], kind="mergesort")
+    ref = ref.assign(
+        f=ref["v"].astype("float64").where(ref["obs"] != 0)
+        .groupby(ref["k"]).ffill().fillna(-1).astype("int64")
+    ).sort_values("slot").reset_index(drop=True)
+    assert (out["f"].to_numpy() == ref["f"].to_numpy()).all()
+    assert (out["f"] == -1).any()  # the forced leading gap hit the sentinel
+    # float input stays float, gaps before first observation stay NaN
+    dff = df.assign(v=df["v"].astype("float64"))
+    outf = (
+        locf(
+            ray.data.from_pandas(dff), key="k", order_cols=["slot"],
+            value_col="v", observed_col="obs", out_col="f", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    assert outf["f"].dtype == np.float64 and outf["f"].isna().any()
+
+
 def test_ewma_matches_pandas(ray_session):
     """ops/window.ewma must equal pandas groupby-ewm(adjust=False)
     bit-for-bit — dyadic AND non-dyadic α (the distributed shuffle must
