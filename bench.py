@@ -188,6 +188,7 @@ def run_queries(sf_dir: str) -> dict:
         "promo_revenue_share",
         "events_ewma",
         "events_gapfill_locf",
+        "events_running_distinct",
     ]
     out = {}
     # The graph family (kg_triangles/kg_kcore/kg_reach/kg_top_partners)

@@ -317,6 +317,47 @@ def with_lag(
     )
 
 
+def running_distinct(
+    ds,
+    key: str,
+    order_cols: list[str],
+    distinct_col: str,
+    out_col: str = "n_distinct",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Per-key running COUNT(DISTINCT ``distinct_col``) ordered by
+    ``order_cols`` — how many distinct values the key has seen up to and
+    including each row (the classic breadth-so-far behavioral feature).
+    SQL has no windowed COUNT(DISTINCT); the twin is the first-occurrence
+    trick (ROW_NUMBER per (key, value) → running SUM of the rn=1 flag),
+    and the kernel here is its vectorized mirror: stable sort, pandas
+    ``duplicated`` for the first-occurrence flag, grouped cumsum. Exact
+    int64 — hash-stable by construction.
+
+    Same shape as ``with_lag``: one hash shuffle on ``key``.
+    """
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        first = (~pdf.duplicated([key, distinct_col])).astype("int64")
+        pdf[out_col] = first.groupby(pdf[key], sort=False).cumsum()
+        return _to_clean_arrow(pdf)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = _bucket_tagged(ds, [key], num_buckets)
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )
+
+
 def locf(
     ds,
     key: str,

@@ -1399,6 +1399,45 @@ SELECT event_id, user_id, round(y, 9) AS ewma9 FROM rec
 """
 
 
+def q_events_running_distinct(sf_dir: str):
+    """Per-user running count of distinct event types seen so far
+    (ops/window.running_distinct) — the breadth-so-far behavioral
+    feature; exact int64, windowed-COUNT(DISTINCT) emulated on both
+    engines via the first-occurrence flag."""
+    rd = _rd()
+    from cartography_ray.ops.window import running_distinct
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "user_id", "ts", "event_type"])
+    out = running_distinct(
+        ds,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        distinct_col="event_type",
+        out_col="types_seen",
+        num_partitions=_parts_for(path),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "user_id", "types_seen"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EVENTS_RUNNING_DISTINCT = """
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS types_seen
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+"""
+
+
 def q_events_running_sum(sf_dir: str, chunk_us: int | None = None):
     """Per-user cumulative spend (ops/window.running_sum) — the ordered
     running-aggregate member of the windowed family; integer cents so
@@ -6467,6 +6506,7 @@ QUERIES: dict[str, Callable] = {
     "promo_revenue_share": q_promo_revenue_share,
     "events_ewma": q_events_ewma,
     "events_gapfill_locf": q_events_gapfill_locf,
+    "events_running_distinct": q_events_running_distinct,
     # --- approximate / rows-only (no oracle by design) ---
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
@@ -6562,6 +6602,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
         "events_ewma": SQL_EVENTS_EWMA,
         "events_gapfill_locf": SQL_EVENTS_GAPFILL_LOCF,
+        "events_running_distinct": SQL_EVENTS_RUNNING_DISTINCT,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         # plan twin through the hash-payload + bloom-semi-join path —

@@ -1073,6 +1073,46 @@ def test_hash_split_key_cohesion(ray_session):
         hash_split(ds, "key", {"all": 1.0})
 
 
+def test_running_distinct_matches_python_reference(ray_session):
+    """ops/window.running_distinct equals a literal per-row set-size
+    evaluation, including interleaved keys across buckets."""
+    import ray.data
+
+    from cartography_ray.ops.window import running_distinct
+
+    rng = np.random.default_rng(55)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n),
+            "ts": rng.integers(0, 1_000_000, n).astype("int64"),
+            "id": np.arange(n, dtype="int64"),
+            "t": rng.integers(0, 9, n).astype("int64"),
+        }
+    )
+    out = (
+        running_distinct(
+            ray.data.from_pandas(df), key="k", order_cols=["ts", "id"],
+            distinct_col="t", out_col="nd", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    seen: dict[int, set] = {}
+    want = np.empty(n, dtype="int64")
+    ref = df.sort_values(["k", "ts", "id"], kind="mergesort")
+    for row_id, k, t in zip(ref["id"], ref["k"], ref["t"]):
+        s = seen.setdefault(k, set())
+        s.add(t)
+        want[row_id] = len(s)
+    assert (out["nd"].to_numpy() == want).all()
+    # monotone per key, starts at 1
+    g = out.set_index("id").loc[ref["id"]]["nd"].to_numpy()
+    firsts = ~ref.duplicated("k").to_numpy()
+    assert (g[firsts] == 1).all()
+
+
 def test_locf_matches_pandas_ffill(ray_session):
     """ops/window.locf: carry-forward equals grouped pandas ffill;
     leading unobserved rows get the sentinel (int path) / NaN (float
