@@ -189,6 +189,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_ewma",
         "events_gapfill_locf",
         "events_running_distinct",
+        "events_gapfill_interp",
     ]
     out = {}
     # The graph family (kg_triangles/kg_kcore/kg_reach/kg_top_partners)

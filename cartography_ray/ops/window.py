@@ -412,6 +412,67 @@ def locf(
     )
 
 
+def interp_fill(
+    ds,
+    key: str,
+    order_col: str,
+    value_col: str,
+    observed_col: str,
+    out_col: str = "interp",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+):
+    """Per-key linear interpolation over a dense integer axis
+    (``order_col``, e.g. the resample slot): observed rows keep their
+    value, interior gaps take
+    ``pv + (nv - pv) * ((slot - ps) / (ns - ps))`` between the
+    bracketing observations, trailing gaps carry the last observation
+    forward (LOCF), leading gaps are NaN (the caller's sentinel
+    decision). The float expression is evaluated in EXACTLY that
+    operation order — int64 differences first, one divide, one multiply,
+    one add — so a SQL twin writing the same tree hash-matches
+    bit-for-bit (``events_gapfill_interp``).
+
+    Same shape as ``locf``: one hash shuffle on ``key``, vectorized
+    ffill/bfill index arithmetic per bucket.
+    """
+
+    def kernel(group: pd.DataFrame) -> "pd.DataFrame":
+        pdf = (
+            group.drop(columns="__gb")
+            .sort_values([key, order_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        obs = pdf[observed_col].to_numpy() != 0
+        v = pdf[value_col].to_numpy().astype("int64")
+        s = pdf[order_col].to_numpy().astype("int64")
+        gb = pdf.groupby(key, sort=False)
+        vm = pd.Series(np.where(obs, v, np.int64(0)), dtype="float64").where(obs)
+        sm = pd.Series(np.where(obs, s, np.int64(0)), dtype="float64").where(obs)
+        pv = vm.groupby(pdf[key], sort=False).ffill().to_numpy()
+        ps = sm.groupby(pdf[key], sort=False).ffill().to_numpy()
+        nv = vm.groupby(pdf[key], sort=False).bfill().to_numpy()
+        ns = sm.groupby(pdf[key], sort=False).bfill().to_numpy()
+        del gb
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = (s - ps) / (ns - ps)
+            interp = pv + (nv - pv) * frac
+        out = np.where(obs, v.astype("float64"), interp)
+        # trailing gap: no next observation -> carry prev forward
+        out = np.where(~obs & np.isnan(nv), pv, out)
+        pdf[out_col] = out
+        return _to_clean_arrow(pdf)
+
+    from cartography_ray.runtime import drop_empty_blocks
+
+    tagged = _bucket_tagged(ds, [key], num_buckets)
+    return drop_empty_blocks(
+        tagged.groupby("__gb", num_partitions=num_partitions).map_groups(
+            kernel, batch_format="pandas"
+        )
+    )
+
+
 def ewma(
     ds,
     key: str,

@@ -701,6 +701,77 @@ FROM d
 """
 
 
+def q_events_gapfill_interp(sf_dir: str):
+    """Resample + linear interpolation: the densified per-type series
+    (``events_gapfill`` spec) with interior gaps linearly interpolated
+    between the bracketing observed slots and trailing gaps carried
+    forward (ops/window.interp_fill). Every float op is the same
+    int-difference → divide → multiply → add tree the SQL twin writes,
+    so the oracle hash-matches exactly at 1e-9 rounding."""
+    from cartography_ray.ops.window import interp_fill
+
+    dense = q_events_gapfill(sf_dir)
+    out = interp_fill(
+        dense,
+        key="event_type",
+        order_col="slot",
+        value_col="sum_value_cents",
+        observed_col="n_events",
+        out_col="interp",
+        num_partitions=_parts_for_rows(f"{sf_dir}/events.parquet", scale=2.0),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "slot": t.column("slot"),
+                "n_events": t.column("n_events"),
+                "sum_value_cents": t.column("sum_value_cents"),
+                "interp9": pc.round(
+                    t.column("interp"), 9, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EVENTS_GAPFILL_INTERP = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // {GAPFILL_SLOT_US} AS slot,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, MIN(slot) AS mn, MAX(slot) AS mx FROM b GROUP BY 1),
+g AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS slot FROM r),
+d AS (SELECT g.event_type, g.slot,
+             COALESCE(b.n_events, 0) AS n_events,
+             COALESCE(b.sum_value_cents, 0) AS sum_value_cents
+      FROM g LEFT JOIN b USING (event_type, slot)),
+w AS (SELECT *,
+        LAST_VALUE(CASE WHEN n_events > 0 THEN CAST(sum_value_cents AS DOUBLE) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY slot
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN n_events > 0 THEN CAST(slot AS DOUBLE) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY slot
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+        FIRST_VALUE(CASE WHEN n_events > 0 THEN CAST(sum_value_cents AS DOUBLE) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY slot
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN n_events > 0 THEN CAST(slot AS DOUBLE) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY slot
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+      FROM d)
+SELECT event_type, slot, n_events, sum_value_cents,
+       round(CASE WHEN n_events > 0 THEN CAST(sum_value_cents AS DOUBLE)
+                  WHEN ns IS NULL THEN pv
+                  ELSE pv + (nv - pv) * ((CAST(slot AS DOUBLE) - ps) / (ns - ps))
+             END, 9) AS interp9
+FROM w
+"""
+
+
 HOP_WINDOW_US = 2 * 3_600_000_000  # 2h windows ...
 HOP_US = 3_600_000_000             # ... hopping every 1h (2 copies/row)
 
@@ -6507,6 +6578,7 @@ QUERIES: dict[str, Callable] = {
     "events_ewma": q_events_ewma,
     "events_gapfill_locf": q_events_gapfill_locf,
     "events_running_distinct": q_events_running_distinct,
+    "events_gapfill_interp": q_events_gapfill_interp,
     # --- approximate / rows-only (no oracle by design) ---
     "events_distinct_users_hll": q_events_distinct_users_hll,
     "docs_incremental_minhash": q_docs_incremental_minhash,
@@ -6603,6 +6675,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_ewma": SQL_EVENTS_EWMA,
         "events_gapfill_locf": SQL_EVENTS_GAPFILL_LOCF,
         "events_running_distinct": SQL_EVENTS_RUNNING_DISTINCT,
+        "events_gapfill_interp": SQL_EVENTS_GAPFILL_INTERP,
         "docs_packed": SQL_DOCS_PACKED,
         "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
         # plan twin through the hash-payload + bloom-semi-join path —

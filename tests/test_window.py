@@ -1073,6 +1073,44 @@ def test_hash_split_key_cohesion(ray_session):
         hash_split(ds, "key", {"all": 1.0})
 
 
+def test_interp_fill_reference_and_edges(ray_session):
+    """ops/window.interp_fill: interior gaps interpolate linearly,
+    trailing gaps carry forward, leading gaps stay NaN, observed rows
+    pass through exactly."""
+    import ray.data
+
+    from cartography_ray.ops.window import interp_fill
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 7 + ["b"] * 4,
+            "slot": [0, 1, 2, 3, 4, 5, 6, 0, 1, 2, 3],
+            "v":    [0, 10, 0, 0, 40, 0, 0, 0, 8, 0, 0],
+            "obs":  [0, 1, 0, 0, 1, 0, 0, 0, 1, 1, 0],
+        }
+    )
+    df["slot"] = df["slot"].astype("int64")
+    df["v"] = df["v"].astype("int64")
+    out = (
+        interp_fill(
+            ray.data.from_pandas(df), key="k", order_col="slot",
+            value_col="v", observed_col="obs", out_col="f", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "slot"])
+        .reset_index(drop=True)
+    )
+    a = out[out.k == "a"]["f"].to_numpy()
+    # leading gap NaN; observed 10 at slot1; interp 20, 30; observed 40;
+    # trailing LOCF 40, 40
+    assert np.isnan(a[0])
+    assert a[1] == 10.0 and a[4] == 40.0
+    assert a[2] == 20.0 and a[3] == 30.0
+    assert a[5] == 40.0 and a[6] == 40.0
+    b = out[out.k == "b"]["f"].to_numpy()
+    assert np.isnan(b[0]) and b[1] == 8.0 and b[2] == 0.0 and b[3] == 0.0
+
+
 def test_running_distinct_matches_python_reference(ray_session):
     """ops/window.running_distinct equals a literal per-row set-size
     evaluation, including interleaved keys across buckets."""
