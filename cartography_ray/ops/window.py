@@ -446,14 +446,12 @@ def interp_fill(
         obs = pdf[observed_col].to_numpy() != 0
         v = pdf[value_col].to_numpy().astype("int64")
         s = pdf[order_col].to_numpy().astype("int64")
-        gb = pdf.groupby(key, sort=False)
         vm = pd.Series(np.where(obs, v, np.int64(0)), dtype="float64").where(obs)
         sm = pd.Series(np.where(obs, s, np.int64(0)), dtype="float64").where(obs)
         pv = vm.groupby(pdf[key], sort=False).ffill().to_numpy()
         ps = sm.groupby(pdf[key], sort=False).ffill().to_numpy()
         nv = vm.groupby(pdf[key], sort=False).bfill().to_numpy()
         ns = sm.groupby(pdf[key], sort=False).bfill().to_numpy()
-        del gb
         with np.errstate(invalid="ignore", divide="ignore"):
             frac = (s - ps) / (ns - ps)
             interp = pv + (nv - pv) * frac
